@@ -1,0 +1,151 @@
+"""Host-side image transforms with reference-parity geometry.
+
+Parity targets (see SURVEY.md §2.1): `SquarePad` / `TargetPad` /
+`squarepad_transform` / `targetpad_transform` / `generate_randomized_fiq_caption`
+in `clip4cir/data_utils.py:20-119`. These run on host (PIL) and emit float32
+HWC arrays; the fused on-device path lives in `spn4cir_tpu.ops.preprocess`.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+from typing import Callable, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+# OpenAI-CLIP normalization constants; BLIP/LAVIS processors use the same.
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+DEFAULT_TARGET_RATIO = 1.25
+
+
+def square_pad(image: Image.Image) -> Image.Image:
+    """Zero-pad to a square of side max(w, h), centered (ref data_utils.py:20-39)."""
+    w, h = image.size
+    side = max(w, h)
+    hp = int((side - w) / 2)
+    vp = int((side - h) / 2)
+    return _pad(image, hp, vp)
+
+
+def target_pad(image: Image.Image, target_ratio: float = DEFAULT_TARGET_RATIO) -> Image.Image:
+    """Pad only when aspect ratio >= target_ratio, down to that ratio
+    (ref data_utils.py:42-65, including the int-floor and `< ratio` boundary)."""
+    w, h = image.size
+    actual_ratio = max(w, h) / min(w, h)
+    if actual_ratio < target_ratio:
+        return image
+    scaled_max_wh = max(w, h) / target_ratio
+    hp = max(int((scaled_max_wh - w) / 2), 0)
+    vp = max(int((scaled_max_wh - h) / 2), 0)
+    return _pad(image, hp, vp)
+
+
+def _pad(image: Image.Image, hp: int, vp: int) -> Image.Image:
+    if hp == 0 and vp == 0:
+        return image
+    mode = image.mode
+    canvas = Image.new(mode, (image.size[0] + 2 * hp, image.size[1] + 2 * vp), 0)
+    canvas.paste(image, (hp, vp))
+    return canvas
+
+
+def resize_shortest(image: Image.Image, dim: int) -> Image.Image:
+    """torchvision `Resize(dim)` semantics: shortest side -> dim, keep aspect
+    (long side uses int() truncation, matching torchvision's PIL backend)."""
+    w, h = image.size
+    if w <= h:
+        new_w, new_h = dim, max(1, int(dim * h / w))
+    else:
+        new_w, new_h = max(1, int(dim * w / h)), dim
+    return image.resize((new_w, new_h), Image.BICUBIC)
+
+
+def center_crop(image: Image.Image, dim: int) -> Image.Image:
+    w, h = image.size
+    if w < dim or h < dim:  # torchvision pads when smaller than crop
+        hp = max((dim - w + 1) // 2, 0)
+        vp = max((dim - h + 1) // 2, 0)
+        image = _pad(image, hp, vp)
+        w, h = image.size
+    left = int(round((w - dim) / 2.0))
+    top = int(round((h - dim) / 2.0))
+    return image.crop((left, top, left + dim, top + dim))
+
+
+def normalize_to_array(
+    image: Image.Image,
+    mean: Sequence[float] = CLIP_MEAN,
+    std: Sequence[float] = CLIP_STD,
+) -> np.ndarray:
+    """RGB-convert + [0,1] scale + normalize -> float32 HWC."""
+    arr = np.asarray(image.convert("RGB"), dtype=np.float32) / 255.0
+    return (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+
+@dataclass(frozen=True)
+class ImageTransform:
+    """A picklable preprocess pipeline: pad -> resize -> crop -> normalize.
+
+    kind: 'clip' (no pad), 'squarepad', or 'targetpad'
+    (ref `clip4cir/train.py` `--transform` flag semantics).
+    """
+
+    kind: str
+    dim: int
+    target_ratio: float = DEFAULT_TARGET_RATIO
+    mean: Tuple[float, ...] = CLIP_MEAN
+    std: Tuple[float, ...] = CLIP_STD
+
+    def __call__(self, image: Image.Image) -> np.ndarray:
+        if self.kind == "squarepad":
+            image = square_pad(image)
+        elif self.kind == "targetpad":
+            image = target_pad(image, self.target_ratio)
+        elif self.kind != "clip":
+            raise ValueError(f"unknown transform kind {self.kind!r}")
+        image = resize_shortest(image, self.dim)
+        image = center_crop(image, self.dim)
+        return normalize_to_array(image, self.mean, self.std)
+
+
+def targetpad_transform(target_ratio: float, dim: int, **kw) -> ImageTransform:
+    return ImageTransform("targetpad", dim, target_ratio, **kw)
+
+
+def squarepad_transform(dim: int, **kw) -> ImageTransform:
+    return ImageTransform("squarepad", dim, **kw)
+
+
+def clip_transform(dim: int, **kw) -> ImageTransform:
+    return ImageTransform("clip", dim, **kw)
+
+
+_STRIP_CHARS = ".?, "
+
+
+def generate_randomized_fiq_caption(captions: Sequence[str], rng: random.Random | None = None,
+                                    type: int = -1) -> str:
+    """FashionIQ two-caption randomization (ref data_utils.py:101-119).
+
+    Draw in [0,1): <0.25 -> "a and b"; <0.5 -> "b and a"; <0.75 -> a; else b.
+    `type` pins the branch deterministically (0..3), as in the reference.
+    """
+    draw = {0: 0.12, 1: 0.37, 2: 0.62, 3: 0.88}.get(type)
+    if draw is None:
+        draw = (rng or random).random()
+    a, b = captions[0].strip(_STRIP_CHARS), captions[1].strip(_STRIP_CHARS)
+    if draw < 0.25:
+        return f"{a} and {b}"
+    if draw < 0.5:
+        return f"{b} and {a}"
+    if draw < 0.75:
+        return a
+    return b
+
+
+def deterministic_fiq_caption(captions: Sequence[str]) -> str:
+    """Validation-time concat (ref `clip4cir/validate.py:73-79`)."""
+    return f"{captions[0].strip(_STRIP_CHARS)} and {captions[1].strip(_STRIP_CHARS)}"

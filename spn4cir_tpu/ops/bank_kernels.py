@@ -1,0 +1,292 @@
+"""Blocked Pallas bank-InfoNCE kernel (the stage-2 "scaling negatives" loss).
+
+Semantics match `spn4cir_tpu.ops.infonce.bank_infonce` (the XLA ground
+truth; reference behavior: `clip4cir/models.py:130-144,163-167`):
+
+    logits = (Q @ bankᵀ) / tau          # (B, M), M = all train images
+    loss   = mean_i [ logsumexp_j logits[i, j] - logits[i, labels[i]] ]
+
+Instead of materializing the (B, M) logits matrix in HBM (M is 16k-60k for
+FashionIQ/CIRR and larger with unlabeled negatives), the kernel sweeps bank
+blocks through VMEM with a flash-attention-style online softmax, emitting
+per-row (running-max, normalized sum-exp, positive-logit, E_p[logit])
+statistics. The backward pass is a second blocked sweep accumulating
+dQ = P @ bank (P recomputed from the saved statistics), so peak memory is
+O(B·D + block) instead of O(B·M).
+
+Gradients: dquery and dtau are exact; the bank is a frozen feature cache in
+stage-2 (ref freezes the image tower, `clip4cir/models.py:31-33`) so its
+gradient is returned as zeros (DCE'd when unused). Integer labels carry no
+gradient.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _interpret() -> bool:
+    # Pallas TPU kernels run in interpreter mode on non-TPU backends (tests).
+    return jax.default_backend() != "tpu"
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return _cdiv(x, m) * m
+
+
+# --------------------------------------------------------------------------
+# Forward: per-row softmax statistics
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(labels_ref, q_ref, bank_ref, tau_ref,
+                mx_ref, se_ref, pos_ref, el_ref, *, m_actual: int, block_m: int):
+    m_idx = pl.program_id(1)
+    tau = tau_ref[0]
+
+    q = q_ref[:].astype(jnp.float32)
+    b = bank_ref[:].astype(jnp.float32)
+    logits = jax.lax.dot_general(
+        q, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) / tau  # (TB, TM)
+
+    col0 = m_idx * block_m
+    col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    valid = col_ids < m_actual
+    logits = jnp.where(valid, logits, -jnp.inf)
+
+    blk_max = jnp.max(logits, axis=1, keepdims=True)            # (TB, 1)
+    blk_se = jnp.sum(jnp.exp(logits - blk_max), axis=1, keepdims=True)
+
+    # positive logit for rows whose label falls in this block
+    lab = labels_ref[:, :1]                                      # (TB, 1) VMEM
+    is_pos = col_ids == lab
+    blk_pos = jnp.sum(jnp.where(is_pos, jnp.where(valid, logits, 0.0), 0.0),
+                      axis=1, keepdims=True)
+    # sum of exp-weighted logits for the dtau term (un-normalized; rescaled
+    # by the running max like the sum-exp)
+    blk_el = jnp.sum(jnp.where(valid, jnp.exp(logits - blk_max) * logits, 0.0),
+                     axis=1, keepdims=True)
+
+    @pl.when(m_idx == 0)
+    def _init():
+        mx_ref[:] = jnp.broadcast_to(blk_max, mx_ref.shape)
+        se_ref[:] = jnp.broadcast_to(blk_se, se_ref.shape)
+        pos_ref[:] = jnp.broadcast_to(blk_pos, pos_ref.shape)
+        el_ref[:] = jnp.broadcast_to(blk_el, el_ref.shape)
+
+    @pl.when(m_idx > 0)
+    def _update():
+        run_max = mx_ref[:, :1]
+        new_max = jnp.maximum(run_max, blk_max)
+        old_scale = jnp.exp(run_max - new_max)
+        blk_scale = jnp.exp(blk_max - new_max)
+        mx_ref[:] = jnp.broadcast_to(new_max, mx_ref.shape)
+        se_ref[:] = jnp.broadcast_to(
+            se_ref[:, :1] * old_scale + blk_se * blk_scale, se_ref.shape)
+        el_ref[:] = jnp.broadcast_to(
+            el_ref[:, :1] * old_scale + blk_el * blk_scale, el_ref.shape)
+        pos_ref[:] = jnp.broadcast_to(pos_ref[:, :1] + blk_pos, pos_ref.shape)
+
+
+def _run_forward(query, bank, labels, tau, *, block_b: int, block_m: int):
+    b_actual, d = query.shape
+    m_actual = bank.shape[0]
+    bp = _round_up(b_actual, block_b)
+    mp = _round_up(m_actual, block_m)
+
+    q = jnp.pad(query, ((0, bp - b_actual), (0, 0)))
+    bk = jnp.pad(bank, ((0, mp - m_actual), (0, 0)))
+    lab = jnp.pad(labels.astype(jnp.int32), (0, bp - b_actual), constant_values=-1)
+    lab = jnp.broadcast_to(lab[:, None], (bp, LANES))
+    tau_arr = jnp.asarray(tau, jnp.float32).reshape(1)
+
+    grid = (bp // block_b, mp // block_m)
+    kernel = functools.partial(_fwd_kernel, m_actual=m_actual, block_m=block_m)
+    stat_shape = jax.ShapeDtypeStruct((bp, LANES), jnp.float32)
+    stat_spec = pl.BlockSpec((block_b, LANES), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i, j: (0,), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[stat_spec] * 4,
+    )
+    mx, se, pos, el = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[stat_shape] * 4,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(lab, q, bk, tau_arr)
+    return (mx[:b_actual, 0], se[:b_actual, 0], pos[:b_actual, 0],
+            el[:b_actual, 0])
+
+
+# --------------------------------------------------------------------------
+# Backward: dQ = (P - onehot(labels)) @ bank / (tau * B)
+# --------------------------------------------------------------------------
+
+def _bwd_kernel(labels_ref, q_ref, bank_ref, tau_ref, mx_ref, se_ref, g_ref,
+                dq_ref, *, m_actual: int, block_m: int):
+    m_idx = pl.program_id(1)
+    tau = tau_ref[0]
+
+    q = q_ref[:].astype(jnp.float32)
+    bk = bank_ref[:].astype(jnp.float32)
+    logits = jax.lax.dot_general(
+        q, bk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) / tau
+
+    col0 = m_idx * block_m
+    col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    valid = col_ids < m_actual
+
+    mx = mx_ref[:, :1]
+    se = se_ref[:, :1]
+    p = jnp.where(valid, jnp.exp(logits - mx) / se, 0.0)          # softmax block
+    lab = labels_ref[:, :1]
+    p = p - jnp.where(col_ids == lab, 1.0, 0.0)
+
+    # per-example gradient scale g_i already includes 1/tau
+    contrib = jax.lax.dot_general(
+        p * g_ref[:, :1], bk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(m_idx == 0)
+    def _init():
+        dq_ref[:] = contrib
+
+    @pl.when(m_idx > 0)
+    def _update():
+        dq_ref[:] = dq_ref[:] + contrib
+
+
+def _run_backward(query, bank, labels, tau, mx, se, g, *, block_b: int, block_m: int):
+    b_actual, d = query.shape
+    m_actual = bank.shape[0]
+    bp = _round_up(b_actual, block_b)
+    mp = _round_up(m_actual, block_m)
+
+    q = jnp.pad(query, ((0, bp - b_actual), (0, 0)))
+    bk = jnp.pad(bank, ((0, mp - m_actual), (0, 0)))
+    lab = jnp.pad(labels.astype(jnp.int32), (0, bp - b_actual), constant_values=-1)
+    lab = jnp.broadcast_to(lab[:, None], (bp, LANES))
+    tau_arr = jnp.asarray(tau, jnp.float32).reshape(1)
+
+    def pad_stat(x, fill):
+        x = jnp.pad(x, (0, bp - b_actual), constant_values=fill)
+        return jnp.broadcast_to(x[:, None], (bp, LANES))
+
+    mx_p = pad_stat(mx, 0.0)
+    se_p = pad_stat(se, 1.0)  # avoid 0/0 in padded rows
+    g_p = pad_stat(g, 0.0)
+
+    grid = (bp // block_b, mp // block_m)
+    kernel = functools.partial(_bwd_kernel, m_actual=m_actual, block_m=block_m)
+    stat_spec = pl.BlockSpec((block_b, LANES), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i, j: (0,), memory_space=pltpu.SMEM),
+            stat_spec, stat_spec, stat_spec,
+        ],
+        out_specs=[pl.BlockSpec((block_b, d), lambda i, j: (i, 0),
+                                memory_space=pltpu.VMEM)],
+    )
+    (dq,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((bp, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(lab, q, bk, tau_arr, mx_p, se_p, g_p)
+    return dq[:b_actual]
+
+
+# --------------------------------------------------------------------------
+# Public op with custom VJP
+# --------------------------------------------------------------------------
+
+DEFAULT_BLOCK_B = 128
+DEFAULT_BLOCK_M = 1024
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def bank_infonce_pallas(query, bank, labels, tau,
+                        block_b: int = DEFAULT_BLOCK_B,
+                        block_m: int = DEFAULT_BLOCK_M):
+    """Full-bank InfoNCE via the blocked Pallas kernel. See module docstring."""
+    loss, _ = _fwd_for_vjp(query, bank, labels, tau, block_b, block_m)
+    return loss
+
+
+def _fwd_for_vjp(query, bank, labels, tau, block_b, block_m):
+    bb = min(block_b, _round_up(query.shape[0], 8))
+    mx, se, pos, el = _run_forward(query, bank, labels, tau,
+                                   block_b=bb, block_m=block_m)
+    lse = jnp.log(se) + mx
+    loss = jnp.mean(lse - pos)
+    residuals = (query, bank, labels, jnp.asarray(tau, jnp.float32),
+                 mx, se, pos, el)
+    return loss, residuals
+
+
+def _bwd_for_vjp(block_b, block_m, residuals, g):
+    query, bank, labels, tau, mx, se, pos, el = residuals
+    b = query.shape[0]
+    bb = min(block_b, _round_up(b, 8))
+    # per-example chain scale: d(mean CE)/dlogits rowwise factor, incl. 1/tau
+    g_rows = jnp.full((b,), g / (b * tau), jnp.float32)
+    dq = _run_backward(query, bank, labels, tau, mx, se, g_rows,
+                       block_b=bb, block_m=block_m)
+    # dtau: loss_i = lse_i - pos_i; dlse/dtau = -E_p[logit]/tau; dpos/dtau = -pos/tau
+    e_logit = el / se
+    dtau = g * jnp.mean((pos - e_logit) / tau)
+    return (dq.astype(query.dtype), jnp.zeros_like(bank), None,
+            dtau.astype(jnp.float32))
+
+
+bank_infonce_pallas.defvjp(_fwd_for_vjp, _bwd_for_vjp)
+
+
+# --------------------------------------------------------------------------
+# Dispatch
+# --------------------------------------------------------------------------
+
+def bank_infonce(query, bank, labels, tau, impl: str = "auto"):
+    """Dispatch between the Pallas kernel (TPU) and the XLA reference impl."""
+    from spn4cir_tpu.ops import infonce as _ref
+
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        return bank_infonce_pallas(query, bank, labels, tau)
+    return _ref.bank_infonce(query, bank, labels, tau)

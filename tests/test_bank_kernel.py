@@ -1,0 +1,80 @@
+"""Pallas bank-InfoNCE kernel vs the XLA reference implementation.
+
+Runs in Pallas interpreter mode on CPU; the same kernel compiles on TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spn4cir_tpu.ops import bank_infonce as xla_bank_infonce
+from spn4cir_tpu.ops.bank_kernels import bank_infonce, bank_infonce_pallas
+
+
+def _norm(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def _case(rng, b, m, d):
+    q = jnp.array(_norm(rng.randn(b, d)).astype(np.float32))
+    bank = jnp.array(_norm(rng.randn(m, d)).astype(np.float32))
+    labels = jnp.array(rng.randint(0, m, size=b))
+    return q, bank, labels
+
+
+@pytest.mark.parametrize(
+    "b,m,d",
+    [
+        (8, 64, 32),       # tiny
+        (16, 300, 64),     # M not a multiple of block
+        (9, 130, 16),      # ragged B and M
+    ],
+)
+def test_forward_matches_xla(rng, b, m, d):
+    q, bank, labels = _case(rng, b, m, d)
+    tau = 0.07
+    got = float(bank_infonce_pallas(q, bank, labels, tau, 8, 128))
+    want = float(xla_bank_infonce(q, bank, labels, tau))
+    assert abs(got - want) < 1e-4, (got, want)
+
+
+def test_grad_matches_xla(rng):
+    q, bank, labels = _case(rng, 8, 200, 32)
+    tau = 0.05
+
+    gp_q, gp_tau = jax.grad(
+        lambda q_, t_: bank_infonce_pallas(q_, bank, labels, t_, 8, 128),
+        argnums=(0, 1),
+    )(q, jnp.float32(tau))
+    gx_q, gx_tau = jax.grad(
+        lambda q_, t_: xla_bank_infonce(q_, bank, labels, t_), argnums=(0, 1)
+    )(q, jnp.float32(tau))
+
+    np.testing.assert_allclose(np.asarray(gp_q), np.asarray(gx_q), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(gp_tau), float(gx_tau), rtol=1e-4)
+
+
+def test_bf16_inputs(rng):
+    q, bank, labels = _case(rng, 8, 100, 32)
+    got = float(
+        bank_infonce_pallas(q.astype(jnp.bfloat16), bank.astype(jnp.bfloat16), labels, 0.1, 8, 128)
+    )
+    want = float(xla_bank_infonce(q, bank, labels, 0.1))
+    assert abs(got - want) < 0.05  # bf16 tolerance
+
+
+def test_dispatch_auto_cpu(rng):
+    q, bank, labels = _case(rng, 4, 50, 16)
+    got = float(bank_infonce(q, bank, labels, 0.1, impl="auto"))
+    want = float(xla_bank_infonce(q, bank, labels, 0.1))
+    assert abs(got - want) < 1e-5
+
+
+def test_extreme_tau_stability(rng):
+    # tau=0.01 drives logits to +-100; online softmax must stay finite
+    q, bank, labels = _case(rng, 8, 100, 16)
+    got = float(bank_infonce_pallas(q, bank, labels, 0.01, 8, 128))
+    want = float(xla_bank_infonce(q, bank, labels, 0.01))
+    assert np.isfinite(got)
+    assert abs(got - want) < 1e-3
