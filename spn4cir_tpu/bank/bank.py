@@ -1,0 +1,104 @@
+"""Feature memory banks: the core of "scaling negatives".
+
+Parity target: `extract_bank_features` / `extract_refer_bank_features` /
+`load_refer_bank` (`clip4cir/models.py:65-107`; per-backbone variants
+`tgcir/models.py:223-270`, `blip4cir/models.py:45-93`,
+`blip24cir/models.py:49-114`).
+
+Design changes vs the reference (SURVEY.md §7):
+  - The reference encodes the same frozen image up to three times (once per
+    triplet role, once for the plus-mode refer bank). Since every bank entry
+    is a pure function of one image under a frozen encoder, we make ONE pass
+    over the deduplicated unique train images and derive all banks from it:
+        image-keyed refer bank  = refer-form features
+        target bank             = target-form (normalized/pooled) features
+        triplet-keyed refer bank = refer_by_image[triplet.refer_image_id]
+    (values identical to the reference's, incl. quirk §8.2: the target bank
+    covers reference images too, because every unique train image is passed.)
+  - The target bank lives in device HBM (it participates in every step's
+    loss matmul); the refer bank stays in host RAM and is gathered per batch
+    (refer rows can be huge for blip/blip2 token banks), replacing the
+    reference's per-step CPU->GPU `.to(device)` of the full-batch slice
+    (`clip4cir/models.py:133-138`).
+  - Cache format is a compressed .npz instead of torch .pth; same semantics:
+    recompute only if missing or `reload` (`clip4cir/models.py:66`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class Bank:
+    """refer: (M, *refer_shape) host array keyed by unique image id;
+    target: (M, *target_shape) device array, L2-normalized."""
+
+    refer: np.ndarray
+    target: jnp.ndarray
+
+    @property
+    def num_images(self) -> int:
+        return self.refer.shape[0]
+
+    def gather_refer(self, image_ids: np.ndarray) -> np.ndarray:
+        """Per-batch host gather of refer rows (fed to the jitted step)."""
+        return self.refer[image_ids]
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez_compressed(path, refer=self.refer,
+                            target=np.asarray(self.target))
+
+    @classmethod
+    def load(cls, path: str, device_target: bool = True) -> "Bank":
+        data = np.load(path)
+        target = data["target"]
+        return cls(refer=data["refer"],
+                   target=jnp.asarray(target) if device_target else target)
+
+
+def extract_banks(
+    bank_features_fn: Callable,
+    image_batches: Iterator[Tuple[np.ndarray, np.ndarray]],
+    num_images: int,
+    cache_path: Optional[str] = None,
+    reload: bool = False,
+) -> Bank:
+    """One frozen-encoder pass over unique train images -> Bank.
+
+    bank_features_fn: jitted (images) -> (refer_feats, target_feats) for one
+        batch; target_feats must already be L2-normalized.
+    image_batches: yields (image_ids (B,), images (B, H, W, 3)); the last
+        batch may be padded — ids < 0 are ignored.
+    num_images: M, the unique (deduplicated) train image count.
+
+    Caching parity with `clip4cir/models.py:66`: loads `cache_path` unless
+    missing or `reload`.
+    """
+    if cache_path and os.path.exists(cache_path) and not reload:
+        return Bank.load(cache_path)
+
+    refer_buf = None
+    target_buf = None
+    for image_ids, images in image_batches:
+        refer, target = jax.device_get(bank_features_fn(images))
+        if refer_buf is None:
+            refer_buf = np.zeros((num_images, *refer.shape[1:]), refer.dtype)
+            target_buf = np.zeros((num_images, *target.shape[1:]), target.dtype)
+        valid = image_ids >= 0
+        refer_buf[image_ids[valid]] = refer[valid]
+        target_buf[image_ids[valid]] = target[valid]
+    if refer_buf is None:
+        raise ValueError("no image batches supplied")
+
+    bank = Bank(refer=refer_buf, target=jnp.asarray(target_buf))
+    if cache_path:
+        bank.save(cache_path)
+    return bank

@@ -1,0 +1,361 @@
+"""CIR datasets: FashionIQ + CIRR triplet/gallery loading (host side).
+
+Parity target: the reference's `CIRDataset` (`clip4cir/data_utils.py:122-327`
+and its five near-identical copies — implemented once here, SURVEY.md §1).
+Covered semantics:
+  - FIQ `cap.{dress}.{split}.json` + `split.{dress}.{split}.json`; CIRR
+    `cirr/captions/cap.rc2.{split}.json` + `cirr/image_splits/split.rc2.*`.
+  - `plus`/`llmcap` extended triplets with the per-backbone filename infix
+    (`cap.extend_{suffix}[_llm].train.json`, quirk SURVEY.md §8.1).
+  - train-time id maps `targetname2id` / `imagename2id` built in triplet
+    order (refs before targets), and the `optimized_images.json` dedup map
+    override (`data_utils.py:220-247`).
+  - modes: 'relative' (triplets; indices-only when `use_bank`), 'classic'
+    (gallery), 'test1' (pairid + query), plus the negplus 'unlabeled' mode.
+  - FIQ caption randomization only for original triplets (`index < N`,
+    quirk §8.7); extended triplets use random.choice.
+  - Knowingly fixed (quirk §8.6): CIRR classic-mode images resolve under
+    `data_path` instead of the reference's hardcoded repo-relative path.
+
+TPU-native departures: no torch DataLoader — batch iterators below yield
+fixed-shape numpy batches (padded, with id -1 sentinels) ready for jit, and
+image decode runs on a thread pool.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from spn4cir_tpu.data.transforms import (
+    deterministic_fiq_caption,
+    generate_randomized_fiq_caption,
+)
+
+DRESS_TYPES = ("dress", "shirt", "toptee")
+
+
+class CIRDataset:
+    def __init__(
+        self,
+        data_name: str,
+        split: str,
+        mode: str,
+        preprocess,
+        data_path: str = "./",
+        dress_types: Optional[Sequence[str]] = None,
+        plus: bool = False,
+        llmcap: bool = False,
+        extend_suffix: str = "clip",
+        use_cc: bool = False,
+        seed: Optional[int] = None,
+    ):
+        if dress_types is None:
+            dress_types = list(DRESS_TYPES)
+        for dt in dress_types:
+            assert dt in DRESS_TYPES, dt
+        assert data_name in ("fiq", "cirr"), data_name
+        assert mode in ("relative", "classic", "unlabeled"), mode
+        self.data_name = data_name
+        self.split = split
+        self.mode = mode
+        self.preprocess = preprocess
+        self.data_path = data_path
+        self.dress_types = list(dress_types)
+        self.use_bank = False
+        self._rng = random.Random(seed)
+
+        self.triplets: List[dict] = []
+        self.targetname2id: Dict[str, int] = {}
+        self.imagename2id: Dict[str, int] = {}
+        self.imagenames: List[str] = []
+        self.imagepaths: List[str] = []
+
+        if data_name == "fiq":
+            self._load_fiq(plus, llmcap, extend_suffix, use_cc)
+        else:
+            self._load_cirr(plus, llmcap, extend_suffix, use_cc)
+
+        if split == "train":
+            self._build_id_maps()
+
+    # ------------------------------------------------------------------
+    def _load_fiq(self, plus, llmcap, extend_suffix, use_cc):
+        cap_dir = os.path.join(self.data_path, "captions")
+        self.image_path = os.path.join(self.data_path, "images")
+        raw: List[dict] = []
+        for dt in self.dress_types:
+            with open(os.path.join(cap_dir, f"cap.{dt}.{self.split}.json")) as f:
+                raw.extend(json.load(f))
+        self.N = len(raw)
+        if self.split == "train" and plus:
+            name = (f"cap.cc.train.json" if use_cc else
+                    f"cap.extend_{extend_suffix}{'_llm' if llmcap else ''}.train.json")
+            with open(os.path.join(cap_dir, name)) as f:
+                extend = json.load(f)
+            if llmcap:
+                for t in extend:
+                    t["captions"] = [t["llm_caption"]]
+            raw.extend(extend)
+        self.triplets = [
+            {
+                "reference": os.path.join(self.image_path, f"{t['candidate']}.png"),
+                "reference_name": t["candidate"],
+                "target": os.path.join(self.image_path, f"{t['target']}.png"),
+                "target_name": t["target"],
+                "captions": t["captions"],
+            }
+            for t in raw
+        ]
+        self.image_names: List[str] = []
+        for dt in self.dress_types:
+            with open(os.path.join(self.data_path, "image_splits",
+                                   f"split.{dt}.{self.split}.json")) as f:
+                self.image_names.extend(json.load(f))
+        self._gallery_names = self.image_names
+        self._gallery_paths = [
+            os.path.join(self.image_path, f"{n}.png") for n in self.image_names
+        ]
+
+    def _load_cirr(self, plus, llmcap, extend_suffix, use_cc):
+        cap_dir = os.path.join(self.data_path, "cirr", "captions")
+        splits_dir = os.path.join(self.data_path, "cirr", "image_splits")
+        self.image_path = self.data_path
+        with open(os.path.join(cap_dir, f"cap.rc2.{self.split}.json")) as f:
+            raw = json.load(f)
+        with open(os.path.join(splits_dir, f"split.rc2.{self.split}.json")) as f:
+            self.name_to_relpath: Dict[str, str] = json.load(f)
+        self.N = len(raw)
+        if self.split == "train" and plus:
+            name = (f"cap.rc2.cc.json" if use_cc else
+                    f"cap.rc2.train.extend_{extend_suffix}{'_llm' if llmcap else ''}.json")
+            with open(os.path.join(cap_dir, name)) as f:
+                extend = json.load(f)
+            if llmcap:
+                for t in extend:
+                    t["caption"] = [t["llm_caption"]]
+            raw.extend(extend)
+        self.triplets = [
+            {
+                "reference": os.path.join(self.image_path, self.name_to_relpath[t["reference"]]),
+                "reference_name": t["reference"],
+                "target": (os.path.join(self.image_path, self.name_to_relpath[t["target_hard"]])
+                           if "target_hard" in t else ""),
+                "target_name": t.get("target_hard", ""),
+                "captions": [t["caption"]] if isinstance(t["caption"], str) else t["caption"],
+                "pairid": t["pairid"],
+                "group_members": t["img_set"]["members"],
+            }
+            for t in raw
+        ]
+        self._gallery_names = list(self.name_to_relpath.keys())
+        self._gallery_paths = [
+            os.path.join(self.image_path, self.name_to_relpath[n])
+            for n in self._gallery_names
+        ]
+
+    def _build_id_maps(self):
+        """Insertion-ordered id maps (ref data_utils.py:220-242) and the
+        optional dedup override from optimized_images.json (:243-247)."""
+        tid = 0
+        iid = 0
+        for t in self.triplets:
+            rn, tn = t["reference_name"], t["target_name"]
+            if tn not in self.targetname2id:
+                self.targetname2id[tn] = tid
+                tid += 1
+            if rn not in self.imagename2id:
+                self.imagename2id[rn] = iid
+                iid += 1
+                self.imagenames.append(rn)
+            if tn not in self.imagename2id:
+                self.imagename2id[tn] = iid
+                iid += 1
+                self.imagenames.append(tn)
+        if self.data_name == "fiq":
+            self.imagepaths = [
+                os.path.join(self.image_path, f"{n}.png") for n in self.imagenames
+            ]
+        else:
+            self.imagepaths = [
+                os.path.join(self.image_path, self.name_to_relpath[n])
+                for n in self.imagenames
+            ]
+        opt = os.path.join(self.data_path, "optimized_images.json")
+        if os.path.exists(opt):
+            with open(opt) as f:
+                self.imagenames, self.imagepaths, self.imagename2id = json.load(f)
+
+    # ------------------------------------------------------------------
+    @property
+    def num_unique_images(self) -> int:
+        return len(self.imagenames)
+
+    @property
+    def gallery_names(self) -> List[str]:
+        return self._gallery_names
+
+    @property
+    def gallery_paths(self) -> List[str]:
+        return self._gallery_paths
+
+    def load_image(self, path: str) -> np.ndarray:
+        return self.preprocess(Image.open(path))
+
+    def caption_for(self, index: int, train: bool) -> str:
+        """Caption selection incl. the original-vs-extended boundary
+        (ref data_utils.py:262-268 and quirk §8.7)."""
+        captions = self.triplets[index]["captions"]
+        if len(captions) <= 1:
+            return captions[0]
+        if not train:
+            return deterministic_fiq_caption(captions)
+        if self.data_name == "fiq" and index < self.N:
+            return generate_randomized_fiq_caption(captions, rng=self._rng)
+        return self._rng.choice(captions)
+
+    def __len__(self) -> int:
+        if self.mode == "relative":
+            return len(self.triplets)
+        return len(self._gallery_names)
+
+    def __getitem__(self, index: int):
+        """Reference-parity item access (useful for tests; the training and
+        eval paths use the batch iterators below)."""
+        if self.mode == "relative":
+            t = self.triplets[index]
+            if self.split == "train":
+                caption = self.caption_for(index, train=True)
+                row = (
+                    caption,
+                    index,
+                    self.targetname2id[t["target_name"]],
+                    self.imagename2id[t["target_name"]],
+                    self.imagename2id[t["reference_name"]],
+                )
+                if self.use_bank:
+                    return row
+                return (self.load_image(t["reference"]), caption,
+                        self.load_image(t["target"]), *row[1:])
+            if self.split == "val":
+                if self.data_name == "fiq":
+                    return t["reference_name"], t["target_name"], t["captions"]
+                return (t["reference_name"], t["target_name"], t["captions"][0],
+                        t["group_members"])
+            if self.split == "test1":
+                return (t["pairid"], t["reference_name"], t["captions"][0],
+                        t["group_members"])
+            raise ValueError(self.split)
+        # classic / unlabeled
+        name = self._gallery_names[index]
+        return name, self.load_image(self._gallery_paths[index])
+
+
+# ---------------------------------------------------------------------------
+# Batch iterators (fixed shapes, -1 id padding; feed jitted functions)
+# ---------------------------------------------------------------------------
+
+def _decode_batch(dataset: CIRDataset, paths: Sequence[str],
+                  pool: Optional[ThreadPoolExecutor]) -> np.ndarray:
+    if pool is not None:
+        return np.stack(list(pool.map(dataset.load_image, paths)))
+    return np.stack([dataset.load_image(p) for p in paths])
+
+
+def iter_gallery(dataset: CIRDataset, batch_size: int, num_workers: int = 4
+                 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Yield (ids (B,), images (B,H,W,3)) over the gallery; the final batch is
+    padded by repeating the last image with id -1 (mirrors keep-all eval,
+    SURVEY.md §7 'ragged shapes')."""
+    paths, n = dataset.gallery_paths, len(dataset.gallery_paths)
+    pool = ThreadPoolExecutor(num_workers) if num_workers else None
+    try:
+        for start in range(0, n, batch_size):
+            chunk = paths[start : start + batch_size]
+            ids = np.arange(start, start + len(chunk))
+            pad = batch_size - len(chunk)
+            if pad:
+                chunk = list(chunk) + [chunk[-1]] * pad
+                ids = np.concatenate([ids, np.full(pad, -1, np.int64)])
+            yield ids, _decode_batch(dataset, chunk, pool)
+    finally:
+        if pool:
+            pool.shutdown()
+
+
+def iter_unique_images(dataset: CIRDataset, batch_size: int, num_workers: int = 4
+                       ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Yield (image_ids, images) over the deduplicated unique train images —
+    the bank-extraction scan (SURVEY.md §7: one pass replaces the reference's
+    three)."""
+    paths, n = dataset.imagepaths, len(dataset.imagepaths)
+    pool = ThreadPoolExecutor(num_workers) if num_workers else None
+    try:
+        for start in range(0, n, batch_size):
+            chunk = paths[start : start + batch_size]
+            ids = np.arange(start, start + len(chunk))
+            pad = batch_size - len(chunk)
+            if pad:
+                chunk = list(chunk) + [chunk[-1]] * pad
+                ids = np.concatenate([ids, np.full(pad, -1, np.int64)])
+            yield ids, _decode_batch(dataset, chunk, pool)
+    finally:
+        if pool:
+            pool.shutdown()
+
+
+def iter_train_bank(dataset: CIRDataset, batch_size: int, *,
+                    shuffle: bool = True, drop_last: bool = True,
+                    epoch_seed: int = 0) -> Iterator[dict]:
+    """Bank-mode training batches: no image decode in the epoch loop
+    (ref data_utils.py:269-275 + train.py:101). Yields dicts with captions
+    (list of str) and int64 arrays triplet_idx / target_id / target_image_id
+    / refer_image_id."""
+    order = np.arange(len(dataset.triplets))
+    if shuffle:
+        np.random.RandomState(epoch_seed).shuffle(order)
+    n = len(order)
+    stop = n - (n % batch_size) if drop_last else n
+    for start in range(0, stop, batch_size):
+        idxs = order[start : start + batch_size]
+        rows = [dataset.triplets[i] for i in idxs]
+        yield {
+            "captions": [dataset.caption_for(int(i), train=True) for i in idxs],
+            "triplet_idx": idxs.astype(np.int64),
+            "target_id": np.array(
+                [dataset.targetname2id[r["target_name"]] for r in rows], np.int64),
+            "target_image_id": np.array(
+                [dataset.imagename2id[r["target_name"]] for r in rows], np.int64),
+            "refer_image_id": np.array(
+                [dataset.imagename2id[r["reference_name"]] for r in rows], np.int64),
+        }
+
+
+def iter_relative_eval(dataset: CIRDataset, batch_size: int) -> Iterator[dict]:
+    """Validation/test query batches: reference/target names resolved to
+    gallery ids on host (replacing the reference's name_to_feat string dict,
+    `clip4cir/validate.py:64`). Yields captions + refer_gid/target_gid (+
+    member_gids & pairid for CIRR)."""
+    name2gid = {n: i for i, n in enumerate(dataset.gallery_names)}
+    n = len(dataset.triplets)
+    for start in range(0, n, batch_size):
+        rows = dataset.triplets[start : start + batch_size]
+        batch = {
+            "captions": [
+                dataset.caption_for(start + j, train=False) for j in range(len(rows))
+            ],
+            "refer_gid": np.array([name2gid[r["reference_name"]] for r in rows], np.int64),
+            "target_gid": np.array(
+                [name2gid.get(r["target_name"], -1) for r in rows], np.int64),
+        }
+        if dataset.data_name == "cirr":
+            batch["member_gids"] = np.array(
+                [[name2gid[m] for m in r["group_members"]] for r in rows], np.int64)
+            batch["pairid"] = np.array([r.get("pairid", 0) for r in rows], np.int64)
+        yield batch

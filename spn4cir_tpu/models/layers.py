@@ -110,6 +110,23 @@ class ResidualAttentionBlock(nn.Module):
         return x
 
 
+class _ScanBlock(nn.Module):
+    """Adapter giving ResidualAttentionBlock the (carry, *bcast) -> (carry, out)
+    signature nn.scan requires."""
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    act: Callable = quick_gelu
+    mlp_mult: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        y = ResidualAttentionBlock(self.num_heads, dtype=self.dtype,
+                                   act=self.act, mlp_mult=self.mlp_mult,
+                                   name="block")(x, mask)
+        return y, None
+
+
 class Transformer(nn.Module):
     """A stack of pre-LN blocks, rolled with nn.scan (stacked params under
     'blocks'; leading axis = layer). `remat=True` rematerializes each block
@@ -124,7 +141,7 @@ class Transformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None):
-        block_cls = ResidualAttentionBlock
+        block_cls = _ScanBlock
         if self.remat:
             block_cls = nn.remat(block_cls, static_argnums=())
         scanned = nn.scan(
@@ -135,7 +152,8 @@ class Transformer(nn.Module):
             in_axes=(nn.broadcast,),
         )(num_heads=self.num_heads, dtype=self.dtype, act=self.act,
           mlp_mult=self.mlp_mult, name="blocks")
-        return scanned(x, mask)
+        y, _ = scanned(x, mask)
+        return y
 
 
 def causal_mask(length: int, dtype=jnp.float32) -> jnp.ndarray:

@@ -1,0 +1,88 @@
+"""Bank-sharded InfoNCE: the loss whose negatives axis spans the mesh.
+
+The reference's "long axis" is the negative-set cardinality, not sequence
+length (SURVEY.md §5): the InfoNCE denominator covers every unique train
+image. When the bank outgrows one chip (or to overlap compute), its rows are
+sharded over the 'bank' mesh axis; each device computes partial logits
+against its shard and the softmax combines with pmax/psum — the same
+stable-softmax accumulation as ring attention, expressed as XLA collectives.
+
+Semantics identical to `spn4cir_tpu.ops.infonce.bank_infonce` (tested on the
+8-device CPU mesh). Batch rows may simultaneously be sharded over 'data';
+the final mean reduces over both axes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from spn4cir_tpu.parallel.mesh import AXIS_BANK, AXIS_DATA
+
+
+def _local_bank_infonce(query, bank_shard, labels, tau, m_actual):
+    """Per-shard body run under shard_map: query (B_loc, D) [data-sharded],
+    bank_shard (M_loc, D) [bank-sharded], labels (B_loc,) global image-ids.
+    Rows at global index >= m_actual are padding and masked to -inf."""
+    m_local = bank_shard.shape[0]
+    shard = jax.lax.axis_index(AXIS_BANK)
+    offset = shard * m_local
+
+    logits = jnp.dot(query.astype(jnp.float32), bank_shard.astype(jnp.float32).T,
+                     preferred_element_type=jnp.float32) / tau  # (B_loc, M_loc)
+    col_ids = offset + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(col_ids < m_actual, logits, -jnp.inf)
+
+    local_max = jnp.max(logits, axis=1)
+    gmax = jax.lax.pmax(local_max, AXIS_BANK)
+    sumexp = jnp.sum(jnp.exp(logits - gmax[:, None]), axis=1)
+    gsumexp = jax.lax.psum(sumexp, AXIS_BANK)
+
+    local_label = labels - offset
+    in_range = (local_label >= 0) & (local_label < m_local)
+    safe = jnp.clip(local_label, 0, m_local - 1)
+    pos_here = jnp.take_along_axis(logits, safe[:, None], axis=1)[:, 0]
+    gpos = jax.lax.psum(jnp.where(in_range, pos_here, 0.0), AXIS_BANK)
+
+    per_row = jnp.log(gsumexp) + gmax - gpos  # (B_loc,)
+    # mean over the global batch: sum over data shards / global count
+    total = jax.lax.psum(jnp.sum(per_row), AXIS_DATA)
+    count = jax.lax.psum(per_row.shape[0] * jnp.ones((), jnp.float32), AXIS_DATA)
+    return total / count
+
+
+def pad_bank_rows(bank: jnp.ndarray, parts: int) -> jnp.ndarray:
+    """Zero-pad bank rows to a multiple of `parts`; the sharded loss masks
+    pads by true row count, so the fill value is irrelevant."""
+    rem = (-bank.shape[0]) % parts
+    if rem == 0:
+        return bank
+    return jnp.pad(bank, ((0, rem),) + ((0, 0),) * (bank.ndim - 1))
+
+
+def sharded_bank_infonce(
+    query: jnp.ndarray,
+    bank: jnp.ndarray,
+    labels: jnp.ndarray,
+    tau,
+    mesh: Mesh,
+    m_actual: int | None = None,
+) -> jnp.ndarray:
+    """Full-bank InfoNCE with bank rows sharded over 'bank' and batch rows
+    over 'data'. Differentiable in `query` (psum/pmax transpose under
+    shard_map). `bank` rows must divide the 'bank' axis size — use
+    `pad_bank_rows` and pass the true count as `m_actual`. The global batch
+    (query dim 0) must divide the 'data' axis size."""
+    m_actual = m_actual if m_actual is not None else bank.shape[0]
+    assert bank.shape[0] % mesh.shape[AXIS_BANK] == 0, (
+        bank.shape, mesh.shape, "pad with pad_bank_rows first")
+    fn = jax.shard_map(
+        functools.partial(_local_bank_infonce, tau=tau, m_actual=m_actual),
+        mesh=mesh,
+        in_specs=(P(AXIS_DATA), P(AXIS_BANK), P(AXIS_DATA)),
+        out_specs=P(),
+    )
+    return fn(query, bank, labels)

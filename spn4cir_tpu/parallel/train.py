@@ -1,0 +1,69 @@
+"""Multi-chip stage-2 training step: data-parallel text encoding + bank-
+sharded InfoNCE over a (data, bank) mesh.
+
+This is the scale-out form of `spn4cir_tpu.train.stage2.stage2_train_step`
+(single-chip). Params/optimizer state are replicated; batch arrays are
+sharded over 'data'; the target bank over 'bank'. XLA inserts the all-reduce
+for gradients (adamw on replicated params) and the loss combines shards with
+pmax/psum (see `spn4cir_tpu.parallel.loss`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from spn4cir_tpu.models.api import CIRBackbone
+from spn4cir_tpu.parallel.loss import sharded_bank_infonce
+from spn4cir_tpu.parallel.mesh import (
+    AXIS_BANK,
+    batch_sharding,
+    bank_sharding,
+    replicated,
+)
+from spn4cir_tpu.train.stage2 import TrainState
+
+
+def make_sharded_stage2_step(backbone: CIRBackbone, mesh: Mesh, tau=None,
+                             m_actual: int | None = None):
+    """Build a jitted (state, target_bank, batch) -> (state, loss) step for
+    backbones whose query/target features are flat (B, D)/(M, D) vectors.
+    `target_bank` rows must be padded to the bank-axis size
+    (`pad_bank_rows`); `m_actual` is the true row count."""
+    tau = tau if tau is not None else backbone.tau
+
+    def step(state: TrainState, target_bank: jnp.ndarray,
+             batch: Dict[str, jnp.ndarray]):
+        def loss_fn(params):
+            query = backbone.fuse(params, batch["refer_feats"], batch["text_ids"])
+            return sharded_bank_infonce(
+                query, target_bank, batch["labels"], tau, mesh,
+                m_actual=m_actual if m_actual is not None else target_bank.shape[0])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    ksh = bank_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, ksh, {"refer_feats": bsh, "text_ids": bsh, "labels": bsh}),
+        out_shardings=(rep, rep),
+    )
+
+
+def make_sharded_gallery_encode(backbone: CIRBackbone, mesh: Mesh, params):
+    """Data-parallel gallery encoding: images sharded over 'data', features
+    gathered (mirrors `extract_index_features`, SURVEY.md §7 decision 5)."""
+    bsh = batch_sharding(mesh)
+    rep = replicated(mesh)
+
+    def encode(images):
+        return backbone.gallery_features(params, images)
+
+    return jax.jit(encode, in_shardings=(bsh,), out_shardings=rep)

@@ -1,0 +1,123 @@
+"""Stage-2 ("scaling negatives") trainer: frozen image tower, live text side,
+full-bank InfoNCE.
+
+Parity target: the epoch loop + bank step of `clip4cir/train.py:103-131` and
+`CIRPlus.forward/bank_large_step` (`clip4cir/models.py:130-161`), with the
+reference's AdamW hyperparameters (betas (0.9, 0.999), eps 1e-7,
+`clip4cir/train.py:79-85`).
+
+TPU-native shape: one jitted `train_step(state, target_bank, batch)` holding
+the text encoder forward/backward and the (Pallas) bank loss; the target bank
+is device-resident; refer-bank rows are gathered on host per batch (they are
+the frozen cache — no gradient flows into them, matching the reference's
+`.detach()`); AMP GradScaler is unnecessary in bf16 (SURVEY.md §2.9).
+
+Simplification preserved from quirk analysis (SURVEY.md §8.3): the reference
+keys the refer bank by triplet index without `--plus` and by image id with
+`--plus`, but the stored vectors are identical (frozen encoder); we always
+gather by reference-image id.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import traverse_util
+from flax.training import train_state
+
+from spn4cir_tpu.bank.bank import Bank
+from spn4cir_tpu.models.api import CIRBackbone
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def trainable_mask(params, filter_fn: Callable) -> Any:
+    flat = traverse_util.flatten_dict(params)
+    mask = {k: bool(filter_fn(k)) for k in flat}
+    return traverse_util.unflatten_dict(mask)
+
+
+def make_optimizer(
+    learning_rate: float,
+    params,
+    filter_fn: Callable,
+    *,
+    weight_decay: float = 1e-2,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-7,
+) -> optax.GradientTransformation:
+    """AdamW with frozen-subtree masking (stage 2 trains only the text/fusion
+    side, ref clip4cir/models.py:31-33 + train.py:79-85)."""
+    opt = optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
+                      weight_decay=weight_decay)
+    return optax.masked(opt, trainable_mask(params, filter_fn))
+
+
+def create_train_state(backbone: CIRBackbone, params, learning_rate: float,
+                       **opt_kw) -> TrainState:
+    tx = make_optimizer(learning_rate, params, backbone.trainable_filter, **opt_kw)
+    return TrainState.create(apply_fn=None, params=params, tx=tx)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def stage2_train_step(
+    backbone: CIRBackbone,
+    state: TrainState,
+    target_bank: jnp.ndarray,
+    batch: Dict[str, jnp.ndarray],
+    impl: str = "auto",
+):
+    """One optimizer step. batch: refer_feats (B, *refer_shape) gathered bank
+    rows, text_ids (B, L), labels (B,) target-image ids into the bank."""
+
+    def loss_fn(params):
+        return backbone.stage2_loss(
+            params, batch["refer_feats"], batch["text_ids"], target_bank,
+            batch["labels"], neg_idx=batch.get("neg_idx"), impl=impl)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    return state.apply_gradients(grads=grads), loss
+
+
+def train_epoch(
+    backbone: CIRBackbone,
+    state: TrainState,
+    bank: Bank,
+    batches: Iterator[dict],
+    *,
+    impl: str = "auto",
+    neg_num: Optional[int] = None,
+    neg_rng: Optional[np.random.RandomState] = None,
+    log_every: int = 50,
+    log_fn: Callable[[int, float], None] = lambda step, loss: None,
+):
+    """Host epoch loop over `iter_train_bank` batches: gather refer rows,
+    tokenize, dispatch the jitted step. Returns (state, mean_loss)."""
+    total, count = 0.0, 0
+    for step, raw in enumerate(batches):
+        dev_batch = {
+            "refer_feats": jnp.asarray(bank.gather_refer(raw["refer_image_id"])),
+            "text_ids": jnp.asarray(backbone.tokenize(raw["captions"])),
+            "labels": jnp.asarray(raw["target_image_id"]),
+        }
+        if neg_num:
+            rng = neg_rng or np.random
+            dev_batch["neg_idx"] = jnp.asarray(
+                rng.randint(0, bank.num_images,
+                            size=(len(raw["captions"]), neg_num)))
+        state, loss = stage2_train_step(backbone, state, bank.target, dev_batch, impl)
+        loss_val = float(loss)
+        total += loss_val
+        count += 1
+        if log_every and step % log_every == 0:
+            log_fn(step, loss_val)
+    return state, (total / max(count, 1))

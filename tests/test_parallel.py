@@ -1,0 +1,92 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md §4: this is how "multi-node" is tested without a TPU pod)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spn4cir_tpu.models.api import build_backbone
+from spn4cir_tpu.ops import bank_infonce as xla_bank_infonce
+from spn4cir_tpu.parallel.loss import pad_bank_rows, sharded_bank_infonce
+from spn4cir_tpu.parallel.mesh import (
+    AXIS_BANK,
+    AXIS_DATA,
+    make_mesh,
+    put_bank,
+    replicate,
+    shard_batch,
+)
+from spn4cir_tpu.parallel.train import make_sharded_stage2_step
+from spn4cir_tpu.train.stage2 import create_train_state
+
+
+def _norm(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+@pytest.mark.parametrize("data,bank", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_loss_matches_xla(rng, data, bank):
+    mesh = make_mesh(data=data, bank=bank)
+    b, m, d = 16, 100, 32
+    q = jnp.array(_norm(rng.randn(b, d)).astype(np.float32))
+    bk = jnp.array(_norm(rng.randn(m, d)).astype(np.float32))
+    labels = jnp.array(rng.randint(0, m, size=b))
+    tau = 0.05
+    padded = pad_bank_rows(bk, bank)
+    got = float(sharded_bank_infonce(q, padded, labels, tau, mesh, m_actual=m))
+    want = float(xla_bank_infonce(q, bk, labels, tau))
+    assert abs(got - want) < 1e-5
+
+
+def test_sharded_loss_grad_matches(rng):
+    mesh = make_mesh(data=4, bank=2)
+    b, m, d = 8, 64, 16
+    q = jnp.array(_norm(rng.randn(b, d)).astype(np.float32))
+    bk = jnp.array(_norm(rng.randn(m, d)).astype(np.float32))
+    labels = jnp.array(rng.randint(0, m, size=b))
+
+    g_sh = jax.grad(lambda q_: sharded_bank_infonce(q_, bk, labels, 0.05, mesh))(q)
+    g_ref = jax.grad(lambda q_: xla_bank_infonce(q_, bk, labels, 0.05))(q)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_sharded_stage2_step_runs_and_matches_single(rng):
+    backbone = build_backbone("clip", clip_model_name="test-tiny", tau=0.05)
+    params = backbone.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh(data=4, bank=2)
+
+    b, m = 8, 40
+    refer = jnp.array(rng.randn(b, backbone.embed_dim).astype(np.float32))
+    text_ids = jnp.asarray(backbone.tokenize(["caption %d" % i for i in range(b)]))
+    bank = jnp.array(_norm(rng.randn(m, backbone.embed_dim)).astype(np.float32))
+    labels = jnp.array(rng.randint(0, m, size=b))
+
+    state = create_train_state(backbone, params, learning_rate=1e-3)
+    step = make_sharded_stage2_step(backbone, mesh, m_actual=m)
+
+    state_r = replicate(state, mesh)
+    batch = shard_batch(
+        {"refer_feats": refer, "text_ids": text_ids, "labels": labels}, mesh)
+    bank_sh = put_bank(pad_bank_rows(bank, 2), mesh)
+
+    new_state, loss = step(state_r, bank_sh, batch)
+    # compare against the single-device loss at the same params
+    from spn4cir_tpu.train.stage2 import stage2_train_step
+
+    state1 = create_train_state(backbone, params, learning_rate=1e-3)
+    _, loss1 = stage2_train_step(
+        backbone, state1,
+        bank, {"refer_feats": refer, "text_ids": text_ids, "labels": labels},
+        "xla")
+    assert abs(float(loss) - float(loss1)) < 1e-5
+    assert int(new_state.step) == 1
+
+
+def test_mesh_helpers():
+    mesh = make_mesh(data=2, bank=4)
+    assert mesh.shape[AXIS_DATA] == 2 and mesh.shape[AXIS_BANK] == 4
+    x = jnp.zeros((8, 4))
+    sharded = shard_batch(x, mesh)
+    assert sharded.sharding.spec == jax.sharding.PartitionSpec(AXIS_DATA)
