@@ -1,0 +1,117 @@
+"""Shared CLI plumbing: the reference's canonical argparse surface
+(`clip4cir/train.py:200-230`), reproduced once and reused by every
+per-backbone entry point so README recipes port verbatim (SURVEY.md §7
+decision 2)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+
+from spn4cir_tpu.data.transforms import ImageTransform
+from spn4cir_tpu.models.api import CIRBackbone, build_backbone
+
+
+def base_parser(default_model: str = "RN50x4", default_tau: float = 0.02,
+                default_lr: float = 2e-5, default_bs: int = 256,
+                default_epochs: int = 5) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", type=str, required=True, choices=["fiq", "cirr"])
+    p.add_argument("--num-epochs", default=default_epochs, type=int)
+    p.add_argument("--clip-model-name", default=default_model, type=str)
+    p.add_argument("--learning-rate", default=default_lr, type=float)
+    p.add_argument("--batch-size", default=default_bs, type=int)
+    p.add_argument("--validation-frequency", default=1, type=int)
+    p.add_argument("--target-ratio", default=1.25, type=float)
+    p.add_argument("--transform", default="targetpad", type=str,
+                   choices=["clip", "squarepad", "targetpad"])
+    p.add_argument("--output_path", default="")
+    p.add_argument("--tau", default=default_tau, type=float)
+    p.add_argument("--dress_types", default="dress,shirt,toptee")
+    p.add_argument("--grad_ckpt", action="store_true")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--data_path", default="")
+    p.add_argument("--use_bank", action="store_true")
+    p.add_argument("--model_path", type=str, default="")
+    p.add_argument("--reload_bank", action="store_true")
+    p.add_argument("--device", default="0")  # accepted for parity; unused on TPU
+    p.add_argument("--bank_path", default="")
+    p.add_argument("--nni", action="store_true")
+    p.add_argument("--plus", action="store_true")
+    p.add_argument("--neg_num", type=int, default=-1)
+    p.add_argument("--llmcap", action="store_true")
+    p.add_argument("--wo_bank", action="store_true")
+    # TPU-native extensions
+    p.add_argument("--bf16", action="store_true", help="bfloat16 activations")
+    p.add_argument("--mesh_data", type=int, default=0,
+                   help="data-axis size (0 = all devices)")
+    p.add_argument("--mesh_bank", type=int, default=1, help="bank-axis size")
+    p.add_argument("--loss_impl", default="auto",
+                   choices=["auto", "pallas", "xla"])
+    return p
+
+
+def finalize_args(args) -> None:
+    if args.data_path == "":
+        args.data_path = ("fashionIQ_dataset" if args.dataset == "fiq"
+                          else "cirr_dataset")
+    if isinstance(args.dress_types, str):
+        args.dress_types = args.dress_types.split(",")
+    if args.nni:
+        try:
+            import nni
+
+            for k, v in (nni.get_next_parameter() or {}).items():
+                setattr(args, k.replace("-", "_"), v)
+        except ImportError:
+            print("[warn] --nni requested but nni is not installed; ignoring")
+    print("Arguments:")
+    for k, v in sorted(vars(args).items()):
+        print("    ", k, ":", v)
+
+
+def make_backbone(name: str, args) -> CIRBackbone:
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    kw = dict(tau=args.tau, dtype=dtype)
+    if name in ("clip", "zs"):
+        kw["clip_model_name"] = args.clip_model_name
+        kw["remat"] = bool(args.grad_ckpt)
+    return build_backbone(name, **kw)
+
+
+def make_transform(backbone: CIRBackbone, args) -> ImageTransform:
+    return ImageTransform(args.transform, backbone.input_dim, args.target_ratio)
+
+
+def load_or_init_params(backbone: CIRBackbone, args, seed_key):
+    """--model_path loads a converted checkpoint (stage-1 weights,
+    ref `load_ckpt` `clip4cir/models.py:58-63`); otherwise random init."""
+    params = backbone.init_params(seed_key)
+    if args.model_path:
+        from spn4cir_tpu.utils.checkpoint import load_model
+        from spn4cir_tpu.models import convert
+
+        if args.model_path.endswith((".pt", ".pth")):
+            params = convert.load_torch_checkpoint(
+                args.model_path, backbone, params)
+        else:
+            params, _ = load_model(args.model_path, params)
+    return params
+
+
+def resolve_output_path(args, backbone_name: str) -> str:
+    if args.debug:
+        out = os.path.join("models", "debug")
+    elif args.output_path:
+        out = args.output_path
+    else:
+        import datetime
+
+        stamp = datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
+        out = os.path.join("models", f"{args.dataset}_{backbone_name}_{stamp}")
+    os.makedirs(out, exist_ok=True)
+    return out

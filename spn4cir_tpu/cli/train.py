@@ -1,0 +1,118 @@
+"""Generic stage-2/stage-1 training driver — the single implementation behind
+every per-backbone `train.py` (replaces the reference's five copies of
+`clip4cir/train.py:25-197`)."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spn4cir_tpu.bank.bank import extract_banks
+from spn4cir_tpu.cli.common import (
+    base_parser,
+    finalize_args,
+    load_or_init_params,
+    make_backbone,
+    make_transform,
+    resolve_output_path,
+)
+from spn4cir_tpu.data.datasets import (
+    CIRDataset,
+    iter_train_bank,
+    iter_unique_images,
+)
+from spn4cir_tpu.eval.retrieval import (
+    cirr_val_retrieval,
+    extract_index_features,
+    fiq_val_retrieval,
+)
+from spn4cir_tpu.eval.metrics import fiq_average
+from spn4cir_tpu.train.stage2 import create_train_state, train_epoch
+from spn4cir_tpu.utils.checkpoint import save_model
+from spn4cir_tpu.utils.logging import MetricLogger, RunningAverage
+from spn4cir_tpu.utils.seeding import seed_everything
+
+
+def run_validation(backbone, params, args, preprocess) -> tuple[float, dict]:
+    """Per-epoch validation; score definitions mirror clip4cir/train.py:134-195."""
+    if args.dataset == "cirr":
+        m = cirr_val_retrieval(backbone, params, args.data_path, preprocess,
+                               batch_size=32)
+        return m["arithmetic_mean"], m
+    per_type = []
+    results = {}
+    for dt in args.dress_types:
+        m = fiq_val_retrieval(backbone, params, args.data_path, dt, preprocess,
+                              batch_size=32)
+        per_type.append(m)
+        results[dt] = m
+    avg = fiq_average(per_type)
+    results.update(avg)
+    return avg["mean_recall"], results
+
+
+def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
+    args = base_parser(**parser_kw).parse_args(argv)
+    finalize_args(args)
+    key = seed_everything(args.seed)
+
+    backbone = make_backbone(backbone_name, args)
+    preprocess = make_transform(backbone, args)
+    params = load_or_init_params(backbone, args, key)
+    output_path = resolve_output_path(args, backbone_name)
+    logger = MetricLogger(prefix=f"{backbone_name}-train")
+
+    train_ds = CIRDataset(args.dataset, "train", "relative", preprocess,
+                          args.data_path, args.dress_types, plus=args.plus,
+                          llmcap=args.llmcap,
+                          extend_suffix=backbone.extend_suffix, seed=args.seed)
+
+    # --- bank extraction (one pass over unique images; cached) ---
+    bank = None
+    if not args.wo_bank:
+        bank_path = args.bank_path or os.path.join(
+            output_path, f"{args.dataset}_bank.npz")
+        feats_fn = jax.jit(lambda imgs: backbone.bank_features(params, imgs))
+        bank = extract_banks(
+            feats_fn,
+            iter_unique_images(train_ds, args.batch_size),
+            train_ds.num_unique_images,
+            cache_path=bank_path,
+            reload=args.reload_bank,
+        )
+        print(f"bank: {bank.num_images} images, refer {bank.refer.shape}, "
+              f"target {bank.target.shape} -> {bank_path}")
+
+    state = create_train_state(backbone, params, args.learning_rate)
+    best_score = 0.0
+    neg_num = args.neg_num if args.neg_num > 0 else None
+    neg_rng = np.random.RandomState(args.seed)
+
+    for epoch in range(getattr(args, "num_epochs")):
+        if args.wo_bank:
+            raise NotImplementedError(
+                "stage-1 (wo_bank) training path: use spn4cir_tpu.train.stage1")
+        state, mean_loss = train_epoch(
+            backbone, state, bank,
+            iter_train_bank(train_ds, args.batch_size, epoch_seed=args.seed + epoch),
+            impl=args.loss_impl, neg_num=neg_num, neg_rng=neg_rng,
+            log_fn=lambda step, loss: logger.log(step, epoch=epoch, loss=loss))
+        print(f"epoch {epoch}: mean loss {mean_loss:.4f}")
+
+        if (epoch + 1) % args.validation_frequency == 0:
+            score, results = run_validation(backbone, state.params, args, preprocess)
+            print(json.dumps({"epoch": epoch, "score": score, **{
+                k: v for k, v in results.items() if isinstance(v, float)}}))
+            if score > best_score:
+                best_score = score
+                save_model(os.path.join(output_path, "best.msgpack"),
+                           state.params, epoch=epoch,
+                           extra={"score": score, "dataset": args.dataset})
+                print(f"saved best (score {score:.2f})")
+    print(f"best score: {best_score:.2f}")
+    return best_score

@@ -121,7 +121,7 @@ def topk_names(
     CIRR test-submission path (ref cirr_test_submission.py:89-109)."""
     cols = jnp.arange(scores.shape[1])
     masked = jnp.where(cols[None, :] == refer_ids[:, None], -jnp.inf, scores)
-    _, idx = jax.lax.top_k(masked, k)
+    _, idx = jax.lax.top_k(masked, min(k, scores.shape[1]))
     return idx
 
 

@@ -37,7 +37,9 @@ def _local_bank_infonce(query, bank_shard, labels, tau, m_actual):
     logits = jnp.where(col_ids < m_actual, logits, -jnp.inf)
 
     local_max = jnp.max(logits, axis=1)
-    gmax = jax.lax.pmax(local_max, AXIS_BANK)
+    # the max shift is purely numerical — treating it as a constant leaves
+    # the logsumexp gradient (softmax) exact, and pmax has no diff rule
+    gmax = jax.lax.pmax(jax.lax.stop_gradient(local_max), AXIS_BANK)
     sumexp = jnp.sum(jnp.exp(logits - gmax[:, None]), axis=1)
     gsumexp = jax.lax.psum(sumexp, AXIS_BANK)
 

@@ -1,0 +1,98 @@
+"""CLI-level integration: the reference's flagship recipes exercised against
+synthetic fixtures with the tiny CLIP config (SURVEY.md §3.1-3.3 flows)."""
+
+import json
+import os
+
+import pytest
+
+from spn4cir_tpu.cli.submission import submission_main
+from spn4cir_tpu.cli.train import train_main
+from spn4cir_tpu.cli.validate import validate_main
+from tests.fixtures import make_cirr, make_fiq
+
+
+@pytest.fixture(scope="module")
+def fiq_root(tmp_path_factory):
+    return make_fiq(str(tmp_path_factory.mktemp("fiq")))
+
+
+@pytest.fixture(scope="module")
+def cirr_root(tmp_path_factory):
+    return make_cirr(str(tmp_path_factory.mktemp("cirr")))
+
+
+def test_train_cli_fiq(fiq_root, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    best = train_main("clip", [
+        "--dataset", "fiq",
+        "--data_path", fiq_root,
+        "--dress_types", "dress",
+        "--clip-model-name", "test-tiny",
+        "--num-epochs", "2",
+        "--batch-size", "4",
+        "--learning-rate", "1e-3",
+        "--plus",
+        "--loss_impl", "xla",
+        "--output_path", str(tmp_path / "out"),
+    ])
+    assert best > 0
+    assert os.path.exists(tmp_path / "out" / "best.msgpack")
+    assert os.path.exists(tmp_path / "out" / "fiq_bank.npz")
+
+
+def test_train_cli_cirr_with_neg_num(cirr_root, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    best = train_main("clip", [
+        "--dataset", "cirr",
+        "--data_path", cirr_root,
+        "--clip-model-name", "test-tiny",
+        "--num-epochs", "1",
+        "--batch-size", "4",
+        "--neg_num", "3",
+        "--loss_impl", "xla",
+        "--output_path", str(tmp_path / "out"),
+    ])
+    assert best >= 0
+
+
+def test_validate_cli(fiq_root, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    results = validate_main("clip", [
+        "--dataset", "fiq",
+        "--data_path", fiq_root,
+        "--dress_types", "dress",
+        "--clip-model-name", "test-tiny",
+    ])
+    assert "mean_recall" in results
+
+
+def test_submission_cli(cirr_root, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    p1, p2 = submission_main("clip", [
+        "--dataset", "cirr",
+        "--data_path", cirr_root,
+        "--clip-model-name", "test-tiny",
+        "--submission-name", "testrun",
+    ])
+    with open(p1) as f:
+        sub = json.load(f)
+    assert sub["version"] == "rc2" and sub["metric"] == "recall"
+    # 5 test1 queries + 2 schema keys
+    assert len(sub) == 7
+    pred_lists = [v for k, v in sub.items() if k not in ("version", "metric")]
+    # tiny gallery (14 images): top-50 truncates to gallery-1 (ref excluded)
+    assert all(len(v) <= 50 for v in pred_lists)
+    with open(p2) as f:
+        gsub = json.load(f)
+    assert gsub["metric"] == "recall_subset"
+    glists = [v for k, v in gsub.items() if k not in ("version", "metric")]
+    assert all(len(v) == 3 for v in glists)
+    # subset predictions never contain the reference image
+    rel = json.load(open(os.path.join(cirr_root, "cirr/captions/cap.rc2.test1.json")))
+    by_pair = {str(r["pairid"]): r for r in rel}
+    for pid, names in gsub.items():
+        if pid in ("version", "metric"):
+            continue
+        assert by_pair[pid]["reference"] not in names
+        assert set(names) <= set(by_pair[pid]["img_set"]["members"])
