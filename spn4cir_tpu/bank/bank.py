@@ -102,3 +102,94 @@ def extract_banks(
     if cache_path:
         bank.save(cache_path)
     return bank
+
+
+def extract_fusion_banks(
+    fusion_features_fn: Callable,
+    triplet_batches: Iterator[dict],
+    num_triplets: int,
+    num_images: int,
+    tokenize: Callable,
+    cache_path: Optional[str] = None,
+    reload: bool = False,
+    by_image: bool = False,
+) -> Bank:
+    """Caption-aware bank extraction for fusion-form refer banks (blip2:
+    fusion hidden states depend on the triplet caption,
+    ref blip24cir/models.py:49-114).
+
+    fusion_features_fn: jitted (images, text_ids) -> (refer_form, target_form)
+        for one batch; for blip2: fusion hidden states + target query feats.
+    triplet_batches: `iter_train_images` output.
+    by_image: False -> refer bank keyed by triplet index (ref
+        extract_bank_features); True -> keyed by image id, written for both
+        the refer and target image of each triplet with that triplet's
+        caption (ref extract_refer_bank_features, the --plus path).
+    """
+    if cache_path and os.path.exists(cache_path) and not reload:
+        return Bank.load(cache_path)
+
+    refer_buf = None
+    target_buf = None
+    refer_rows = num_images if by_image else num_triplets
+    for batch in triplet_batches:
+        text_ids = jnp.asarray(tokenize(batch["captions"]))
+        refer, target = jax.device_get(
+            fusion_features_fn(jnp.asarray(batch["refer_images"]), text_ids))
+        if by_image:
+            refer_t, target_t = jax.device_get(
+                fusion_features_fn(jnp.asarray(batch["target_images"]), text_ids))
+        else:
+            _, target_t = jax.device_get(
+                fusion_features_fn(jnp.asarray(batch["target_images"]), text_ids))
+        if refer_buf is None:
+            refer_buf = np.zeros((refer_rows, *refer.shape[1:]), refer.dtype)
+            target_buf = np.zeros((num_images, *target.shape[1:]), target.dtype)
+        valid = batch["triplet_idx"] >= 0
+        if by_image:
+            refer_buf[batch["refer_image_id"][valid]] = refer[valid]
+            refer_buf[batch["target_image_id"][valid]] = refer_t[valid]
+        else:
+            refer_buf[batch["triplet_idx"][valid]] = refer[valid]
+        # target bank covers refer images too (quirk SURVEY.md par.8.2)
+        target_buf[batch["refer_image_id"][valid]] = target[valid]
+        target_buf[batch["target_image_id"][valid]] = target_t[valid]
+    if refer_buf is None:
+        raise ValueError("no batches supplied")
+
+    bank = Bank(refer=refer_buf, target=jnp.asarray(target_buf))
+    if cache_path:
+        bank.save(cache_path)
+    return bank
+
+
+def extract_unlabeled_features(encode_fn, batches, num_images: int,
+                               cache_path: Optional[str] = None,
+                               reload: bool = False) -> np.ndarray:
+    """Encode the unlabeled pool -> normalized (U, D) features (negplus,
+    ref clip4cir/models_negplus.py:100-117). Cached like the main banks."""
+    if cache_path and os.path.exists(cache_path) and not reload:
+        return np.load(cache_path)["unlabeled"]
+    buf = None
+    for ids, images in batches:
+        feats = jax.device_get(encode_fn(images))
+        if buf is None:
+            buf = np.zeros((num_images, *feats.shape[1:]), feats.dtype)
+        valid = ids >= 0
+        buf[ids[valid]] = feats[valid]
+    if buf is None:
+        raise ValueError("no unlabeled batches")
+    if cache_path:
+        os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+        np.savez_compressed(cache_path, unlabeled=buf)
+    return buf
+
+
+def extend_target_bank(bank: Bank, unlabeled: np.ndarray,
+                       neg_num: int = 0) -> Bank:
+    """Append unlabeled negatives to the target bank (positives keep their
+    ids in the first rows; ref models_negplus.py:118-125 — the reference
+    truncates to the first `neg_num` rows when set)."""
+    extra = unlabeled[:neg_num] if neg_num and neg_num > 0 else unlabeled
+    target = jnp.concatenate([bank.target, jnp.asarray(extra)], axis=0)
+    return Bank(refer=bank.refer, target=target)

@@ -52,6 +52,13 @@ def base_parser(default_model: str = "RN50x4", default_tau: float = 0.02,
     p.add_argument("--mesh_bank", type=int, default=1, help="bank-axis size")
     p.add_argument("--loss_impl", default="auto",
                    choices=["auto", "pallas", "xla"])
+    # ablation flags (ref clip4cir/train_negtype.py / train_negplus.py)
+    p.add_argument("--neg_type", type=int, default=0,
+                   help="negtype ablation bitmask 1-15 (stage-1 only)")
+    p.add_argument("--unlabeled", action="store_true",
+                   help="extend the target bank with unlabeled negatives")
+    p.add_argument("--use_cc", action="store_true",
+                   help="zscir: train on out-of-domain CC triplets")
     return p
 
 

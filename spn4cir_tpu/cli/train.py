@@ -12,7 +12,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spn4cir_tpu.bank.bank import extract_banks
+from spn4cir_tpu.bank.bank import (
+    extend_target_bank,
+    extract_banks,
+    extract_fusion_banks,
+    extract_unlabeled_features,
+)
 from spn4cir_tpu.cli.common import (
     base_parser,
     finalize_args,
@@ -24,7 +29,9 @@ from spn4cir_tpu.cli.common import (
 from spn4cir_tpu.data.datasets import (
     CIRDataset,
     iter_train_bank,
+    iter_train_images,
     iter_unique_images,
+    iter_unlabeled,
 )
 from spn4cir_tpu.eval.retrieval import (
     cirr_val_retrieval,
@@ -32,6 +39,7 @@ from spn4cir_tpu.eval.retrieval import (
     fiq_val_retrieval,
 )
 from spn4cir_tpu.eval.metrics import fiq_average
+from spn4cir_tpu.train.stage1 import create_stage1_state, train_epoch_stage1
 from spn4cir_tpu.train.stage2 import create_train_state, train_epoch
 from spn4cir_tpu.utils.checkpoint import save_model
 from spn4cir_tpu.utils.logging import MetricLogger, RunningAverage
@@ -69,39 +77,69 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
 
     train_ds = CIRDataset(args.dataset, "train", "relative", preprocess,
                           args.data_path, args.dress_types, plus=args.plus,
-                          llmcap=args.llmcap,
+                          llmcap=args.llmcap, use_cc=args.use_cc,
                           extend_suffix=backbone.extend_suffix, seed=args.seed)
 
-    # --- bank extraction (one pass over unique images; cached) ---
+    # --- bank extraction (cached) ---
     bank = None
     if not args.wo_bank:
         bank_path = args.bank_path or os.path.join(
             output_path, f"{args.dataset}_bank.npz")
-        feats_fn = jax.jit(lambda imgs: backbone.bank_features(params, imgs))
-        bank = extract_banks(
-            feats_fn,
-            iter_unique_images(train_ds, args.batch_size),
-            train_ds.num_unique_images,
-            cache_path=bank_path,
-            reload=args.reload_bank,
-        )
+        if backbone_name == "blip2":
+            # blip2 refer entries are caption-dependent fusion states
+            fn = jax.jit(lambda imgs, txt: backbone.fusion_bank_features(
+                params, imgs, txt))
+            bank = extract_fusion_banks(
+                fn, iter_train_images(train_ds, args.batch_size),
+                len(train_ds.triplets), train_ds.num_unique_images,
+                backbone.tokenize, cache_path=bank_path,
+                reload=args.reload_bank, by_image=args.plus)
+        else:
+            feats_fn = jax.jit(lambda imgs: backbone.bank_features(params, imgs))
+            bank = extract_banks(
+                feats_fn,
+                iter_unique_images(train_ds, args.batch_size),
+                train_ds.num_unique_images,
+                cache_path=bank_path,
+                reload=args.reload_bank,
+            )
+        if args.unlabeled:
+            unlabeled_ds = CIRDataset(args.dataset, "train", "unlabeled",
+                                      preprocess, args.data_path,
+                                      args.dress_types,
+                                      extend_suffix=backbone.extend_suffix)
+            enc = jax.jit(lambda imgs: backbone.gallery_features(params, imgs))
+            extra = extract_unlabeled_features(
+                enc, iter_unlabeled(unlabeled_ds, args.batch_size),
+                len(unlabeled_ds.unlabeled_imagepaths),
+                cache_path=bank_path.replace(".npz", "_unlabeled.npz"),
+                reload=args.reload_bank)
+            bank = extend_target_bank(bank, extra,
+                                      args.neg_num if args.neg_num > 0 else 0)
         print(f"bank: {bank.num_images} images, refer {bank.refer.shape}, "
               f"target {bank.target.shape} -> {bank_path}")
 
     state = create_train_state(backbone, params, args.learning_rate)
     best_score = 0.0
-    neg_num = args.neg_num if args.neg_num > 0 else None
+    neg_num = args.neg_num if (args.neg_num > 0 and not args.unlabeled) else None
     neg_rng = np.random.RandomState(args.seed)
 
+    if args.wo_bank:
+        state = create_stage1_state(backbone, params, args.learning_rate)
     for epoch in range(getattr(args, "num_epochs")):
         if args.wo_bank:
-            raise NotImplementedError(
-                "stage-1 (wo_bank) training path: use spn4cir_tpu.train.stage1")
-        state, mean_loss = train_epoch(
-            backbone, state, bank,
-            iter_train_bank(train_ds, args.batch_size, epoch_seed=args.seed + epoch),
-            impl=args.loss_impl, neg_num=neg_num, neg_rng=neg_rng,
-            log_fn=lambda step, loss: logger.log(step, epoch=epoch, loss=loss))
+            state, mean_loss = train_epoch_stage1(
+                backbone, state,
+                iter_train_images(train_ds, args.batch_size, shuffle=True,
+                                  epoch_seed=args.seed + epoch),
+                neg_type=args.neg_type,
+                log_fn=lambda step, loss: logger.log(step, epoch=epoch, loss=loss))
+        else:
+            state, mean_loss = train_epoch(
+                backbone, state, bank,
+                iter_train_bank(train_ds, args.batch_size, epoch_seed=args.seed + epoch),
+                impl=args.loss_impl, neg_num=neg_num, neg_rng=neg_rng,
+                log_fn=lambda step, loss: logger.log(step, epoch=epoch, loss=loss))
         print(f"epoch {epoch}: mean loss {mean_loss:.4f}")
 
         if (epoch + 1) % args.validation_frequency == 0:

@@ -84,6 +84,8 @@ class CIRDataset:
 
         if split == "train":
             self._build_id_maps()
+        if mode == "unlabeled":
+            self._build_unlabeled()
 
     # ------------------------------------------------------------------
     def _load_fiq(self, plus, llmcap, extend_suffix, use_cc):
@@ -191,6 +193,28 @@ class CIRDataset:
         if os.path.exists(opt):
             with open(opt) as f:
                 self.imagenames, self.imagepaths, self.imagename2id = json.load(f)
+
+    def _build_unlabeled(self):
+        """Unlabeled negative pool (negplus ablation,
+        ref clip4cir/data_utils_negplus.py:231-245): FIQ = split images not in
+        any triplet; CIRR = split images not in triplets + external images
+        listed in coco_image.json (paths)."""
+        self.unlabeled_imagepaths: List[str] = []
+        if self.data_name == "fiq":
+            for name in self.image_names:
+                if name not in self.imagename2id:
+                    self.unlabeled_imagepaths.append(
+                        os.path.join(self.image_path, f"{name}.png"))
+        else:
+            known = set(self.imagenames)
+            for name, rel in self.name_to_relpath.items():
+                if name not in known:
+                    self.unlabeled_imagepaths.append(
+                        os.path.join(self.image_path, rel))
+            coco = os.path.join(self.data_path, "coco_image.json")
+            if os.path.exists(coco):
+                with open(coco) as f:
+                    self.unlabeled_imagepaths.extend(json.load(f))
 
     # ------------------------------------------------------------------
     @property
@@ -359,3 +383,69 @@ def iter_relative_eval(dataset: CIRDataset, batch_size: int) -> Iterator[dict]:
                 [[name2gid[m] for m in r["group_members"]] for r in rows], np.int64)
             batch["pairid"] = np.array([r.get("pairid", 0) for r in rows], np.int64)
         yield batch
+
+
+def iter_train_images(dataset: CIRDataset, batch_size: int, *,
+                      num_workers: int = 4, shuffle: bool = False,
+                      epoch_seed: int = 0) -> Iterator[dict]:
+    """Image-mode relative train batches (reference-mode __getitem__ without
+    use_bank, ref data_utils.py:276-283): decoded refer/target images +
+    caption + all id columns. Used by stage-1 training and the blip2
+    caption-aware bank extraction. The final batch is padded (ids -1)."""
+    n = len(dataset.triplets)
+    order = np.arange(n)
+    if shuffle:
+        np.random.RandomState(epoch_seed).shuffle(order)
+    pool = ThreadPoolExecutor(num_workers) if num_workers else None
+    try:
+        for start in range(0, n, batch_size):
+            idxs = order[start : start + batch_size]
+            rows = [dataset.triplets[i] for i in idxs]
+            pad = batch_size - len(rows)
+            captions = [dataset.caption_for(int(i), train=True) for i in idxs]
+            refer_paths = [r["reference"] for r in rows]
+            target_paths = [r["target"] for r in rows]
+            ids = {
+                "triplet_idx": idxs.astype(np.int64),
+                "target_id": np.array(
+                    [dataset.targetname2id[r["target_name"]] for r in rows], np.int64),
+                "target_image_id": np.array(
+                    [dataset.imagename2id[r["target_name"]] for r in rows], np.int64),
+                "refer_image_id": np.array(
+                    [dataset.imagename2id[r["reference_name"]] for r in rows], np.int64),
+            }
+            if pad:
+                captions += [captions[-1]] * pad
+                refer_paths += [refer_paths[-1]] * pad
+                target_paths += [target_paths[-1]] * pad
+                ids = {k: np.concatenate([v, np.full(pad, -1, np.int64)])
+                       for k, v in ids.items()}
+            yield {
+                "captions": captions,
+                "refer_images": _decode_batch(dataset, refer_paths, pool),
+                "target_images": _decode_batch(dataset, target_paths, pool),
+                **ids,
+            }
+    finally:
+        if pool:
+            pool.shutdown()
+
+
+def iter_unlabeled(dataset: CIRDataset, batch_size: int, num_workers: int = 4
+                   ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Yield (ids, images) over the unlabeled negative pool (ids are
+    positions in `unlabeled_imagepaths`; padded tail ids are -1)."""
+    paths = dataset.unlabeled_imagepaths
+    pool = ThreadPoolExecutor(num_workers) if num_workers else None
+    try:
+        for start in range(0, len(paths), batch_size):
+            chunk = paths[start : start + batch_size]
+            ids = np.arange(start, start + len(chunk))
+            pad = batch_size - len(chunk)
+            if pad:
+                chunk = list(chunk) + [chunk[-1]] * pad
+                ids = np.concatenate([ids, np.full(pad, -1, np.int64)])
+            yield ids, _decode_batch(dataset, chunk, pool)
+    finally:
+        if pool:
+            pool.shutdown()

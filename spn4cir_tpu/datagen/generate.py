@@ -1,0 +1,126 @@
+"""Extended-triplet generation (the "scaling positives" data factory).
+
+Parity target: `zscir/get_cir_data.py` — for each (deduplicated) train image,
+sample k partner images either uniformly or from an i2i-similarity rank
+window [i2i_rank, i2i_rank_max), compose a modification text from the two
+MLLM captions via templates (optionally LLM-rewritten), and emit extended
+triplets in the dataset's native JSON schema:
+  FIQ : {candidate, target, captions[...], caption1, caption2[, llm_caption]}
+        -> captions/cap.extend_{model}[_llm].train.json
+  CIRR: {reference, target_hard, caption[...], pairid=0,
+         img_set={members:["xxx"]}, ...}  (placeholders, quirk SURVEY.md §8.13)
+        -> cirr/captions/cap.rc2.train.extend_{model}[_llm].json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from spn4cir_tpu.datagen.templates import get_captions
+
+
+def load_it_list(path: str) -> Dict[str, str]:
+    """MLLM caption file -> {image_id: caption} (ref get_cir_data.py:36-42)."""
+    with open(path) as f:
+        it_list = json.load(f)
+    return {it["image_id"]: it["caption"] for it in it_list}
+
+
+def sample_partners(
+    i: int,
+    n: int,
+    k: int,
+    rng: random.Random,
+    i2i_ranks: Optional[np.ndarray] = None,
+    rank_lo: int = -1,
+    rank_hi: int = -1,
+) -> List[int]:
+    """Partner sampling (ref get_cir_data.py:58-68): a rank window over the
+    i2i similarity order when rank_lo >= 0, else uniform over others."""
+    if i2i_ranks is not None and rank_lo >= 0:
+        row = i2i_ranks[i].tolist()
+        pool = row[rank_lo:rank_hi] if rank_hi > rank_lo else row[rank_lo:]
+    else:
+        pool = list(range(n))
+        pool.remove(i)
+    return rng.sample(pool, k)
+
+
+def generate_extended_triplets(
+    dataset,
+    name2caption: Dict[str, str],
+    *,
+    k: int = 1,
+    prompt_ids: Sequence[int] = (0,),
+    refer_only: bool = False,
+    total_cap: int = 0,
+    i2i_ranks: Optional[np.ndarray] = None,
+    rank_lo: int = -1,
+    rank_hi: int = -1,
+    llm_rewrite: Optional[Callable[[str, str], str]] = None,
+    seed: Optional[int] = None,
+) -> List[dict]:
+    """Core generation loop (ref get_fiq/get_cirr). `dataset` is a train
+    'relative' CIRDataset; `refer_only` restricts anchors to images that are
+    references in some original triplet (`--refer`)."""
+    rng = random.Random(seed)
+    refer_names = {t["reference_name"] for t in dataset.triplets}
+    names = dataset.imagenames
+    n = len(names)
+    out: List[dict] = []
+    for i, name1 in enumerate(names):
+        if refer_only and name1 not in refer_names:
+            continue
+        if name1 not in name2caption:
+            continue
+        for j in sample_partners(i, n, k, rng, i2i_ranks, rank_lo, rank_hi):
+            name2 = names[j]
+            if name2 not in name2caption:
+                continue
+            caption1, caption2 = name2caption[name1], name2caption[name2]
+            captions = get_captions(caption1, caption2, prompt_ids)
+            if dataset.data_name == "fiq":
+                out.append({
+                    "candidate": name1,
+                    "target": name2,
+                    "captions": captions,
+                    "caption1": caption1,
+                    "caption2": caption2,
+                })
+            else:
+                out.append({
+                    "reference": name1,
+                    "target_hard": name2,
+                    "caption": captions,
+                    "pairid": 0,
+                    "img_set": {"members": ["xxx"]},
+                    "caption1": caption1,
+                    "caption2": caption2,
+                })
+    if total_cap > 0 and len(out) > total_cap:
+        out = rng.sample(out, total_cap)
+    if llm_rewrite is not None:
+        for t in out:
+            t["llm_caption"] = llm_rewrite(t["caption1"], t["caption2"])
+    return out
+
+
+def write_extended_triplets(dataset, triplets: List[dict], model_tag: str,
+                            llm: bool = False) -> str:
+    """Write with the reference's exact filenames (quirk SURVEY.md §8.1)."""
+    suffix = "_llm" if llm else ""
+    if dataset.data_name == "fiq":
+        path = os.path.join(dataset.data_path, "captions",
+                            f"cap.extend_{model_tag}{suffix}.train.json")
+    else:
+        path = os.path.join(dataset.data_path, "cirr", "captions",
+                            f"cap.rc2.train.extend_{model_tag}{suffix}.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(json.dumps(triplets))
+    return path

@@ -1,19 +1,25 @@
 """Gallery indexing + query prediction + validation drivers.
 
-Parity targets: `extract_index_features` (`clip4cir/utils.py:24-50`),
-`generate_{fiq,cirr}_val_predictions` / `compute_*_val_metrics`
-(`clip4cir/validate.py`), `fiq_val_retrieval` / `cirr_val_retrieval`
-(`clip4cir/validate.py:54-66,216-231`).
+Parity targets: `extract_index_features` (`clip4cir/utils.py:24-50` single
+array; `blip4cir/utils.py:24-68` raw+pooled pair; `tgcir/utils.py:24-52`
+token+pooled pair), `generate_{fiq,cirr}_val_predictions` /
+`compute_*_val_metrics` (`clip4cir/validate.py`), `fiq_val_retrieval` /
+`cirr_val_retrieval` (`clip4cir/validate.py:54-66,216-231`).
 
-TPU-native: gallery encode is one jitted scan over fixed-size batches; query
-reference features are gathered from the already-encoded gallery by integer
-id (quirk SURVEY.md §8.8 — eval reuses gallery features for references,
-never a fresh encode); scoring/ranking runs on device via
-`spn4cir_tpu.eval.metrics` (no argsort, no string masks).
+TPU-native: gallery encode is one jitted function over fixed-size batches
+producing a dict of index arrays — 'target' (score-ready) and 'refer'
+(fusion-side lookup). Query reference features are gathered from the index
+by integer id (quirk SURVEY.md §8.8 — eval reuses gallery features for
+references, never a fresh encode); scoring/ranking runs on device via
+`spn4cir_tpu.eval.metrics` (no argsort, no string masks). Index buffers live
+in host RAM (token-shaped refer indexes reach tens of GB — the reference
+spills them to CPU too, quirk §8.12); the scoring gallery is moved to device
+once.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -25,47 +31,65 @@ from spn4cir_tpu.eval import metrics as M
 from spn4cir_tpu.models.api import CIRBackbone
 
 
+@dataclasses.dataclass
+class GalleryIndex:
+    """Extracted gallery features: 'target' (device, score-ready) +
+    'refer' (host, fusion lookup) + names."""
+
+    target: jnp.ndarray
+    refer: np.ndarray
+    names: List[str]
+
+    def refer_rows(self, gids: np.ndarray) -> jnp.ndarray:
+        return jnp.asarray(self.refer[np.asarray(gids)])
+
+
 def extract_index_features(
     backbone: CIRBackbone,
     params,
     dataset: CIRDataset,
     batch_size: int = 32,
     num_workers: int = 4,
-) -> Tuple[jnp.ndarray, List[str]]:
-    """Encode the 'classic'-mode gallery -> (features (N, D) normalized,
-    names). Padded tail rows are dropped by id mask."""
-    encode = jax.jit(lambda imgs: backbone.gallery_features(params, imgs))
+) -> GalleryIndex:
+    encode = jax.jit(lambda imgs: backbone.index_features(params, imgs))
     names = dataset.gallery_names
-    feats = np.zeros((len(names), 0), np.float32)
-    buf = None
+    bufs: Dict[str, np.ndarray] = {}
     for ids, images in iter_gallery(dataset, batch_size, num_workers):
         out = jax.device_get(encode(jnp.asarray(images)))
-        if buf is None:
-            buf = np.zeros((len(names), *out.shape[1:]), out.dtype)
+        if not bufs:
+            bufs = {k: np.zeros((len(names), *v.shape[1:]), v.dtype)
+                    for k, v in out.items()}
         valid = ids >= 0
-        buf[ids[valid]] = out[valid]
-    if buf is None:
+        for k, v in out.items():
+            bufs[k][ids[valid]] = v[valid]
+    if not bufs:
         raise ValueError("empty gallery")
-    return jnp.asarray(buf), list(names)
+    return GalleryIndex(target=jnp.asarray(bufs["target"]),
+                        refer=bufs["refer"], names=list(names))
 
 
 def generate_val_predictions(
     backbone: CIRBackbone,
     params,
     dataset: CIRDataset,
-    index_features: jnp.ndarray,
+    index: GalleryIndex,
     batch_size: int = 32,
 ) -> Dict[str, np.ndarray]:
-    """Queries -> fused features + id arrays. Reference features are gallery
-    rows (quirk §8.8). Returns dict with query_feats, refer_gid, target_gid
-    (+ member_gids, pairid for CIRR)."""
+    """Queries -> fused features + id arrays. Reference features come from
+    the gallery index (quirk §8.8). Returns query_feats, refer_gid,
+    target_gid (+ member_gids, pairid for CIRR)."""
     fuse = jax.jit(
         lambda refer, text_ids: backbone.fuse(params, refer, text_ids))
     chunks, refer, target, members, pairids = [], [], [], [], []
     for batch in iter_relative_eval(dataset, batch_size):
         text_ids = jnp.asarray(backbone.tokenize(batch["captions"]))
-        ref_feats = jnp.take(index_features, jnp.asarray(batch["refer_gid"]), axis=0)
-        chunks.append(jax.device_get(fuse(ref_feats, text_ids)))
+        pad = batch_size - len(batch["captions"])
+        ref_feats = index.refer_rows(batch["refer_gid"])
+        if pad:  # keep one jit specialization for the ragged tail
+            text_ids = jnp.pad(text_ids, ((0, pad),) + ((0, 0),) * (text_ids.ndim - 1))
+            ref_feats = jnp.pad(ref_feats, ((0, pad),) + ((0, 0),) * (ref_feats.ndim - 1))
+        out = jax.device_get(fuse(ref_feats, text_ids))
+        chunks.append(out[: len(batch["captions"])])
         refer.append(batch["refer_gid"])
         target.append(batch["target_gid"])
         if "member_gids" in batch:
@@ -82,15 +106,9 @@ def generate_val_predictions(
     return out
 
 
-def _pooled_gallery(backbone: CIRBackbone, index_features: jnp.ndarray) -> jnp.ndarray:
-    """Gallery features used for scoring. Token-shaped galleries (tgcir/blip2
-    token banks) are mean-pooled + renormalized (ref validate.py:121-123)."""
-    from spn4cir_tpu.ops.infonce import l2_normalize
-
-    g = index_features
-    if g.ndim > 2:
-        g = jnp.mean(g, axis=1)
-    return l2_normalize(g.astype(jnp.float32))
+def query_scores(backbone: CIRBackbone, preds: Dict[str, np.ndarray],
+                 index: GalleryIndex) -> jnp.ndarray:
+    return backbone.score_queries(jnp.asarray(preds["query_feats"]), index.target)
 
 
 def fiq_val_retrieval(
@@ -100,15 +118,14 @@ def fiq_val_retrieval(
     dress_type: str,
     preprocess,
     batch_size: int = 32,
-    index: Optional[Tuple[jnp.ndarray, List[str]]] = None,
+    index: Optional[GalleryIndex] = None,
 ) -> Dict[str, float]:
     classic = CIRDataset("fiq", "val", "classic", preprocess, data_path, [dress_type])
     relative = CIRDataset("fiq", "val", "relative", preprocess, data_path, [dress_type])
-    feats, _names = index if index is not None else extract_index_features(
-        backbone, params, classic, batch_size)
-    preds = generate_val_predictions(backbone, params, relative, feats, batch_size)
-    scores = backbone.score_queries(
-        jnp.asarray(preds["query_feats"]), _pooled_gallery(backbone, feats))
+    if index is None:
+        index = extract_index_features(backbone, params, classic, batch_size)
+    preds = generate_val_predictions(backbone, params, relative, index, batch_size)
+    scores = query_scores(backbone, preds, index)
     return M.fiq_metrics(scores, jnp.asarray(preds["target_gid"]),
                          jnp.asarray(preds["refer_gid"]))
 
@@ -119,15 +136,14 @@ def cirr_val_retrieval(
     data_path: str,
     preprocess,
     batch_size: int = 32,
-    index: Optional[Tuple[jnp.ndarray, List[str]]] = None,
+    index: Optional[GalleryIndex] = None,
 ) -> Dict[str, float]:
     classic = CIRDataset("cirr", "val", "classic", preprocess, data_path)
     relative = CIRDataset("cirr", "val", "relative", preprocess, data_path)
-    feats, _names = index if index is not None else extract_index_features(
-        backbone, params, classic, batch_size)
-    preds = generate_val_predictions(backbone, params, relative, feats, batch_size)
-    scores = backbone.score_queries(
-        jnp.asarray(preds["query_feats"]), _pooled_gallery(backbone, feats))
+    if index is None:
+        index = extract_index_features(backbone, params, classic, batch_size)
+    preds = generate_val_predictions(backbone, params, relative, index, batch_size)
+    scores = query_scores(backbone, preds, index)
     return M.cirr_metrics(scores, jnp.asarray(preds["target_gid"]),
                           jnp.asarray(preds["refer_gid"]),
                           jnp.asarray(preds["member_gids"]))

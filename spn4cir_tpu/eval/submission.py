@@ -18,7 +18,12 @@ import numpy as np
 
 from spn4cir_tpu.data.datasets import CIRDataset, iter_relative_eval
 from spn4cir_tpu.eval import metrics as M
-from spn4cir_tpu.eval.retrieval import extract_index_features, generate_val_predictions
+from spn4cir_tpu.eval.retrieval import (
+    GalleryIndex,
+    extract_index_features,
+    generate_val_predictions,
+    query_scores,
+)
 from spn4cir_tpu.models.api import CIRBackbone
 
 
@@ -26,21 +31,16 @@ def generate_cirr_test_dicts(
     backbone: CIRBackbone,
     params,
     dataset: CIRDataset,
-    index_features: jnp.ndarray,
-    index_names: List[str],
+    index: GalleryIndex,
     batch_size: int = 32,
 ) -> Tuple[Dict[str, List[str]], Dict[str, List[str]]]:
-    from spn4cir_tpu.eval.retrieval import _pooled_gallery
-
-    preds = generate_val_predictions(backbone, params, dataset, index_features,
-                                     batch_size)
-    scores = backbone.score_queries(
-        jnp.asarray(preds["query_feats"]), _pooled_gallery(backbone, index_features))
+    preds = generate_val_predictions(backbone, params, dataset, index, batch_size)
+    scores = query_scores(backbone, preds, index)
     refer = jnp.asarray(preds["refer_gid"])
     top50 = np.asarray(M.topk_names(scores, refer, 50))
     top3 = np.asarray(M.subset_topk_names(
         scores, refer, jnp.asarray(preds["member_gids"]), 3))
-    names = np.asarray(index_names)
+    names = np.asarray(index.names)
     pairids = preds["pairid"]
     pairid_to_pred = {
         str(int(pid)): names[row].tolist() for pid, row in zip(pairids, top50)
@@ -63,11 +63,10 @@ def generate_cirr_test_submissions(
 ) -> Tuple[str, str]:
     """Writes both submission JSONs; returns their paths."""
     classic = CIRDataset("cirr", "test1", "classic", preprocess, data_path)
-    index_features, index_names = extract_index_features(
-        backbone, params, classic, batch_size)
+    index = extract_index_features(backbone, params, classic, batch_size)
     relative = CIRDataset("cirr", "test1", "relative", preprocess, data_path)
     pred, group = generate_cirr_test_dicts(
-        backbone, params, relative, index_features, index_names, batch_size)
+        backbone, params, relative, index, batch_size)
 
     submission = {"version": "rc2", "metric": "recall"}
     group_submission = {"version": "rc2", "metric": "recall_subset"}

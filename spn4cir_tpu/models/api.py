@@ -74,6 +74,15 @@ class CIRBackbone(abc.ABC):
         return (self.encode_image(params, images),
                 self.gallery_features(params, images))
 
+    def index_features(self, params: Params, images: Array) -> Dict[str, Array]:
+        """Per-gallery-image arrays for eval: 'target' is score-ready
+        (normalized/pooled); 'refer' is the fusion-side lookup — eval reuses
+        gallery features for query references, never a fresh encode (quirk
+        SURVEY.md §8.8). Backbones whose refer form differs from the scoring
+        form (raw token sets for tgcir/blip/blip2) override this."""
+        feats = self.gallery_features(params, images)
+        return {"target": feats, "refer": feats}
+
     @abc.abstractmethod
     def encode_text(self, params: Params, text_ids: Array) -> Array:
         """Tokenized text -> text features (backbone-specific shape)."""

@@ -65,6 +65,14 @@ class ClipCIR(CIRBackbone):
         feats = self.encode_image(params, images)
         return feats, infonce.l2_normalize(feats.astype(jnp.float32))
 
+    def index_features(self, params, images):
+        """Eval parity (clip4cir/utils.py:24-50 + validate.py:28,88-94): the
+        fusion-side refer lookup uses the RAW encode_image output; only the
+        scoring gallery is normalized."""
+        feats = self.encode_image(params, images)
+        return {"target": infonce.l2_normalize(feats.astype(jnp.float32)),
+                "refer": feats}
+
     # ---- fusion ----
     def combine(self, refer_feats, text_feats):
         """element_wise_sum combiner (ref clip4cir/models.py:54-56)."""
@@ -90,6 +98,18 @@ class ClipCIR(CIRBackbone):
             self.encode_image(params, images_target).astype(jnp.float32))
         query = self.combine(refer, self.encode_text(params, text_ids))
         return infonce.in_batch_infonce(query, target, self.tau)
+
+    def stage1_negtype_loss(self, params, images_refer, images_target,
+                            text_ids, neg_type: int = 15):
+        """Negative-type ablation: the 4-flavor loss averaged by bitmask
+        (ref clip4cir/models_negtype.py:94-128; bit0=refer, bit1=text,
+        bit2=target, bit3=query)."""
+        refer = self.encode_image(params, images_refer).astype(jnp.float32)
+        target = infonce.l2_normalize(
+            self.encode_image(params, images_target).astype(jnp.float32))
+        text = self.encode_text(params, text_ids).astype(jnp.float32)
+        losses = infonce.negtype_losses(refer, text, target, self.tau)
+        return infonce.combine_negtype(losses, neg_type)
 
     # ---- host helpers ----
     def tokenize(self, texts):

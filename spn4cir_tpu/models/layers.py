@@ -92,20 +92,22 @@ class MLP(nn.Module):
 
 
 class ResidualAttentionBlock(nn.Module):
-    """Pre-LN transformer block (CLIP style, ref clip/model.py:171-203)."""
+    """Pre-LN transformer block (CLIP style, ref clip/model.py:171-203;
+    BLIP's timm-style ViT uses the same shape with exact GELU + eps 1e-6)."""
 
     num_heads: int
     dtype: Dtype = jnp.float32
     act: Callable = quick_gelu
     mlp_mult: float = 4.0
+    ln_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, mask=None):
         x = x + MultiHeadAttention(self.num_heads, dtype=self.dtype, name="attn")(
-            LayerNorm(dtype=self.dtype, name="ln_1")(x), mask=mask
+            LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_1")(x), mask=mask
         )
         x = x + MLP(self.mlp_mult, self.act, dtype=self.dtype, name="mlp")(
-            LayerNorm(dtype=self.dtype, name="ln_2")(x)
+            LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_2")(x)
         )
         return x
 
@@ -118,12 +120,13 @@ class _ScanBlock(nn.Module):
     dtype: Dtype = jnp.float32
     act: Callable = quick_gelu
     mlp_mult: float = 4.0
+    ln_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, mask=None):
         y = ResidualAttentionBlock(self.num_heads, dtype=self.dtype,
                                    act=self.act, mlp_mult=self.mlp_mult,
-                                   name="block")(x, mask)
+                                   ln_eps=self.ln_eps, name="block")(x, mask)
         return y, None
 
 
@@ -137,6 +140,7 @@ class Transformer(nn.Module):
     dtype: Dtype = jnp.float32
     act: Callable = quick_gelu
     mlp_mult: float = 4.0
+    ln_eps: float = 1e-5
     remat: bool = False
 
     @nn.compact
@@ -151,7 +155,7 @@ class Transformer(nn.Module):
             length=self.num_layers,
             in_axes=(nn.broadcast,),
         )(num_heads=self.num_heads, dtype=self.dtype, act=self.act,
-          mlp_mult=self.mlp_mult, name="blocks")
+          mlp_mult=self.mlp_mult, ln_eps=self.ln_eps, name="blocks")
         y, _ = scanned(x, mask)
         return y
 

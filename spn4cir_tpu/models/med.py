@@ -1,0 +1,143 @@
+"""MED: BERT mixture encoder with per-layer cross-attention, in flax.
+
+Parity target: the reference's `blip4cir/med.py` BertModel (a modified HF
+BERT) as configured by `blip4cir/configs/med_config.json`: hidden 768, 12
+layers, 12 heads, intermediate 3072, exact GELU, post-LN with eps 1e-12,
+cross-attention to image tokens in every layer (`add_cross_attention: true`),
+vocab 30522 + 2 BLIP special tokens.
+
+TPU-native: layers are nn.scan-rolled (stacked params under 'layers'); the
+attention mask is an additive f32 bias; dropout is omitted (the CIR stage-2
+text side trains fine without it and eval parity is exact)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+LN_EPS = 1e-12
+
+
+@dataclasses.dataclass(frozen=True)
+class MedConfig:
+    vocab_size: int = 30524
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    encoder_width: int = 768  # cross-attn kv width (= ViT width)
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 128) -> "MedConfig":
+        return cls(vocab_size=vocab_size, hidden_size=32, num_layers=2,
+                   num_heads=2, intermediate_size=64, encoder_width=32)
+
+
+def _ln(name: str):
+    return nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32,
+                        param_dtype=jnp.float32, name=name)
+
+
+class _BertAttention(nn.Module):
+    cfg: MedConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, kv=None, mask=None):
+        d = self.cfg.hidden_size
+        h = self.cfg.num_heads
+        hd = d // h
+        kv_in = hidden if kv is None else kv
+        q = nn.Dense(d, dtype=self.dtype, name="query")(hidden)
+        k = nn.Dense(d, dtype=self.dtype, name="key")(kv_in)
+        v = nn.Dense(d, dtype=self.dtype, name="value")(kv_in)
+
+        def split(t):
+            return t.reshape(*t.shape[:-1], h, hd)
+
+        q, k, v = map(split, (q, k, v))
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * (hd ** -0.5)
+        if mask is not None:
+            logits = logits + mask
+        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        out = out.reshape(*hidden.shape[:-1], d)
+        out = nn.Dense(d, dtype=self.dtype, name="output")(out)
+        return _ln("ln")((hidden + out).astype(jnp.float32)).astype(self.dtype)
+
+
+class _BertLayer(nn.Module):
+    cfg: MedConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, enc_states=None, self_mask=None, cross_mask=None):
+        hidden = _BertAttention(self.cfg, self.dtype, name="self_attn")(
+            hidden, mask=self_mask)
+        if enc_states is not None:
+            hidden = _BertAttention(self.cfg, self.dtype, name="cross_attn")(
+                hidden, kv=enc_states, mask=cross_mask)
+        inter = nn.Dense(self.cfg.intermediate_size, dtype=self.dtype,
+                         name="intermediate")(hidden)
+        inter = jax.nn.gelu(inter, approximate=False)
+        out = nn.Dense(self.cfg.hidden_size, dtype=self.dtype, name="output")(inter)
+        return _ln("ln")((hidden + out).astype(jnp.float32)).astype(self.dtype)
+
+
+class _ScanLayer(nn.Module):
+    cfg: MedConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, enc_states, self_mask, cross_mask):
+        y = _BertLayer(self.cfg, self.dtype, name="layer")(
+            hidden, enc_states, self_mask, cross_mask)
+        return y, None
+
+
+def additive_mask(attention_mask: jnp.ndarray) -> jnp.ndarray:
+    """(B, L) {0,1} -> (B, 1, 1, L) additive f32 bias."""
+    return (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * -1e9
+
+
+class MedBert(nn.Module):
+    """BertModel(add_pooling_layer=False) equivalent: token ids (+ mask,
+    + optional encoder states for cross-attn) -> last hidden states."""
+
+    cfg: MedConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask=None, encoder_hidden_states=None,
+                 encoder_attention_mask=None):
+        cfg = self.cfg
+        emb = self.param("word_embeddings", nn.initializers.normal(0.02),
+                         (cfg.vocab_size, cfg.hidden_size), jnp.float32)
+        pos = self.param("position_embeddings", nn.initializers.normal(0.02),
+                         (cfg.max_position_embeddings, cfg.hidden_size), jnp.float32)
+        tok_type = self.param("token_type_embeddings", nn.initializers.normal(0.02),
+                              (cfg.type_vocab_size, cfg.hidden_size), jnp.float32)
+        x = emb[input_ids] + pos[: input_ids.shape[1]][None] + tok_type[0][None, None]
+        x = _ln("embeddings_ln")(x).astype(self.dtype)
+
+        self_mask = additive_mask(attention_mask) if attention_mask is not None else None
+        cross_mask = (additive_mask(encoder_attention_mask)
+                      if encoder_attention_mask is not None else None)
+
+        scanned = nn.scan(
+            _ScanLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.num_layers,
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+        )(cfg=cfg, dtype=self.dtype, name="layers")
+        x, _ = scanned(x, encoder_hidden_states, self_mask, cross_mask)
+        return x

@@ -1,0 +1,186 @@
+"""Positive-generation pipeline tests (ref zscir/deduplicate_images.py,
+srm_utils.py, get_cir_data.py semantics)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from spn4cir_tpu.data.datasets import CIRDataset
+from spn4cir_tpu.data.transforms import ImageTransform
+from spn4cir_tpu.datagen.captioner import (
+    caption_images,
+    caption_prompt,
+    stub_captioner,
+    write_it_list,
+)
+from spn4cir_tpu.datagen.dedup import (
+    build_optimized_images,
+    deduplicate,
+    find_duplicate_groups,
+)
+from spn4cir_tpu.datagen.generate import (
+    generate_extended_triplets,
+    load_it_list,
+    sample_partners,
+    write_extended_triplets,
+)
+from spn4cir_tpu.datagen.llm_rewrite import build_rewrite_prompt, make_llm_rewriter
+from spn4cir_tpu.datagen.srm import compute_sims, srm_scores
+from spn4cir_tpu.datagen.templates import get_captions
+from tests.fixtures import make_fiq, make_cirr
+
+TF = ImageTransform("targetpad", 32)
+
+
+# ---- dedup ----
+
+def test_dedup_groups_and_map(tmp_path, rng):
+    root = str(tmp_path)
+    arrs = [rng.randint(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(3)]
+    paths, names = [], []
+    for i, which in enumerate([0, 1, 0, 2, 1]):  # imgs 0/2 dup, 1/4 dup
+        p = os.path.join(root, f"im{i}.png")
+        Image.fromarray(arrs[which]).save(p)
+        paths.append(p)
+        names.append(f"im{i}")
+    groups = find_duplicate_groups(names, paths)
+    assert sorted(map(sorted, groups)) == [["im0", "im2"], ["im1", "im4"]]
+    out_names, out_paths, name2id = build_optimized_images(names, paths, groups)
+    assert out_names == ["im0", "im1", "im3"]
+    assert name2id["im2"] == name2id["im0"] == 0
+    assert name2id["im4"] == name2id["im1"] == 1
+    assert name2id["im3"] == 2
+
+
+def test_dedup_to_dataset_roundtrip(tmp_path):
+    root = make_fiq(str(tmp_path / "fiq"))
+    ds = CIRDataset("fiq", "train", "relative", TF, root, ["dress"])
+    out = deduplicate(ds, root)
+    assert os.path.exists(out)
+    ds2 = CIRDataset("fiq", "train", "relative", TF, root, ["dress"])
+    # fixture has no duplicates -> identical maps
+    assert ds2.imagename2id == ds.imagename2id
+
+
+# ---- templates ----
+
+def test_templates():
+    caps = get_captions("a red dress", "a blue gown", prompt_ids=(0, 1, 2))
+    assert caps[0] == "a blue gown instead of a red dress"
+    assert caps[1] == "Unlike a red dress, I want a blue gown"
+    assert caps[2] == "a blue gown"
+
+
+def test_template_overflow_fallback():
+    long1 = "very " * 120 + "long caption"
+    caps = get_captions(long1, "short target", prompt_ids=(0,))
+    assert caps == ["short target"]
+
+
+# ---- srm ----
+
+def test_srm_scores_match_loop_oracle(rng):
+    n_img, n_tri, d = 12, 6, 8
+    def norm(x):
+        return x / np.linalg.norm(x, axis=-1, keepdims=True)
+    clip_img = norm(rng.randn(n_img, d)).astype(np.float32)
+    clip_txt = norm(rng.randn(n_tri, d)).astype(np.float32)
+    srm_img = norm(rng.randn(n_img, d)).astype(np.float32)
+    srm_txt = norm(rng.randn(n_tri, d)).astype(np.float32)
+    sims = compute_sims(clip_img, clip_txt, srm_img, srm_txt)
+    refer = rng.randint(0, n_img, n_tri)
+    target = (refer + 1) % n_img
+    out = srm_scores(sims, refer, target, k_negatives=5)
+
+    # oracle: reference's argsort-position loop (srm_utils.py:142-170)
+    for i in range(n_tri):
+        r, t = refer[i], target[i]
+        i2i_order = np.argsort(-sims["i2i"][r])
+        r2t = int(np.where(i2i_order == t)[0][0])
+        i2i_order_t = np.argsort(-sims["i2i"][t])
+        t2r = int(np.where(i2i_order_t == r)[0][0])
+        assert out["rt"][i] == r2t + t2r
+    # negatives exclude self and are similarity-sorted
+    for i in range(n_tri):
+        negs = out["t_fn"][i]
+        assert target[i] not in negs
+        vals = sims["i2i"][target[i]][negs]
+        assert (np.diff(vals) <= 1e-6).all()
+
+
+# ---- generation ----
+
+def test_sample_partners_window(rng):
+    import random as pyrandom
+
+    ranks = np.argsort(-rng.randn(10, 10), axis=1)
+    r = pyrandom.Random(0)
+    picks = sample_partners(2, 10, 3, r, i2i_ranks=ranks, rank_lo=1, rank_hi=6)
+    assert len(picks) == 3
+    assert set(picks) <= set(ranks[2][1:6].tolist())
+    uni = sample_partners(2, 10, 3, r)
+    assert 2 not in uni
+
+
+def test_generate_and_consume_fiq(tmp_path):
+    root = make_fiq(str(tmp_path / "fiq"), extended=False)
+    ds = CIRDataset("fiq", "train", "relative", TF, root, ["dress"])
+    name2cap = {n: f"caption of {n}" for n in ds.imagenames}
+    triplets = generate_extended_triplets(ds, name2cap, k=2, seed=0,
+                                          prompt_ids=(0, 2))
+    assert len(triplets) == 2 * ds.num_unique_images
+    assert {"candidate", "target", "captions", "caption1", "caption2"} <= set(triplets[0])
+    path = write_extended_triplets(ds, triplets, "clip")
+    assert path.endswith("cap.extend_clip.train.json")
+    # dataset consumes the generated file via --plus
+    ds_plus = CIRDataset("fiq", "train", "relative", TF, root, ["dress"], plus=True)
+    assert len(ds_plus) == len(ds.triplets) + len(triplets)
+
+
+def test_generate_cirr_schema_and_llm(tmp_path):
+    root = make_cirr(str(tmp_path / "cirr"), extended=False)
+    ds = CIRDataset("cirr", "train", "relative", TF, root)
+    name2cap = {n: f"cap {n}" for n in ds.imagenames}
+    rewriter = make_llm_rewriter(lambda prompt: "fake rewrite\nextra", "cirr")
+    triplets = generate_extended_triplets(ds, name2cap, k=1, seed=0,
+                                          llm_rewrite=rewriter)
+    t = triplets[0]
+    assert t["pairid"] == 0 and t["img_set"]["members"] == ["xxx"]
+    assert t["llm_caption"] == "fake rewrite"
+    path = write_extended_triplets(ds, triplets, "zs", llm=True)
+    assert path.endswith("cap.rc2.train.extend_zs_llm.json")
+    ds_plus = CIRDataset("cirr", "train", "relative", TF, root, plus=True,
+                         llmcap=True, extend_suffix="zs")
+    assert ds_plus.triplets[-1]["captions"] == ["fake rewrite"]
+
+
+def test_refer_only_filter(tmp_path):
+    root = make_fiq(str(tmp_path / "fiq"), extended=False)
+    ds = CIRDataset("fiq", "train", "relative", TF, root, ["dress"])
+    name2cap = {n: "c" for n in ds.imagenames}
+    refs = {t["reference_name"] for t in ds.triplets}
+    triplets = generate_extended_triplets(ds, name2cap, k=1, refer_only=True, seed=0)
+    assert {t["candidate"] for t in triplets} <= refs
+
+
+# ---- captioner ----
+
+def test_captioner_pipeline(tmp_path, rng):
+    imgs = [(f"im{i}", rng.rand(8, 8, 3).astype(np.float32)) for i in range(3)]
+    it_list = caption_images(imgs, stub_captioner, category="dress", num_words=8)
+    assert len(it_list) == 3
+    assert all("caption" in it and "image_id" in it for it in it_list)
+    assert "dress" in caption_prompt("dress", 8)
+    path = write_it_list(it_list, "fiq", "stub", 8, out_root=str(tmp_path / "mm"))
+    assert path.endswith("fashioniq_it_stub_8.json")
+    loaded = load_it_list(path)
+    assert loaded["im0"] == it_list[0]["caption"]
+
+
+def test_rewrite_prompt_contains_shots():
+    p = build_rewrite_prompt("old cap", "new cap", "fiq")
+    assert "old cap" in p and "new cap" in p
+    assert p.count("Modification:") >= 3

@@ -119,7 +119,10 @@ def test_cirr_validation_runs(backbone, params, cirr_root):
 
 def test_index_features_deterministic(backbone, params, fiq_root):
     ds = CIRDataset("fiq", "val", "classic", TF, fiq_root, ["dress"])
-    f1, n1 = extract_index_features(backbone, params, ds, 4, num_workers=0)
-    f2, n2 = extract_index_features(backbone, params, ds, 5, num_workers=2)
-    assert n1 == n2
-    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-5)
+    i1 = extract_index_features(backbone, params, ds, 4, num_workers=0)
+    i2 = extract_index_features(backbone, params, ds, 5, num_workers=2)
+    assert i1.names == i2.names
+    np.testing.assert_allclose(np.asarray(i1.target), np.asarray(i2.target), atol=1e-5)
+    # clip eval parity: refer lookup is the RAW (unnormalized) encode
+    norms = np.linalg.norm(i1.refer, axis=-1)
+    assert not np.allclose(norms, 1.0)
