@@ -2,14 +2,18 @@
 
 Measures the reference's hot eval path (SURVEY.md §3.2: gallery encode ->
 query scoring -> ranking) as images/sec/chip with CLIP ViT-B/32 in bf16:
-each step encodes a 256-image batch, L2-normalizes, scores it against a
-16k-image gallery, and extracts top-50 — all on device.
+each step encodes a 128-image batch, L2-normalizes, scores it against a
+16k-image gallery, and takes top-50 — all on device.
+
+Methodology: the dev harness tunnels every dispatch to a remote TPU
+(seconds of fixed RPC latency), so steps run inside one jitted
+`lax.fori_loop` and the reported rate is differenced between a long and a
+short loop, cancelling dispatch/compile constants:
+    images_per_sec = (K_long - K_short) * BATCH / (T_long - T_short)
+Inputs rotate through an on-device buffer indexed by the loop counter so XLA
+cannot hoist the encoder out of the loop.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-Synthetic inputs are generated ON DEVICE (the dev harness tunnels H2D
-transfers; production feeds real decoded batches, whose preprocessing
-overlaps encode on the host).
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md) and
 its stack (PyTorch CUDA) cannot run here, so the baseline constant below is
@@ -26,11 +30,12 @@ import jax.numpy as jnp
 
 BASELINE_IMAGES_PER_SEC = 900.0  # V100 fp16 ViT-B/32 encode+rank estimate
 
-BATCH = 256
+BATCH = 128
 GALLERY = 16384
-STEPS = 16
-WARMUP = 2
-INNER = 4  # batches per jitted call (amortizes dispatch latency)
+DISTINCT = 2      # distinct on-device batches rotated through the loop
+K_SHORT = 4
+K_LONG = 36
+REPEATS = 3
 
 
 def main():
@@ -46,37 +51,45 @@ def main():
         gallery = jax.random.normal(k1, (GALLERY, backbone.embed_dim), jnp.float32)
         gallery = gallery / jnp.linalg.norm(gallery, axis=1, keepdims=True)
         images = jax.random.uniform(
-            k2, (INNER, BATCH, backbone.input_dim, backbone.input_dim, 3),
+            k2, (DISTINCT, BATCH, backbone.input_dim, backbone.input_dim, 3),
             jnp.bfloat16)
         return gallery, images
 
     gallery, images = make_inputs(jax.random.PRNGKey(0))
     jax.block_until_ready((gallery, images))
 
-    @jax.jit
-    def encode_and_rank(images, gallery):
-        def body(_, imgs):
-            feats = backbone.gallery_features(params, imgs)
-            scores = jnp.dot(feats, gallery.T, preferred_element_type=jnp.float32)
-            _, idx = jax.lax.top_k(scores, 50)
-            return 0, idx
-        _, idx = jax.lax.scan(body, 0, images)
-        return idx
+    def loop(n_steps):
+        def run(images, gallery):
+            def body(i, acc):
+                imgs = jax.lax.dynamic_index_in_dim(
+                    images, jnp.mod(i, DISTINCT), keepdims=False)
+                feats = backbone.gallery_features(params, imgs)
+                scores = jnp.dot(feats, gallery.T,
+                                 preferred_element_type=jnp.float32)
+                _, idx = jax.lax.top_k(scores, 50)
+                return acc + jnp.sum(idx[:, 0])
 
-    # compile + warmup
-    out = encode_and_rank(images, gallery)
-    jax.block_until_ready(out)
-    for _ in range(WARMUP):
-        jax.block_until_ready(encode_and_rank(images, gallery))
+            return jax.lax.fori_loop(0, n_steps, body, jnp.int32(0))
 
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        out = encode_and_rank(images, gallery)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+        return jax.jit(run)
 
-    total_images = STEPS * INNER * BATCH
-    ips = total_images / dt
+    short_fn = loop(K_SHORT)
+    long_fn = loop(K_LONG)
+    # compile both
+    jax.block_until_ready(short_fn(images, gallery))
+    jax.block_until_ready(long_fn(images, gallery))
+
+    def timed(fn):
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(images, gallery))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_short = timed(short_fn)
+    t_long = timed(long_fn)
+    ips = (K_LONG - K_SHORT) * BATCH / max(t_long - t_short, 1e-9)
     print(json.dumps({
         "metric": "gallery_encode_retrieval_images_per_sec_per_chip",
         "value": round(ips, 1),

@@ -232,6 +232,31 @@ class CIRDataset:
     def load_image(self, path: str) -> np.ndarray:
         return self.preprocess(Image.open(path))
 
+    def native_loader(self):
+        """C++ threaded decode+preprocess when the preprocess is a plain
+        ImageTransform and the native extension builds; opt out with
+        SPN4CIR_NATIVE=0. Returns None to fall back to PIL."""
+        if getattr(self, "_native_checked", False):
+            return self._native
+        self._native_checked = True
+        self._native = None
+        if os.environ.get("SPN4CIR_NATIVE", "1") == "0":
+            return None
+        from spn4cir_tpu.data.transforms import ImageTransform
+
+        if not isinstance(self.preprocess, ImageTransform):
+            return None
+        try:
+            from spn4cir_tpu.native import NativeLoader, native_available
+
+            if native_available():
+                tf = self.preprocess
+                self._native = NativeLoader(tf.kind, tf.dim, tf.target_ratio,
+                                            tf.mean, tf.std)
+        except Exception:
+            self._native = None
+        return self._native
+
     def caption_for(self, index: int, train: bool) -> str:
         """Caption selection incl. the original-vs-extended boundary
         (ref data_utils.py:262-268 and quirk §8.7)."""
@@ -287,6 +312,9 @@ class CIRDataset:
 
 def _decode_batch(dataset: CIRDataset, paths: Sequence[str],
                   pool: Optional[ThreadPoolExecutor]) -> np.ndarray:
+    native = dataset.native_loader()
+    if native is not None:
+        return native.decode_batch(list(paths))
     if pool is not None:
         return np.stack(list(pool.map(dataset.load_image, paths)))
     return np.stack([dataset.load_image(p) for p in paths])

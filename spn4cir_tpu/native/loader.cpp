@@ -1,0 +1,409 @@
+// Native data loader: threaded image decode + CIR preprocess.
+//
+// The reference feeds its GPUs through torchvision/PIL in DataLoader worker
+// processes; on TPU the host is the usual input bottleneck, so this loader
+// implements the full preprocess pipeline natively:
+//   decode (libjpeg / libpng) -> optional square/target pad -> bicubic
+//   shortest-side resize -> center crop -> normalize -> float32 HWC
+// with a persistent worker pool parallelizing over batch items.
+//
+// Geometry parity targets (same math as spn4cir_tpu/data/transforms.py,
+// which mirrors clip4cir/data_utils.py:20-98):
+//   - TargetPad: pad iff max/min aspect >= ratio, to max_wh/ratio (int floor)
+//   - SquarePad: pad to max(w, h), centered with int floor offsets
+//   - Resize: shortest side -> dim, long side int() truncation, PIL-style
+//     bicubic (a = -0.5, support scaled by the downscale factor)
+//   - CenterCrop: torchvision rounding, zero-pad when smaller than crop
+//
+// C API (ctypes-consumed by spn4cir_tpu/native/__init__.py):
+//   void* loader_create(int num_threads);
+//   void  loader_destroy(void*);
+//   int   loader_decode_batch(void*, const char** paths, int n,
+//                             int kind, int dim, float target_ratio,
+//                             const float* mean, const float* std,
+//                             float* out /* n*dim*dim*3 */);
+//   returns 0 on success; on per-image failure the image slot is zeroed and
+//   the return value is the count of failed items (never crashes the batch).
+
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <queue>
+#include <thread>
+#include <vector>
+
+#include <csetjmp>
+#include <jpeglib.h>
+#include <png.h>
+
+namespace {
+
+struct ImageU8 {
+  int w = 0, h = 0;
+  std::vector<uint8_t> rgb;  // h*w*3
+};
+
+// ---------------------------------------------------------------------------
+// Decoders
+// ---------------------------------------------------------------------------
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jump;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->jump, 1);
+}
+
+bool decode_jpeg(FILE* fp, ImageU8* out) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, fp);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  out->w = cinfo.output_width;
+  out->h = cinfo.output_height;
+  out->rgb.resize(size_t(out->w) * out->h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->rgb.data() + size_t(cinfo.output_scanline) * out->w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+bool decode_png(FILE* fp, ImageU8* out) {
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return false;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  png_init_io(png, fp);
+  png_read_info(png, info);
+
+  png_uint_32 w, h;
+  int bit_depth, color_type;
+  png_get_IHDR(png, info, &w, &h, &bit_depth, &color_type, nullptr, nullptr,
+               nullptr);
+  // normalize everything to 8-bit RGB
+  if (bit_depth == 16) png_set_strip_16(png);
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY ||
+      color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
+    png_set_gray_to_rgb(png);
+  if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+
+  out->w = int(w);
+  out->h = int(h);
+  out->rgb.resize(size_t(w) * h * 3);
+  std::vector<png_bytep> rows(h);
+  for (png_uint_32 y = 0; y < h; ++y)
+    rows[y] = out->rgb.data() + size_t(y) * w * 3;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  return true;
+}
+
+bool decode_file(const char* path, ImageU8* out) {
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return false;
+  uint8_t magic[8] = {0};
+  size_t got = fread(magic, 1, 8, fp);
+  rewind(fp);
+  bool ok = false;
+  if (got >= 3 && magic[0] == 0xFF && magic[1] == 0xD8 && magic[2] == 0xFF) {
+    ok = decode_jpeg(fp, out);
+  } else if (got >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
+    ok = decode_png(fp, out);
+  }
+  fclose(fp);
+  return ok && out->w > 0 && out->h > 0;
+}
+
+// ---------------------------------------------------------------------------
+// Geometry (parity with spn4cir_tpu/data/transforms.py)
+// ---------------------------------------------------------------------------
+
+void pad_image(const ImageU8& in, int hp, int vp, ImageU8* out) {
+  out->w = in.w + 2 * hp;
+  out->h = in.h + 2 * vp;
+  out->rgb.assign(size_t(out->w) * out->h * 3, 0);
+  for (int y = 0; y < in.h; ++y) {
+    std::memcpy(out->rgb.data() + (size_t(y + vp) * out->w + hp) * 3,
+                in.rgb.data() + size_t(y) * in.w * 3, size_t(in.w) * 3);
+  }
+}
+
+// PIL-style bicubic kernel, a = -0.5
+inline double cubic(double x) {
+  constexpr double a = -0.5;
+  x = std::fabs(x);
+  if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+  if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+  return 0.0;
+}
+
+struct ResampleCoeffs {
+  int ksize;                 // taps per output pixel
+  std::vector<int> bounds;   // 2 * out_size: (start, count)
+  std::vector<double> kk;    // out_size * ksize weights
+};
+
+// PIL ImagingResampleHorizontal coefficient precomputation
+ResampleCoeffs precompute(int in_size, int out_size) {
+  ResampleCoeffs rc;
+  double scale = double(in_size) / out_size;
+  double filterscale = scale < 1.0 ? 1.0 : scale;
+  double support = 2.0 * filterscale;
+  rc.ksize = int(std::ceil(support)) * 2 + 1;
+  rc.bounds.resize(size_t(out_size) * 2);
+  rc.kk.resize(size_t(out_size) * rc.ksize, 0.0);
+  for (int xx = 0; xx < out_size; ++xx) {
+    double center = (xx + 0.5) * scale;
+    int xmin = int(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = int(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    xmax -= xmin;
+    double* k = &rc.kk[size_t(xx) * rc.ksize];
+    double ww = 0.0;
+    for (int x = 0; x < xmax; ++x) {
+      double w = cubic((x + xmin - center + 0.5) / filterscale);
+      k[x] = w;
+      ww += w;
+    }
+    if (ww != 0.0)
+      for (int x = 0; x < xmax; ++x) k[x] /= ww;
+    rc.bounds[size_t(xx) * 2] = xmin;
+    rc.bounds[size_t(xx) * 2 + 1] = xmax;
+  }
+  return rc;
+}
+
+// separable bicubic resize, float accumulation, clamped back to [0, 255]
+void resize_bicubic(const ImageU8& in, int out_w, int out_h,
+                    std::vector<float>* out /* out_h*out_w*3 */) {
+  ResampleCoeffs hc = precompute(in.w, out_w);
+  // horizontal pass: in.h x out_w x 3 floats
+  std::vector<float> tmp(size_t(in.h) * out_w * 3);
+  for (int y = 0; y < in.h; ++y) {
+    const uint8_t* row = in.rgb.data() + size_t(y) * in.w * 3;
+    float* trow = tmp.data() + size_t(y) * out_w * 3;
+    for (int xx = 0; xx < out_w; ++xx) {
+      int xmin = hc.bounds[size_t(xx) * 2];
+      int xmax = hc.bounds[size_t(xx) * 2 + 1];
+      const double* k = &hc.kk[size_t(xx) * hc.ksize];
+      double acc[3] = {0, 0, 0};
+      for (int x = 0; x < xmax; ++x) {
+        const uint8_t* px = row + size_t(xmin + x) * 3;
+        acc[0] += px[0] * k[x];
+        acc[1] += px[1] * k[x];
+        acc[2] += px[2] * k[x];
+      }
+      // PIL quantizes the horizontal pass to uint8 before the vertical pass
+      for (int c = 0; c < 3; ++c) {
+        double r = std::nearbyint(acc[c]);
+        trow[xx * 3 + c] = float(r < 0 ? 0 : (r > 255 ? 255 : r));
+      }
+    }
+  }
+  ResampleCoeffs vc = precompute(in.h, out_h);
+  out->assign(size_t(out_h) * out_w * 3, 0.0f);
+  for (int yy = 0; yy < out_h; ++yy) {
+    int ymin = vc.bounds[size_t(yy) * 2];
+    int ymax = vc.bounds[size_t(yy) * 2 + 1];
+    const double* k = &vc.kk[size_t(yy) * vc.ksize];
+    float* orow = out->data() + size_t(yy) * out_w * 3;
+    for (int y = 0; y < ymax; ++y) {
+      const float* trow = tmp.data() + size_t(ymin + y) * out_w * 3;
+      double w = k[y];
+      for (int x = 0; x < out_w * 3; ++x) orow[x] += float(trow[x] * w);
+    }
+  }
+  // PIL stores the intermediate as uint8 (clip + round); replicate for parity
+  for (auto& v : *out) {
+    float r = std::nearbyint(v);
+    v = r < 0.f ? 0.f : (r > 255.f ? 255.f : r);
+  }
+}
+
+enum PadKind { KIND_CLIP = 0, KIND_SQUAREPAD = 1, KIND_TARGETPAD = 2 };
+
+bool preprocess_one(const char* path, int kind, int dim, float target_ratio,
+                    const float* mean, const float* stdv, float* out) {
+  ImageU8 img;
+  if (!decode_file(path, &img)) return false;
+
+  ImageU8 padded;
+  const ImageU8* cur = &img;
+  if (kind == KIND_SQUAREPAD) {
+    int side = img.w > img.h ? img.w : img.h;
+    pad_image(img, (side - img.w) / 2, (side - img.h) / 2, &padded);
+    cur = &padded;
+  } else if (kind == KIND_TARGETPAD) {
+    double mx = std::max(img.w, img.h), mn = std::min(img.w, img.h);
+    if (mx / mn >= target_ratio) {
+      double scaled = mx / target_ratio;
+      int hp = std::max(int((scaled - img.w) / 2), 0);
+      int vp = std::max(int((scaled - img.h) / 2), 0);
+      pad_image(img, hp, vp, &padded);
+      cur = &padded;
+    }
+  }
+
+  // shortest-side resize with int() long-side truncation
+  int rw, rh;
+  if (cur->w <= cur->h) {
+    rw = dim;
+    rh = std::max(1, int(double(dim) * cur->h / cur->w));
+  } else {
+    rh = dim;
+    rw = std::max(1, int(double(dim) * cur->w / cur->h));
+  }
+  std::vector<float> resized;
+  resize_bicubic(*cur, rw, rh, &resized);
+
+  // center crop (torchvision uses Python round() = half-to-even; nearbyint
+  // under the default FE_TONEAREST mode matches); pad with zeros when smaller
+  int left = int(std::nearbyint((rw - dim) / 2.0));
+  int top = int(std::nearbyint((rh - dim) / 2.0));
+  for (int y = 0; y < dim; ++y) {
+    for (int x = 0; x < dim; ++x) {
+      int sy = y + top, sx = x + left;
+      float* o = out + (size_t(y) * dim + x) * 3;
+      if (sy < 0 || sy >= rh || sx < 0 || sx >= rw) {
+        for (int c = 0; c < 3; ++c) o[c] = (0.f - mean[c]) / stdv[c];
+      } else {
+        const float* s = resized.data() + (size_t(sy) * rw + sx) * 3;
+        for (int c = 0; c < 3; ++c)
+          o[c] = (s[c] / 255.0f - mean[c]) / stdv[c];
+      }
+    }
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// Thread pool
+// ---------------------------------------------------------------------------
+
+class Pool {
+ public:
+  explicit Pool(int n) {
+    for (int i = 0; i < n; ++i)
+      workers_.emplace_back([this] { this->run(); });
+  }
+  ~Pool() {
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& t : workers_) t.join();
+  }
+  void submit(std::function<void()> fn) {
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      q_.push(std::move(fn));
+    }
+    cv_.notify_one();
+  }
+
+ private:
+  void run() {
+    for (;;) {
+      std::function<void()> fn;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_.wait(lk, [this] { return stop_ || !q_.empty(); });
+        if (stop_ && q_.empty()) return;
+        fn = std::move(q_.front());
+        q_.pop();
+      }
+      fn();
+    }
+  }
+  std::vector<std::thread> workers_;
+  std::queue<std::function<void()>> q_;
+  std::mutex mu_;
+  std::condition_variable cv_;
+  bool stop_ = false;
+};
+
+struct Latch {
+  std::mutex mu;
+  std::condition_variable cv;
+  int remaining;
+  explicit Latch(int n) : remaining(n) {}
+  void done() {
+    std::unique_lock<std::mutex> lk(mu);
+    if (--remaining == 0) cv.notify_all();
+  }
+  void wait() {
+    std::unique_lock<std::mutex> lk(mu);
+    cv.wait(lk, [this] { return remaining == 0; });
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* loader_create(int num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  return new Pool(num_threads);
+}
+
+void loader_destroy(void* pool) { delete static_cast<Pool*>(pool); }
+
+int loader_decode_batch(void* pool_ptr, const char** paths, int n, int kind,
+                        int dim, float target_ratio, const float* mean,
+                        const float* stdv, float* out) {
+  Pool* pool = static_cast<Pool*>(pool_ptr);
+  std::atomic<int> failures{0};
+  Latch latch(n);
+  size_t stride = size_t(dim) * dim * 3;
+  for (int i = 0; i < n; ++i) {
+    const char* path = paths[i];
+    float* slot = out + stride * i;
+    pool->submit([&, path, slot] {
+      if (!preprocess_one(path, kind, dim, target_ratio, mean, stdv, slot)) {
+        std::memset(slot, 0, stride * sizeof(float));
+        failures.fetch_add(1);
+      }
+      latch.done();
+    });
+  }
+  latch.wait();
+  return failures.load();
+}
+
+}  // extern "C"

@@ -1,0 +1,76 @@
+"""Native C++ loader vs the PIL reference pipeline (geometry parity)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from spn4cir_tpu.data.transforms import ImageTransform
+from spn4cir_tpu.native import NativeLoader, build_error, native_available
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason=f"native loader unavailable: {build_error()}")
+
+
+@pytest.fixture(scope="module")
+def image_files(tmp_path_factory):
+    root = tmp_path_factory.mktemp("imgs")
+    rng = np.random.RandomState(0)
+    paths = []
+    for i, (w, h) in enumerate([(64, 48), (48, 64), (100, 40), (57, 57),
+                                (33, 47), (200, 80)]):
+        arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        p_png = str(root / f"im{i}.png")
+        Image.fromarray(arr).save(p_png)
+        paths.append(p_png)
+    # one jpeg (lossy; decoded pixels may differ from PIL's decoder slightly)
+    arr = rng.randint(0, 256, (50, 70, 3), dtype=np.uint8)
+    p_jpg = str(root / "im_j.jpg")
+    Image.fromarray(arr).save(p_jpg, quality=95)
+    return paths, p_jpg
+
+
+@pytest.mark.parametrize("kind", ["clip", "squarepad", "targetpad"])
+def test_parity_with_pil_pipeline(image_files, kind):
+    paths, _ = image_files
+    dim = 32
+    tf = ImageTransform(kind, dim)
+    loader = NativeLoader(kind, dim, num_threads=2)
+    got = loader.decode_batch(paths)
+    want = np.stack([tf(Image.open(p)) for p in paths])
+    assert got.shape == want.shape
+    # bicubic implementations agree to within a couple of 8-bit steps
+    scale = 1.0 / min(tf.std)
+    tol = 2.5 / 255.0 * scale
+    diff = np.abs(got - want)
+    assert diff.max() < tol, (kind, float(diff.max()))
+    # the overwhelming majority of pixels match to 1 bit
+    close = (diff < (1.5 / 255.0 * scale)).mean()
+    assert close > 0.99, (kind, float(close))
+
+
+def test_jpeg_decodes(image_files):
+    _, p_jpg = image_files
+    loader = NativeLoader("clip", 32, num_threads=1)
+    out = loader.decode_batch([p_jpg])
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(out).all()
+    # compare against PIL's pipeline loosely (different JPEG decoders)
+    tf = ImageTransform("clip", 32)
+    want = tf(Image.open(p_jpg))
+    assert np.abs(out[0] - want).mean() < 0.1
+
+
+def test_missing_file_raises(image_files):
+    loader = NativeLoader("clip", 32, num_threads=1)
+    with pytest.raises(IOError):
+        loader.decode_batch(["/nonexistent/nope.png"])
+
+
+def test_threaded_determinism(image_files):
+    paths, _ = image_files
+    loader = NativeLoader("targetpad", 32, num_threads=4)
+    a = loader.decode_batch(paths * 4)
+    b = loader.decode_batch(paths * 4)
+    np.testing.assert_array_equal(a, b)
