@@ -41,6 +41,9 @@ from spn4cir_tpu.eval.retrieval import (
 from spn4cir_tpu.eval.metrics import fiq_average
 from spn4cir_tpu.train.stage1 import create_stage1_state, train_epoch_stage1
 from spn4cir_tpu.train.stage2 import create_train_state, train_epoch
+from spn4cir_tpu.parallel.loss import pad_bank_rows
+from spn4cir_tpu.parallel.mesh import make_mesh, put_bank, replicate, shard_batch
+from spn4cir_tpu.parallel.train import make_sharded_stage2_step
 from spn4cir_tpu.utils.checkpoint import save_model
 from spn4cir_tpu.utils.logging import MetricLogger, RunningAverage
 from spn4cir_tpu.utils.seeding import seed_everything
@@ -124,10 +127,37 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
     neg_num = args.neg_num if (args.neg_num > 0 and not args.unlabeled) else None
     neg_rng = np.random.RandomState(args.seed)
 
+    # --- multi-chip mesh (pjit/shard_map path) ---
+    mesh = None
+    sharded_step = None
+    if not args.wo_bank and (args.mesh_data > 1 or args.mesh_bank > 1):
+        mesh = make_mesh(data=args.mesh_data or None, bank=args.mesh_bank)
+        m_actual = int(bank.target.shape[0])
+        bank_padded = put_bank(pad_bank_rows(bank.target, args.mesh_bank), mesh)
+        state = replicate(state, mesh)
+        sharded_step = make_sharded_stage2_step(backbone, mesh, m_actual=m_actual)
+        print(f"mesh: data={mesh.shape['data']} bank={mesh.shape['bank']}")
+
     if args.wo_bank:
         state = create_stage1_state(backbone, params, args.learning_rate)
     for epoch in range(getattr(args, "num_epochs")):
-        if args.wo_bank:
+        if mesh is not None:
+            from spn4cir_tpu.data.datasets import iter_train_bank as _itb
+
+            total, count = 0.0, 0
+            for raw in _itb(train_ds, args.batch_size,
+                            epoch_seed=args.seed + epoch):
+                batch = shard_batch({
+                    "refer_feats": jnp.asarray(
+                        bank.gather_refer(raw["refer_image_id"])),
+                    "text_ids": jnp.asarray(backbone.tokenize(raw["captions"])),
+                    "labels": jnp.asarray(raw["target_image_id"]),
+                }, mesh)
+                state, loss = sharded_step(state, bank_padded, batch)
+                total += float(loss)
+                count += 1
+            mean_loss = total / max(count, 1)
+        elif args.wo_bank:
             state, mean_loss = train_epoch_stage1(
                 backbone, state,
                 iter_train_images(train_ds, args.batch_size, shuffle=True,

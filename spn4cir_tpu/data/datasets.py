@@ -54,6 +54,7 @@ class CIRDataset:
         llmcap: bool = False,
         extend_suffix: str = "clip",
         use_cc: bool = False,
+        fiq_val_type: int = 0,
         seed: Optional[int] = None,
     ):
         if dress_types is None:
@@ -69,6 +70,7 @@ class CIRDataset:
         self.data_path = data_path
         self.dress_types = list(dress_types)
         self.use_bank = False
+        self.fiq_val_type = fiq_val_type
         self._rng = random.Random(seed)
 
         self.triplets: List[dict] = []
@@ -120,9 +122,21 @@ class CIRDataset:
             with open(os.path.join(self.data_path, "image_splits",
                                    f"split.{dt}.{self.split}.json")) as f:
                 self.image_names.extend(json.load(f))
-        self._gallery_names = self.image_names
+        if self.fiq_val_type == 1 and self.split == "val":
+            # VAL-set gallery: only images appearing in val triplets
+            # (ref data_utils.py:178-183, fiq_val_type=1)
+            seen = []
+            seen_set = set()
+            for t in self.triplets:
+                for n in (t["reference_name"], t["target_name"]):
+                    if n not in seen_set:
+                        seen_set.add(n)
+                        seen.append(n)
+            self._gallery_names = seen
+        else:
+            self._gallery_names = self.image_names
         self._gallery_paths = [
-            os.path.join(self.image_path, f"{n}.png") for n in self.image_names
+            os.path.join(self.image_path, f"{n}.png") for n in self._gallery_names
         ]
 
     def _load_cirr(self, plus, llmcap, extend_suffix, use_cc):

@@ -325,8 +325,14 @@ class Blip2CIR(CIRBackbone):
         quirk SURVEY.md §8.11 — here it is one functional copy)."""
         p = dict(params)
         inner = dict(p["params"])
-        inner["qformer_query"] = jax.tree_util.tree_map(
-            jnp.array, inner["qformer"])
+        copied = jax.tree_util.tree_map(jnp.array, dict(inner["qformer"]))
+        # the trainable copy never cross-attends (text re-read only); its
+        # cross-attn params are not materialized in the module
+        copied["pairs"] = dict(copied["pairs"])
+        copied["pairs"]["cross_layer"] = {
+            k: v for k, v in copied["pairs"]["cross_layer"].items()
+            if k != "cross_attn"}
+        inner["qformer_query"] = copied
         inner["text_proj_q"] = jax.tree_util.tree_map(
             jnp.array, inner["text_proj"])
         p["params"] = inner

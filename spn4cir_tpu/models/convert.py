@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -184,3 +185,286 @@ def _check_tree_matches(template, converted):
     if missing:
         raise ValueError(f"converted checkpoint is missing params: {missing[:8]}"
                          f" (+{max(0, len(missing) - 8)} more)")
+
+
+# ---------------------------------------------------------------------------
+# MED BERT (blip4cir text encoder)
+# ---------------------------------------------------------------------------
+
+def _bert_attention(sd, prefix: str, n: int, qualifier: str) -> Dict:
+    """Stack HF-BERT attention weights for n layers into our _BertAttention
+    layout. qualifier: 'attention' (self) or 'crossattention'."""
+    def stacked(key, transpose=False):
+        arrs = [_t(sd[f"{prefix}.{i}.{qualifier}.{key}"]) for i in range(n)]
+        out = np.stack(arrs)
+        return out.transpose(0, 2, 1) if transpose else out
+
+    return {
+        "query": {"kernel": stacked("self.query.weight", True),
+                  "bias": stacked("self.query.bias")},
+        "key": {"kernel": stacked("self.key.weight", True),
+                "bias": stacked("self.key.bias")},
+        "value": {"kernel": stacked("self.value.weight", True),
+                  "bias": stacked("self.value.bias")},
+        "output": {"kernel": stacked("output.dense.weight", True),
+                   "bias": stacked("output.dense.bias")},
+        "ln": {"scale": stacked("output.LayerNorm.weight"),
+               "bias": stacked("output.LayerNorm.bias")},
+    }
+
+
+def convert_med_state_dict(sd: Dict[str, Any], num_layers: int,
+                           prefix: str = "text_encoder") -> Dict:
+    """HF/MED BertModel state dict -> MedBert params subtree (stacked scan).
+
+    Parity: blip4cir/med.py BertModel layout — embeddings + per-layer
+    attention / crossattention / intermediate / output."""
+    emb = f"{prefix}.embeddings"
+    layer = f"{prefix}.encoder.layer"
+
+    def stacked(key, transpose=False):
+        arrs = [_t(sd[f"{layer}.{i}.{key}"]) for i in range(num_layers)]
+        out = np.stack(arrs)
+        return out.transpose(0, 2, 1) if transpose else out
+
+    p: Dict = {
+        "word_embeddings": _t(sd[f"{emb}.word_embeddings.weight"]),
+        "position_embeddings": _t(sd[f"{emb}.position_embeddings.weight"]),
+        "token_type_embeddings": _t(sd[f"{emb}.token_type_embeddings.weight"]),
+        "embeddings_ln": {"scale": _t(sd[f"{emb}.LayerNorm.weight"]),
+                          "bias": _t(sd[f"{emb}.LayerNorm.bias"])},
+        "layers": {"layer": {
+            "self_attn": _bert_attention(sd, layer, num_layers, "attention"),
+            "cross_attn": _bert_attention(sd, layer, num_layers, "crossattention"),
+            "intermediate": {"kernel": stacked("intermediate.dense.weight", True),
+                             "bias": stacked("intermediate.dense.bias")},
+            "output": {"kernel": stacked("output.dense.weight", True),
+                       "bias": stacked("output.dense.bias")},
+            "ln": {"scale": stacked("output.LayerNorm.weight"),
+                   "bias": stacked("output.LayerNorm.bias")},
+        }},
+    }
+    return p
+
+
+def convert_blip_vit_state_dict(sd: Dict[str, Any], num_layers: int,
+                                prefix: str = "visual_encoder") -> Dict:
+    """timm-style BLIP ViT -> BlipViT params subtree."""
+    def stacked(key, transpose=False):
+        arrs = [_t(sd[f"{prefix}.blocks.{i}.{key}"]) for i in range(num_layers)]
+        out = np.stack(arrs)
+        return out.transpose(0, 2, 1) if transpose else out
+
+    return {
+        "cls_token": _t(sd[f"{prefix}.cls_token"]),
+        "pos_embed": _t(sd[f"{prefix}.pos_embed"])[0],
+        "patch_embed": {
+            "kernel": _t(sd[f"{prefix}.patch_embed.proj.weight"]).transpose(2, 3, 1, 0),
+            "bias": _t(sd[f"{prefix}.patch_embed.proj.bias"]),
+        },
+        "blocks": {"blocks": {"block": {
+            "ln_1": {"ln": {"scale": stacked("norm1.weight"),
+                            "bias": stacked("norm1.bias")}},
+            "ln_2": {"ln": {"scale": stacked("norm2.weight"),
+                            "bias": stacked("norm2.bias")}},
+            "attn": {
+                "qkv": {"kernel": stacked("attn.qkv.weight", True),
+                        "bias": stacked("attn.qkv.bias")},
+                "out": {"kernel": stacked("attn.proj.weight", True),
+                        "bias": stacked("attn.proj.bias")},
+            },
+            "mlp": {
+                "fc": {"kernel": stacked("mlp.fc1.weight", True),
+                       "bias": stacked("mlp.fc1.bias")},
+                "proj": {"kernel": stacked("mlp.fc2.weight", True),
+                         "bias": stacked("mlp.fc2.bias")},
+            },
+        }}},
+        "norm": {"ln": {"scale": _t(sd[f"{prefix}.norm.weight"]),
+                        "bias": _t(sd[f"{prefix}.norm.bias"])}},
+    }
+
+
+def convert_blip_retrieval(sd: Dict[str, Any], num_vit_layers: int = 12,
+                           num_text_layers: int = 12,
+                           tau: float = 0.03) -> Dict:
+    """BLIP_Retrieval (ref blip4cir/blip_cir.py) -> BlipCirModule params.
+    Accepts either bare keys or the CIRPlus 'blip.'-prefixed wrapper."""
+    if any(k.startswith("blip.") for k in sd):
+        sd = {k[len("blip."):]: v for k, v in sd.items() if k.startswith("blip.")}
+    p = {
+        "visual_encoder": convert_blip_vit_state_dict(sd, num_vit_layers),
+        "text_encoder": convert_med_state_dict(sd, num_text_layers),
+        "vision_proj": {"kernel": _t(sd["vision_proj.weight"]).T,
+                        "bias": _t(sd["vision_proj.bias"])},
+        "text_proj": {"kernel": _t(sd["text_proj.weight"]).T,
+                      "bias": _t(sd["text_proj.bias"])},
+        "tau": _t(sd["tau"]) if "tau" in sd else np.float32(tau),
+    }
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# Q-Former / EVA ViT-g (blip24cir)
+# ---------------------------------------------------------------------------
+
+def convert_eva_vit_state_dict(sd: Dict[str, Any], num_layers: int,
+                               prefix: str = "visual_encoder") -> Dict:
+    """EVA ViT-g -> EvaViT params. EVA attention has separate q_bias/v_bias
+    with an implicit zero k bias (ref eva_vit.py); fused here as
+    [q_bias; zeros; v_bias]."""
+    def per_layer(i, key):
+        return _t(sd[f"{prefix}.blocks.{i}.{key}"])
+
+    qkv_kernels, qkv_biases = [], []
+    for i in range(num_layers):
+        w = per_layer(i, "attn.qkv.weight")  # (3D, D)
+        d = w.shape[1]
+        if f"{prefix}.blocks.{i}.attn.qkv.bias" in sd:
+            b = per_layer(i, "attn.qkv.bias")
+        else:
+            qb = per_layer(i, "attn.q_bias")
+            vb = per_layer(i, "attn.v_bias")
+            b = np.concatenate([qb, np.zeros_like(qb), vb])
+        qkv_kernels.append(w.T)
+        qkv_biases.append(b)
+
+    def stacked(key, transpose=False):
+        arrs = [per_layer(i, key) for i in range(num_layers)]
+        out = np.stack(arrs)
+        return out.transpose(0, 2, 1) if transpose else out
+
+    return {
+        "cls_token": _t(sd[f"{prefix}.cls_token"]),
+        "pos_embed": _t(sd[f"{prefix}.pos_embed"])[0],
+        "patch_embed": {
+            "kernel": _t(sd[f"{prefix}.patch_embed.proj.weight"]).transpose(2, 3, 1, 0),
+            "bias": _t(sd[f"{prefix}.patch_embed.proj.bias"]),
+        },
+        "blocks": {"blocks": {"block": {
+            "ln_1": {"ln": {"scale": stacked("norm1.weight"),
+                            "bias": stacked("norm1.bias")}},
+            "ln_2": {"ln": {"scale": stacked("norm2.weight"),
+                            "bias": stacked("norm2.bias")}},
+            "attn": {
+                "qkv": {"kernel": np.stack(qkv_kernels),
+                        "bias": np.stack(qkv_biases)},
+                "out": {"kernel": stacked("attn.proj.weight", True),
+                        "bias": stacked("attn.proj.bias")},
+            },
+            "mlp": {
+                "fc": {"kernel": stacked("mlp.fc1.weight", True),
+                       "bias": stacked("mlp.fc1.bias")},
+                "proj": {"kernel": stacked("mlp.fc2.weight", True),
+                         "bias": stacked("mlp.fc2.bias")},
+            },
+        }}},
+    }
+
+
+def _qformer_layer(sd, prefix: str, layer_ids, with_cross: bool) -> Dict:
+    """One scan slice of Q-Former layers (the cross or plain member of each
+    pair), stacked over `layer_ids`."""
+    def stacked(key, transpose=False):
+        arrs = [_t(sd[f"{prefix}.{i}.{key}"]) for i in layer_ids]
+        out = np.stack(arrs)
+        return out.transpose(0, 2, 1) if transpose else out
+
+    def attn(qualifier):
+        return {
+            "query": {"kernel": stacked(f"{qualifier}.self.query.weight", True),
+                      "bias": stacked(f"{qualifier}.self.query.bias")},
+            "key": {"kernel": stacked(f"{qualifier}.self.key.weight", True),
+                    "bias": stacked(f"{qualifier}.self.key.bias")},
+            "value": {"kernel": stacked(f"{qualifier}.self.value.weight", True),
+                      "bias": stacked(f"{qualifier}.self.value.bias")},
+            "output": {"kernel": stacked(f"{qualifier}.output.dense.weight", True),
+                       "bias": stacked(f"{qualifier}.output.dense.bias")},
+            "ln": {"scale": stacked(f"{qualifier}.output.LayerNorm.weight"),
+                   "bias": stacked(f"{qualifier}.output.LayerNorm.bias")},
+        }
+
+    out = {
+        "self_attn": attn("attention"),
+        "ffn": {
+            "intermediate_query": {
+                "kernel": stacked("intermediate_query.dense.weight", True),
+                "bias": stacked("intermediate_query.dense.bias")},
+            "output_query": {
+                "kernel": stacked("output_query.dense.weight", True),
+                "bias": stacked("output_query.dense.bias")},
+            "ln_query": {"scale": stacked("output_query.LayerNorm.weight"),
+                         "bias": stacked("output_query.LayerNorm.bias")},
+            "intermediate": {
+                "kernel": stacked("intermediate.dense.weight", True),
+                "bias": stacked("intermediate.dense.bias")},
+            "output": {"kernel": stacked("output.dense.weight", True),
+                       "bias": stacked("output.dense.bias")},
+            "ln": {"scale": stacked("output.LayerNorm.weight"),
+                   "bias": stacked("output.LayerNorm.bias")},
+        },
+    }
+    if with_cross:
+        out["cross_attn"] = attn("crossattention")
+    return out
+
+
+def convert_qformer_state_dict(sd: Dict[str, Any], num_layers: int,
+                               prefix: str = "Qformer.bert") -> Dict:
+    """LAVIS Q-Former BertModel -> QFormer params (pair-scan layout:
+    even layers -> cross_layer, odd -> plain_layer)."""
+    emb = f"{prefix}.embeddings"
+    layer = f"{prefix}.encoder.layer"
+    cross_ids = list(range(0, num_layers, 2))
+    plain_ids = list(range(1, num_layers, 2))
+    return {
+        "word_embeddings": _t(sd[f"{emb}.word_embeddings.weight"]),
+        "position_embeddings": _t(sd[f"{emb}.position_embeddings.weight"]),
+        "embeddings_ln": {"scale": _t(sd[f"{emb}.LayerNorm.weight"]),
+                          "bias": _t(sd[f"{emb}.LayerNorm.bias"])},
+        "pairs": {
+            "cross_layer": _qformer_layer(sd, layer, cross_ids, True),
+            "plain_layer": _qformer_layer(sd, layer, plain_ids, False),
+        },
+    }
+
+
+def convert_blip2_cir(sd: Dict[str, Any], num_vit_layers: int = 39,
+                      num_q_layers: int = 12, tau: float = 0.05) -> Dict:
+    """Blip2QformerCirAlignPrompt state dict -> Blip2CirModule params.
+    Missing stage-2 copies (Qformer_query / text_proj_q) are filled from
+    their stage-1 sources (quirk SURVEY.md §8.11's double-load collapses to
+    one copy)."""
+    if any(k.startswith("blip_model.") for k in sd):
+        sd = {k[len("blip_model."):]: v for k, v in sd.items()
+              if k.startswith("blip_model.")}
+    qformer = convert_qformer_state_dict(sd, num_q_layers, "Qformer.bert")
+    has_q = any(k.startswith("Qformer_query.") for k in sd)
+    qformer_query = (convert_qformer_state_dict(sd, num_q_layers,
+                                                "Qformer_query.bert")
+                     if has_q else jax.tree_util.tree_map(np.copy, qformer))
+    # the trainable copy only runs the text re-read (no cross-attention), so
+    # its cross-attn params are never materialized in the flax module
+    qformer_query["pairs"]["cross_layer"].pop("cross_attn", None)
+    text_proj = {"kernel": _t(sd["text_proj.weight"]).T,
+                 "bias": _t(sd["text_proj.bias"])}
+    text_proj_q = ({"kernel": _t(sd["text_proj_q.weight"]).T,
+                    "bias": _t(sd["text_proj_q.bias"])}
+                   if "text_proj_q.weight" in sd
+                   else jax.tree_util.tree_map(np.copy, text_proj))
+    p = {
+        "visual_encoder": convert_eva_vit_state_dict(sd, num_vit_layers),
+        "ln_vision": {"ln": {"scale": _t(sd["ln_vision.weight"]),
+                             "bias": _t(sd["ln_vision.bias"])}},
+        "qformer": qformer,
+        "qformer_query": qformer_query,
+        "vision_proj": {"kernel": _t(sd["vision_proj.weight"]).T,
+                        "bias": _t(sd["vision_proj.bias"])},
+        "text_proj": text_proj,
+        "text_proj_q": text_proj_q,
+        "query_tokens": _t(sd["query_tokens"]),
+        "prompt_tokens": _t(sd["prompt_tokens"]) if "prompt_tokens" in sd
+                         else np.zeros_like(_t(sd["query_tokens"])),
+        "tau": _t(sd["temp"]) if "temp" in sd else np.float32(tau),
+    }
+    return {"params": p}

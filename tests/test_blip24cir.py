@@ -68,10 +68,20 @@ def test_stage2_loss_and_trainability(bb, params):
 
 def test_init_stage2_surgery(bb, params):
     p2 = Blip2CIR.init_stage2(params)
-    a = jax.tree_util.tree_leaves(p2["params"]["qformer"])
-    b = jax.tree_util.tree_leaves(p2["params"]["qformer_query"])
-    for x, y in zip(a, b):
-        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    src = {jax.tree_util.keystr(k): v for k, v in
+           jax.tree_util.tree_leaves_with_path(p2["params"]["qformer"])}
+    dst = {jax.tree_util.keystr(k): v for k, v in
+           jax.tree_util.tree_leaves_with_path(p2["params"]["qformer_query"])}
+    # the copy drops cross-attn (never used by the text re-read) but matches
+    # everywhere else
+    assert set(dst) <= set(src)
+    assert all("cross_attn" in k for k in set(src) - set(dst))
+    for k, v in dst.items():
+        np.testing.assert_array_equal(np.asarray(src[k]), np.asarray(v))
+    # structure identical to a fresh init (optimizer masks line up)
+    fresh = bb.init_params(jax.random.PRNGKey(1))
+    assert (jax.tree_util.tree_structure(fresh)
+            == jax.tree_util.tree_structure({"params": p2["params"]}))
     np.testing.assert_array_equal(
         np.asarray(p2["params"]["text_proj"]["kernel"]),
         np.asarray(p2["params"]["text_proj_q"]["kernel"]))

@@ -96,3 +96,21 @@ def test_submission_cli(cirr_root, tmp_path, monkeypatch):
             continue
         assert by_pair[pid]["reference"] not in names
         assert set(names) <= set(by_pair[pid]["img_set"]["members"])
+
+
+def test_train_cli_mesh(fiq_root, tmp_path, monkeypatch):
+    """Multi-chip stage-2 training via --mesh_data/--mesh_bank on the
+    8-device virtual CPU mesh."""
+    monkeypatch.chdir(tmp_path)
+    best = train_main("clip", [
+        "--dataset", "fiq",
+        "--data_path", fiq_root,
+        "--dress_types", "dress",
+        "--clip-model-name", "test-tiny",
+        "--num-epochs", "1",
+        "--batch-size", "4",
+        "--mesh_data", "4",
+        "--mesh_bank", "2",
+        "--output_path", str(tmp_path / "out"),
+    ])
+    assert best >= 0

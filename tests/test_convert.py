@@ -116,3 +116,154 @@ def test_fp16_upcast(bb, rng, tmp_path):
     params = load_torch_checkpoint(path, bb, template)
     leaves = jax.tree_util.tree_leaves(params)
     assert all(l.dtype == jnp.float32 for l in leaves)
+
+
+# ---------------------------------------------------------------------------
+# MED / BLIP / Q-Former converters (structural, tiny configs)
+# ---------------------------------------------------------------------------
+
+def _bert_layer_sd(sd, prefix, d, inter, cross=True, query_ffn=False):
+    rng = np.random.RandomState(1)
+
+    def t(*shape):
+        return torch.tensor(rng.randn(*shape).astype(np.float32) * 0.02)
+
+    quals = ["attention"] + (["crossattention"] if cross else [])
+    for q in quals:
+        for name in ("query", "key", "value"):
+            sd[f"{prefix}.{q}.self.{name}.weight"] = t(d, d)
+            sd[f"{prefix}.{q}.self.{name}.bias"] = t(d)
+        sd[f"{prefix}.{q}.output.dense.weight"] = t(d, d)
+        sd[f"{prefix}.{q}.output.dense.bias"] = t(d)
+        sd[f"{prefix}.{q}.output.LayerNorm.weight"] = t(d)
+        sd[f"{prefix}.{q}.output.LayerNorm.bias"] = t(d)
+    ffns = [""] + (["_query"] if query_ffn else [])
+    for s in ffns:
+        sd[f"{prefix}.intermediate{s}.dense.weight"] = t(inter, d)
+        sd[f"{prefix}.intermediate{s}.dense.bias"] = t(inter)
+        sd[f"{prefix}.output{s}.dense.weight"] = t(d, inter)
+        sd[f"{prefix}.output{s}.dense.bias"] = t(d)
+        sd[f"{prefix}.output{s}.LayerNorm.weight"] = t(d)
+        sd[f"{prefix}.output{s}.LayerNorm.bias"] = t(d)
+
+
+def _vit_sd(sd, prefix, cfg_w, n_layers, n_tokens, eva=False):
+    rng = np.random.RandomState(2)
+
+    def t(*shape):
+        return torch.tensor(rng.randn(*shape).astype(np.float32) * 0.02)
+
+    sd[f"{prefix}.cls_token"] = t(1, 1, cfg_w)
+    sd[f"{prefix}.pos_embed"] = t(1, n_tokens, cfg_w)
+    sd[f"{prefix}.patch_embed.proj.weight"] = t(cfg_w, 3, 16 if not eva else 14, 16 if not eva else 14)
+    sd[f"{prefix}.patch_embed.proj.bias"] = t(cfg_w)
+    mult = 4
+    for i in range(n_layers):
+        b = f"{prefix}.blocks.{i}"
+        sd[f"{b}.norm1.weight"] = t(cfg_w)
+        sd[f"{b}.norm1.bias"] = t(cfg_w)
+        sd[f"{b}.norm2.weight"] = t(cfg_w)
+        sd[f"{b}.norm2.bias"] = t(cfg_w)
+        sd[f"{b}.attn.qkv.weight"] = t(3 * cfg_w, cfg_w)
+        if eva:
+            sd[f"{b}.attn.q_bias"] = t(cfg_w)
+            sd[f"{b}.attn.v_bias"] = t(cfg_w)
+        else:
+            sd[f"{b}.attn.qkv.bias"] = t(3 * cfg_w)
+        sd[f"{b}.attn.proj.weight"] = t(cfg_w, cfg_w)
+        sd[f"{b}.attn.proj.bias"] = t(cfg_w)
+        sd[f"{b}.mlp.fc1.weight"] = t(mult * cfg_w, cfg_w)
+        sd[f"{b}.mlp.fc1.bias"] = t(mult * cfg_w)
+        sd[f"{b}.mlp.fc2.weight"] = t(cfg_w, mult * cfg_w)
+        sd[f"{b}.mlp.fc2.bias"] = t(cfg_w)
+    if not eva:
+        sd[f"{prefix}.norm.weight"] = t(cfg_w)
+        sd[f"{prefix}.norm.bias"] = t(cfg_w)
+
+
+def test_convert_blip_retrieval_structure():
+    from spn4cir_tpu.models.api import build_backbone as bbf
+    from spn4cir_tpu.models.convert import convert_blip_retrieval
+
+    bb = bbf("blip", blip_size="test-tiny")
+    rng = np.random.RandomState(3)
+
+    def t(*shape):
+        return torch.tensor(rng.randn(*shape).astype(np.float32) * 0.02)
+
+    sd = {}
+    vit = bb.vit_cfg
+    _vit_sd(sd, "visual_encoder", vit.width, vit.layers, vit.num_tokens)
+    med = bb.med_cfg
+    emb = "text_encoder.embeddings"
+    sd[f"{emb}.word_embeddings.weight"] = t(med.vocab_size, med.hidden_size)
+    sd[f"{emb}.position_embeddings.weight"] = t(med.max_position_embeddings, med.hidden_size)
+    sd[f"{emb}.token_type_embeddings.weight"] = t(med.type_vocab_size, med.hidden_size)
+    sd[f"{emb}.LayerNorm.weight"] = t(med.hidden_size)
+    sd[f"{emb}.LayerNorm.bias"] = t(med.hidden_size)
+    for i in range(med.num_layers):
+        _bert_layer_sd(sd, f"text_encoder.encoder.layer.{i}", med.hidden_size,
+                       med.intermediate_size)
+    sd["vision_proj.weight"] = t(256, vit.width)
+    sd["vision_proj.bias"] = t(256)
+    sd["text_proj.weight"] = t(256, med.hidden_size)
+    sd["text_proj.bias"] = t(256)
+    sd["tau"] = torch.tensor(np.float32(0.03))
+
+    params = convert_blip_retrieval(sd, vit.layers, med.num_layers)
+    template = bb.init_params(jax.random.PRNGKey(0))
+    assert (jax.tree_util.tree_structure(template)
+            == jax.tree_util.tree_structure(params))
+    # run a fused forward with the converted weights
+    imgs = jnp.ones((1, bb.input_dim, bb.input_dim, 3))
+    text = jnp.asarray(bb.tokenize(["a dress"]))
+    tokens = bb.encode_image(params, imgs)
+    q = bb.fuse(params, tokens, text)
+    assert np.isfinite(np.asarray(q)).all()
+
+
+def test_convert_blip2_structure():
+    from spn4cir_tpu.models.api import build_backbone as bbf
+    from spn4cir_tpu.models.convert import convert_blip2_cir
+
+    bb = bbf("blip2", blip2_size="test-tiny")
+    rng = np.random.RandomState(4)
+
+    def t(*shape):
+        return torch.tensor(rng.randn(*shape).astype(np.float32) * 0.02)
+
+    sd = {}
+    vit = bb.vit_cfg
+    _vit_sd(sd, "visual_encoder", vit.width, vit.layers, vit.num_tokens, eva=True)
+    sd["ln_vision.weight"] = t(vit.width)
+    sd["ln_vision.bias"] = t(vit.width)
+    q = bb.q_cfg
+    emb = "Qformer.bert.embeddings"
+    sd[f"{emb}.word_embeddings.weight"] = t(q.vocab_size, q.hidden_size)
+    sd[f"{emb}.position_embeddings.weight"] = t(q.max_position_embeddings, q.hidden_size)
+    sd[f"{emb}.LayerNorm.weight"] = t(q.hidden_size)
+    sd[f"{emb}.LayerNorm.bias"] = t(q.hidden_size)
+    for i in range(q.num_layers):
+        _bert_layer_sd(sd, f"Qformer.bert.encoder.layer.{i}", q.hidden_size,
+                       q.intermediate_size, cross=(i % 2 == 0), query_ffn=True)
+    sd["vision_proj.weight"] = t(256, q.hidden_size)
+    sd["vision_proj.bias"] = t(256)
+    sd["text_proj.weight"] = t(256, q.hidden_size)
+    sd["text_proj.bias"] = t(256)
+    sd["query_tokens"] = t(1, q.num_query_tokens, q.hidden_size)
+    sd["prompt_tokens"] = t(1, q.num_query_tokens, q.hidden_size)
+    sd["temp"] = torch.tensor(np.float32(0.05))
+
+    params = convert_blip2_cir(sd, vit.layers, q.num_layers)
+    template = bb.init_params(jax.random.PRNGKey(0))
+    assert (jax.tree_util.tree_structure(template)
+            == jax.tree_util.tree_structure(params))
+    # stage-2 copies filled from stage-1 sources
+    np.testing.assert_array_equal(
+        np.asarray(params["params"]["text_proj"]["kernel"]),
+        np.asarray(params["params"]["text_proj_q"]["kernel"]))
+    imgs = jnp.ones((1, bb.input_dim, bb.input_dim, 3))
+    text = jnp.asarray(bb.tokenize(["a dress"]))
+    embeds = bb.encode_image(params, imgs)
+    feats = bb.fuse(params, embeds, text)
+    assert np.isfinite(np.asarray(feats)).all()

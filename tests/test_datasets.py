@@ -147,3 +147,14 @@ def test_iter_relative_eval_ids(cirr_root):
         for j in range(len(batch["captions"])):
             assert batch["refer_gid"][j] in name2gid.values()
         assert batch["member_gids"].shape[1] == 4
+
+
+def test_fiq_val_type_gallery(fiq_root):
+    full = CIRDataset("fiq", "val", "classic", TF, fiq_root, ["dress"])
+    val_only = CIRDataset("fiq", "val", "classic", TF, fiq_root, ["dress"],
+                          fiq_val_type=1)
+    assert len(val_only) <= len(full)
+    rel = CIRDataset("fiq", "val", "relative", TF, fiq_root, ["dress"])
+    needed = {t["reference_name"] for t in rel.triplets}
+    needed |= {t["target_name"] for t in rel.triplets}
+    assert set(val_only.gallery_names) == needed
