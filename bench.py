@@ -3,15 +3,16 @@
 Measures the reference's hot eval path (SURVEY.md §3.2: gallery encode ->
 query scoring -> ranking) as images/sec/chip with CLIP ViT-B/32 in bf16:
 encode a batch, L2-normalize, score against a 16k-image gallery, take
-top-50 — all on device in one jitted call.
+top-50 — all on device.
 
-Methodology: the dev harness tunnels every dispatch to a remote TPU with
-seconds of RPC latency and its remote compiler rejects looping programs, so
-throughput is measured by *batch-size differencing*: the same program runs
-at a small and a large batch and
-    images_per_sec = (B_large - B_small) / (t_large - t_small)
-cancels the per-dispatch constant. Times are min-of-N (robust to network
-jitter). Inputs are generated on device.
+Methodology notes for this dev harness (remote TPU behind an RPC tunnel):
+  - `block_until_ready` does not synchronize remote execution here, so each
+    step is forced by fetching a scalar reduction of its outputs;
+  - the remote compiler rejects fused encode+rank and looping programs
+    (HTTP 413), so encode and rank are separate jits;
+  - per-dispatch RPC constants cancel by *batch differencing*:
+        images_per_sec = (B_large - B_small) / (t_large - t_small)
+    with min-of-N timing. Inputs are generated on device.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -31,8 +32,8 @@ import jax.numpy as jnp
 BASELINE_IMAGES_PER_SEC = 900.0  # V100 fp16 ViT-B/32 encode+rank estimate
 
 GALLERY = 16384
-B_SMALL = 256
-B_LARGE = 2048
+B_SMALL = 1024
+B_LARGE = 8192
 REPEATS = 7
 
 
@@ -49,34 +50,31 @@ def main():
     gallery = gallery / jnp.linalg.norm(gallery, axis=1, keepdims=True)
 
     def make_images(batch):
-        imgs = jax.jit(
+        return jax.jit(
             lambda k: jax.random.uniform(
                 k, (batch, backbone.input_dim, backbone.input_dim, 3),
                 jnp.bfloat16))(jax.random.PRNGKey(batch))
-        return jax.block_until_ready(imgs)
 
-    # encode and rank run as separate dispatches: the dev harness's remote
-    # compiler rejects the fused program (HTTP 413); the per-dispatch
-    # constant cancels in the batch differencing either way.
     @jax.jit
-    def encode(images):
-        return backbone.gallery_features(params, images)
+    def encode(p, images):
+        return backbone.gallery_features(p, images)
 
     @jax.jit
     def rank(feats, gallery):
         scores = jnp.dot(feats, gallery.T, preferred_element_type=jnp.float32)
         _, idx = jax.lax.top_k(scores, 50)
-        return idx
+        # scalar handle: fetching this forces the whole chain to execute
+        return jnp.sum(idx[:, :1])
 
     def step(images):
-        return rank(encode(images), gallery)
+        return float(rank(encode(params, images), gallery))
 
     def timed(images):
-        jax.block_until_ready(step(images))  # compile
+        step(images)  # compile + warm
         best = float("inf")
         for _ in range(REPEATS):
             t0 = time.perf_counter()
-            jax.block_until_ready(step(images))
+            step(images)
             best = min(best, time.perf_counter() - t0)
         return best
 

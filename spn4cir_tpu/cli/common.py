@@ -83,10 +83,18 @@ def finalize_args(args) -> None:
 
 def make_backbone(name: str, args) -> CIRBackbone:
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    kw = dict(tau=args.tau, dtype=dtype)
-    if name in ("clip", "zs"):
+    kw = dict(tau=args.tau, dtype=dtype, remat=bool(args.grad_ckpt))
+    if name in ("clip", "zs", "tgcir"):
         kw["clip_model_name"] = args.clip_model_name
-        kw["remat"] = bool(args.grad_ckpt)
+    elif name == "blip":
+        # --clip-model-name doubles as the BLIP size (base/large/test-tiny)
+        kw["blip_size"] = (args.clip_model_name
+                           if args.clip_model_name in ("base", "large", "test-tiny")
+                           else "base")
+    elif name == "blip2":
+        kw["blip2_size"] = (args.clip_model_name
+                            if args.clip_model_name in ("pretrain", "test-tiny")
+                            else "pretrain")
     return build_backbone(name, **kw)
 
 

@@ -114,3 +114,20 @@ def test_train_cli_mesh(fiq_root, tmp_path, monkeypatch):
         "--output_path", str(tmp_path / "out"),
     ])
     assert best >= 0
+
+
+def test_validate_cli_other_backbones(fiq_root, cirr_root, tmp_path, monkeypatch):
+    """The shared CLI drives every backbone (tiny configs)."""
+    monkeypatch.chdir(tmp_path)
+    r = validate_main("tgcir", [
+        "--dataset", "fiq", "--data_path", fiq_root,
+        "--dress_types", "dress", "--clip-model-name", "test-tiny"])
+    assert "mean_recall" in r
+    r = validate_main("blip", [
+        "--dataset", "cirr", "--data_path", cirr_root,
+        "--clip-model-name", "test-tiny"])
+    assert "arithmetic_mean" in r
+    r = validate_main("blip2", [
+        "--dataset", "cirr", "--data_path", cirr_root,
+        "--clip-model-name", "test-tiny"])
+    assert "arithmetic_mean" in r
