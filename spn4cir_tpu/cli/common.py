@@ -59,6 +59,8 @@ def base_parser(default_model: str = "RN50x4", default_tau: float = 0.02,
                    help="extend the target bank with unlabeled negatives")
     p.add_argument("--use_cc", action="store_true",
                    help="zscir: train on out-of-domain CC triplets")
+    p.add_argument("--profile_dir", default="",
+                   help="write a jax profiler trace of the train loop here")
     return p
 
 

@@ -140,6 +140,10 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
 
     if args.wo_bank:
         state = create_stage1_state(backbone, params, args.learning_rate)
+    from spn4cir_tpu.utils.logging import profiler_trace
+
+    trace_ctx = profiler_trace(args.profile_dir or None)
+    trace_ctx.__enter__()
     for epoch in range(getattr(args, "num_epochs")):
         if mesh is not None:
             from spn4cir_tpu.data.datasets import iter_train_bank as _itb
@@ -176,11 +180,26 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
             score, results = run_validation(backbone, state.params, args, preprocess)
             print(json.dumps({"epoch": epoch, "score": score, **{
                 k: v for k, v in results.items() if isinstance(v, float)}}))
+            if args.nni:  # HPO reporting (ref clip4cir/train.py:157,188)
+                try:
+                    import nni
+
+                    nni.report_intermediate_result(score)
+                except ImportError:
+                    pass
             if score > best_score:
                 best_score = score
                 save_model(os.path.join(output_path, "best.msgpack"),
                            state.params, epoch=epoch,
                            extra={"score": score, "dataset": args.dataset})
                 print(f"saved best (score {score:.2f})")
+    trace_ctx.__exit__(None, None, None)
+    if args.nni:  # (ref clip4cir/train.py:196-197)
+        try:
+            import nni
+
+            nni.report_final_result(best_score)
+        except ImportError:
+            pass
     print(f"best score: {best_score:.2f}")
     return best_score

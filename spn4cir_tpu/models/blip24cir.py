@@ -287,7 +287,9 @@ class Blip2CIR(CIRBackbone):
             logits = jnp.max(sims, axis=-1) / tau
             return infonce.cross_entropy(
                 logits, jnp.zeros((feats.shape[0],), jnp.int32))
-        return infonce.max_query_infonce(feats, target_bank, labels, tau)
+        from spn4cir_tpu.ops.maxquery_kernels import max_query_infonce
+
+        return max_query_infonce(feats, target_bank, labels, tau, impl=impl)
 
     # ---- host helpers ----
     @staticmethod

@@ -1,0 +1,261 @@
+"""Blocked Pallas max-over-query bank InfoNCE (the BLIP-2 stage-2 loss).
+
+Semantics match `spn4cir_tpu.ops.infonce.max_query_infonce` (reference
+behavior: `blip2_qformer_cir_align_prompt.py:226-268`):
+
+    sims   = einsum('bd,mqd->bmq', feats, bank)   # Q = 32 query tokens
+    logits = max_q(sims) / tau                    # (B, M)
+    loss   = mean CE(logits, labels)
+
+For CIRR-scale banks the XLA path materializes the (B, M, Q) sims tensor
+(e.g. 128 x 60k x 32 x 4B = 1 GB); this kernel sweeps bank blocks through
+VMEM — per block one (TB, TM*Q) MXU matmul, a Q-group max, and the same
+flash-style online-softmax statistics as `ops/bank_kernels`. The backward
+pass recomputes per-block sims, resolves each (b, m) argmax over Q with a
+one-hot mask, and accumulates dfeats = P~ @ bank_flat in one MXU call.
+
+Gradients: dfeats and dtau exact; the bank is a frozen cache (zero grad,
+DCE'd); labels carry none.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _round_up(x, m):
+    return _cdiv(x, m) * m
+
+
+def _block_logits(q, bank_flat, nq, tau):
+    """(TB, D) x (TM*Q, D) -> max-over-Q logits (TB, TM) in f32."""
+    sims = jax.lax.dot_general(
+        q.astype(jnp.float32), bank_flat.astype(jnp.float32),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    tb = sims.shape[0]
+    tm = sims.shape[1] // nq
+    sims = sims.reshape(tb, tm, nq)
+    return jnp.max(sims, axis=-1) / tau, sims
+
+
+def _fwd_kernel(labels_ref, q_ref, bank_ref, tau_ref,
+                mx_ref, se_ref, pos_ref, el_ref, *, m_actual, block_m, nq):
+    m_idx = pl.program_id(1)
+    tau = tau_ref[0]
+    logits, _ = _block_logits(q_ref[:], bank_ref[:], nq, tau)
+
+    col0 = m_idx * block_m
+    col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    valid = col_ids < m_actual
+    logits = jnp.where(valid, logits, -jnp.inf)
+
+    blk_max = jnp.max(logits, axis=1, keepdims=True)
+    blk_se = jnp.sum(jnp.exp(logits - blk_max), axis=1, keepdims=True)
+    lab = labels_ref[:, :1]
+    is_pos = col_ids == lab
+    blk_pos = jnp.sum(jnp.where(is_pos, jnp.where(valid, logits, 0.0), 0.0),
+                      axis=1, keepdims=True)
+    blk_el = jnp.sum(jnp.where(valid, jnp.exp(logits - blk_max) * logits, 0.0),
+                     axis=1, keepdims=True)
+
+    @pl.when(m_idx == 0)
+    def _init():
+        mx_ref[:] = jnp.broadcast_to(blk_max, mx_ref.shape)
+        se_ref[:] = jnp.broadcast_to(blk_se, se_ref.shape)
+        pos_ref[:] = jnp.broadcast_to(blk_pos, pos_ref.shape)
+        el_ref[:] = jnp.broadcast_to(blk_el, el_ref.shape)
+
+    @pl.when(m_idx > 0)
+    def _update():
+        run_max = mx_ref[:, :1]
+        new_max = jnp.maximum(run_max, blk_max)
+        old_s = jnp.exp(run_max - new_max)
+        blk_s = jnp.exp(blk_max - new_max)
+        mx_ref[:] = jnp.broadcast_to(new_max, mx_ref.shape)
+        se_ref[:] = jnp.broadcast_to(se_ref[:, :1] * old_s + blk_se * blk_s,
+                                     se_ref.shape)
+        el_ref[:] = jnp.broadcast_to(el_ref[:, :1] * old_s + blk_el * blk_s,
+                                     el_ref.shape)
+        pos_ref[:] = jnp.broadcast_to(pos_ref[:, :1] + blk_pos, pos_ref.shape)
+
+
+def _bwd_kernel(labels_ref, q_ref, bank_ref, tau_ref, mx_ref, se_ref, g_ref,
+                dq_ref, *, m_actual, block_m, nq):
+    m_idx = pl.program_id(1)
+    tau = tau_ref[0]
+    logits, sims = _block_logits(q_ref[:], bank_ref[:], nq, tau)
+
+    col0 = m_idx * block_m
+    col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    valid = col_ids < m_actual
+
+    p = jnp.where(valid, jnp.exp(logits - mx_ref[:, :1]) / se_ref[:, :1], 0.0)
+    p = p - jnp.where(col_ids == labels_ref[:, :1], 1.0, 0.0)
+    p = p * g_ref[:, :1]  # per-example chain scale incl. 1/tau
+
+    # route each (b, m) weight to its argmax query token
+    tb, tm = logits.shape
+    amax = jnp.max(sims, axis=-1, keepdims=True)          # (TB, TM, 1)
+    onehot = (sims == amax).astype(jnp.float32)
+    # break ties toward the first maximal q (jnp.max grad convention differs;
+    # normalize so tied maxima split the weight — matches XLA's max vjp)
+    onehot = onehot / jnp.sum(onehot, axis=-1, keepdims=True)
+    weights = (p[:, :, None] * onehot).reshape(tb, tm * nq)
+    contrib = jax.lax.dot_general(
+        weights, bank_ref[:].astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(m_idx == 0)
+    def _init():
+        dq_ref[:] = contrib
+
+    @pl.when(m_idx > 0)
+    def _update():
+        dq_ref[:] = dq_ref[:] + contrib
+
+
+def _common_prep(feats, bank, labels, block_b, block_m):
+    b_actual, d = feats.shape
+    m_actual, nq = bank.shape[0], bank.shape[1]
+    bp = _round_up(b_actual, block_b)
+    mp = _round_up(m_actual, block_m)
+    q = jnp.pad(feats, ((0, bp - b_actual), (0, 0)))
+    bank_flat = bank.reshape(m_actual * nq, d)
+    bk = jnp.pad(bank_flat, ((0, (mp - m_actual) * nq), (0, 0)))
+    lab = jnp.pad(labels.astype(jnp.int32), (0, bp - b_actual),
+                  constant_values=-1)
+    lab = jnp.broadcast_to(lab[:, None], (bp, LANES))
+    return q, bk, lab, b_actual, m_actual, nq, bp, mp, d
+
+
+def _stat_specs(block_b):
+    spec = pl.BlockSpec((block_b, LANES), lambda i, j: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return spec
+
+
+def _run_forward(feats, bank, labels, tau, *, block_b, block_m):
+    q, bk, lab, b_actual, m_actual, nq, bp, mp, d = _common_prep(
+        feats, bank, labels, block_b, block_m)
+    tau_arr = jnp.asarray(tau, jnp.float32).reshape(1)
+    grid = (bp // block_b, mp // block_m)
+    kernel = functools.partial(_fwd_kernel, m_actual=m_actual,
+                               block_m=block_m, nq=nq)
+    stat_spec = _stat_specs(block_b)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0, grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m * nq, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i, j: (0,), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[stat_spec] * 4,
+    )
+    stat_shape = jax.ShapeDtypeStruct((bp, LANES), jnp.float32)
+    mx, se, pos, el = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=[stat_shape] * 4,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(lab, q, bk, tau_arr)
+    return (mx[:b_actual, 0], se[:b_actual, 0], pos[:b_actual, 0],
+            el[:b_actual, 0])
+
+
+def _run_backward(feats, bank, labels, tau, mx, se, g, *, block_b, block_m):
+    q, bk, lab, b_actual, m_actual, nq, bp, mp, d = _common_prep(
+        feats, bank, labels, block_b, block_m)
+    tau_arr = jnp.asarray(tau, jnp.float32).reshape(1)
+
+    def pad_stat(x, fill):
+        x = jnp.pad(x, (0, bp - b_actual), constant_values=fill)
+        return jnp.broadcast_to(x[:, None], (bp, LANES))
+
+    grid = (bp // block_b, mp // block_m)
+    kernel = functools.partial(_bwd_kernel, m_actual=m_actual,
+                               block_m=block_m, nq=nq)
+    stat_spec = _stat_specs(block_b)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0, grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m * nq, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i, j: (0,), memory_space=pltpu.SMEM),
+            stat_spec, stat_spec, stat_spec,
+        ],
+        out_specs=[pl.BlockSpec((block_b, d), lambda i, j: (i, 0),
+                                memory_space=pltpu.VMEM)],
+    )
+    (dq,) = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((bp, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(lab, q, bk, tau_arr, pad_stat(mx, 0.0), pad_stat(se, 1.0),
+      pad_stat(g, 0.0))
+    return dq[:b_actual]
+
+
+DEFAULT_BLOCK_B = 128
+DEFAULT_BLOCK_M = 128  # bank block holds block_m * 32 rows of D floats
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def max_query_infonce_pallas(feats, bank, labels, tau,
+                             block_b: int = DEFAULT_BLOCK_B,
+                             block_m: int = DEFAULT_BLOCK_M):
+    loss, _ = _fwd_vjp(feats, bank, labels, tau, block_b, block_m)
+    return loss
+
+
+def _fwd_vjp(feats, bank, labels, tau, block_b, block_m):
+    bb = min(block_b, _round_up(feats.shape[0], 8))
+    mx, se, pos, el = _run_forward(feats, bank, labels, tau,
+                                   block_b=bb, block_m=block_m)
+    loss = jnp.mean(jnp.log(se) + mx - pos)
+    return loss, (feats, bank, labels, jnp.asarray(tau, jnp.float32),
+                  mx, se, pos, el)
+
+
+def _bwd_vjp(block_b, block_m, residuals, g):
+    feats, bank, labels, tau, mx, se, pos, el = residuals
+    b = feats.shape[0]
+    bb = min(block_b, _round_up(b, 8))
+    g_rows = jnp.full((b,), g / (b * tau), jnp.float32)
+    dq = _run_backward(feats, bank, labels, tau, mx, se, g_rows,
+                       block_b=bb, block_m=block_m)
+    dtau = g * jnp.mean((pos - el / se) / tau)
+    return (dq.astype(feats.dtype), jnp.zeros_like(bank), None,
+            dtau.astype(jnp.float32))
+
+
+max_query_infonce_pallas.defvjp(_fwd_vjp, _bwd_vjp)
+
+
+def max_query_infonce(feats, bank, labels, tau, impl: str = "auto"):
+    """Dispatch between the Pallas kernel (TPU) and the XLA reference."""
+    from spn4cir_tpu.ops import infonce as _ref
+
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        return max_query_infonce_pallas(feats, bank, labels, tau)
+    return _ref.max_query_infonce(feats, bank, labels, tau)

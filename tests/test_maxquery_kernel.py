@@ -1,0 +1,54 @@
+"""Pallas max-over-query bank InfoNCE (blip2 loss) vs the XLA reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spn4cir_tpu.ops.infonce import max_query_infonce as xla_loss
+from spn4cir_tpu.ops.maxquery_kernels import (
+    max_query_infonce,
+    max_query_infonce_pallas,
+)
+
+
+def _case(rng, b, m, q, d):
+    feats = rng.randn(b, d).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    bank = rng.randn(m, q, d).astype(np.float32)
+    bank /= np.linalg.norm(bank, axis=-1, keepdims=True)
+    labels = rng.randint(0, m, size=b)
+    return jnp.asarray(feats), jnp.asarray(bank), jnp.asarray(labels)
+
+
+@pytest.mark.parametrize("b,m,q,d", [
+    (8, 40, 4, 32),
+    (9, 70, 8, 16),    # ragged B and M
+])
+def test_forward_matches_xla(rng, b, m, q, d):
+    feats, bank, labels = _case(rng, b, m, q, d)
+    tau = 0.05
+    got = float(max_query_infonce_pallas(feats, bank, labels, tau, 8, 16))
+    want = float(xla_loss(feats, bank, labels, tau))
+    assert abs(got - want) < 1e-4, (got, want)
+
+
+def test_grad_matches_xla(rng):
+    feats, bank, labels = _case(rng, 8, 50, 4, 16)
+    tau = 0.07
+    gp, gt = jax.grad(
+        lambda f, t: max_query_infonce_pallas(f, bank, labels, t, 8, 16),
+        argnums=(0, 1))(feats, jnp.float32(tau))
+    gx, gxt = jax.grad(
+        lambda f, t: xla_loss(f, bank, labels, t), argnums=(0, 1))(
+            feats, jnp.float32(tau))
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(gt), float(gxt), rtol=1e-4)
+
+
+def test_dispatch_cpu(rng):
+    feats, bank, labels = _case(rng, 4, 20, 4, 8)
+    got = float(max_query_infonce(feats, bank, labels, 0.1, impl="auto"))
+    want = float(xla_loss(feats, bank, labels, 0.1))
+    assert abs(got - want) < 1e-5
