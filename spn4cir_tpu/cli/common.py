@@ -61,6 +61,11 @@ def base_parser(default_model: str = "RN50x4", default_tau: float = 0.02,
                    help="zscir: train on out-of-domain CC triplets")
     p.add_argument("--profile_dir", default="",
                    help="write a jax profiler trace of the train loop here")
+    p.add_argument("--resume", action="store_true",
+                   help="save/restore full training state per epoch (orbax)")
+    p.add_argument("--lr_schedule", default="constant",
+                   choices=["constant", "cosine", "linear"])
+    p.add_argument("--warmup_steps", type=int, default=0)
     return p
 
 

@@ -122,7 +122,16 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
         print(f"bank: {bank.num_images} images, refer {bank.refer.shape}, "
               f"target {bank.target.shape} -> {bank_path}")
 
-    state = create_train_state(backbone, params, args.learning_rate)
+    if args.lr_schedule != "constant":
+        from spn4cir_tpu.train.stage2 import make_lr_schedule
+
+        steps_per_epoch = max(len(train_ds.triplets) // args.batch_size, 1)
+        lr = make_lr_schedule(args.lr_schedule, args.learning_rate,
+                              steps_per_epoch, args.num_epochs,
+                              args.warmup_steps)
+    else:
+        lr = args.learning_rate
+    state = create_train_state(backbone, params, lr)
     best_score = 0.0
     neg_num = args.neg_num if (args.neg_num > 0 and not args.unlabeled) else None
     neg_rng = np.random.RandomState(args.seed)
@@ -139,12 +148,24 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
         print(f"mesh: data={mesh.shape['data']} bank={mesh.shape['bank']}")
 
     if args.wo_bank:
-        state = create_stage1_state(backbone, params, args.learning_rate)
+        state = create_stage1_state(backbone, params, lr)
+
+    # --- preemption resume (fixes the reference's no-resume gap, SURVEY §5) ---
+    ckpt_mgr = None
+    start_epoch = 0
+    if args.resume:
+        from spn4cir_tpu.utils.checkpoint import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(os.path.join(output_path, "resume"))
+        state, start_epoch = ckpt_mgr.restore(state)
+        if start_epoch:
+            print(f"resumed from epoch {start_epoch}")
+
     from spn4cir_tpu.utils.logging import profiler_trace
 
     trace_ctx = profiler_trace(args.profile_dir or None)
     trace_ctx.__enter__()
-    for epoch in range(getattr(args, "num_epochs")):
+    for epoch in range(start_epoch, getattr(args, "num_epochs")):
         if mesh is not None:
             from spn4cir_tpu.data.datasets import iter_train_bank as _itb
 
@@ -193,6 +214,10 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
                            state.params, epoch=epoch,
                            extra={"score": score, "dataset": args.dataset})
                 print(f"saved best (score {score:.2f})")
+        if ckpt_mgr is not None:
+            ckpt_mgr.save(epoch + 1, state)
+    if ckpt_mgr is not None:
+        ckpt_mgr.wait()
     trace_ctx.__exit__(None, None, None)
     if args.nni:  # (ref clip4cir/train.py:196-197)
         try:

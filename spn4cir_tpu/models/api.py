@@ -118,6 +118,12 @@ class CIRBackbone(abc.ABC):
         """Similarity matrix used for retrieval eval; default = cosine dot."""
         return jnp.dot(query_feats, gallery.T, preferred_element_type=jnp.float32)
 
+    # ---- optimization ----
+    def optimizer_kwargs(self) -> Dict[str, Any]:
+        """Per-backbone AdamW hyperparameters (ref clip4cir/train.py:79-85;
+        blip24cir uses betas (0.9, 0.98), wd 0.05 — SURVEY.md §2.1)."""
+        return {"b1": 0.9, "b2": 0.999, "eps": 1e-7, "weight_decay": 1e-2}
+
     # ---- trainability ----
     def trainable_filter(self, path: Tuple[str, ...]) -> bool:
         """True if the param at `path` trains in stage 2 (image tower frozen,

@@ -313,6 +313,12 @@ class Blip2CIR(CIRBackbone):
         ids, mask = self.tokenizer(texts, max_length=MAX_TXT_LEN)
         return np.stack([ids, mask], axis=1)
 
+    # ---- optimization ----
+    def optimizer_kwargs(self):
+        """blip24cir trains with betas (0.9, 0.98), wd 0.05
+        (ref blip24cir/train.py optimizer, SURVEY.md §2.1)."""
+        return {"b1": 0.9, "b2": 0.98, "eps": 1e-7, "weight_decay": 0.05}
+
     # ---- trainability ----
     def trainable_filter(self, path) -> bool:
         """init_stage2: only Qformer_query, text_proj_q, and the temperature

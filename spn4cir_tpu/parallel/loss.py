@@ -88,3 +88,58 @@ def sharded_bank_infonce(
         out_specs=P(),
     )
     return fn(query, bank, labels)
+
+
+def _local_max_query_infonce(feats, bank_shard, labels, tau, m_actual):
+    """Bank-sharded blip2 loss body: feats (B_loc, D) [data-sharded],
+    bank_shard (M_loc, Q, D) [bank-sharded]. Same pmax/psum combine as
+    `_local_bank_infonce` with a per-target max over Q first."""
+    m_local = bank_shard.shape[0]
+    shard = jax.lax.axis_index(AXIS_BANK)
+    offset = shard * m_local
+
+    sims = jnp.einsum("bd,mqd->bmq", feats.astype(jnp.float32),
+                      bank_shard.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+    logits = jnp.max(sims, axis=-1) / tau
+    col_ids = offset + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(col_ids < m_actual, logits, -jnp.inf)
+
+    local_max = jnp.max(logits, axis=1)
+    gmax = jax.lax.pmax(jax.lax.stop_gradient(local_max), AXIS_BANK)
+    sumexp = jnp.sum(jnp.exp(logits - gmax[:, None]), axis=1)
+    gsumexp = jax.lax.psum(sumexp, AXIS_BANK)
+
+    local_label = labels - offset
+    in_range = (local_label >= 0) & (local_label < m_local)
+    safe = jnp.clip(local_label, 0, m_local - 1)
+    pos_here = jnp.take_along_axis(logits, safe[:, None], axis=1)[:, 0]
+    gpos = jax.lax.psum(jnp.where(in_range, pos_here, 0.0), AXIS_BANK)
+
+    per_row = jnp.log(gsumexp) + gmax - gpos
+    total = jax.lax.psum(jnp.sum(per_row), AXIS_DATA)
+    count = jax.lax.psum(per_row.shape[0] * jnp.ones((), jnp.float32), AXIS_DATA)
+    return total / count
+
+
+def sharded_max_query_infonce(
+    feats: jnp.ndarray,
+    bank: jnp.ndarray,
+    labels: jnp.ndarray,
+    tau,
+    mesh: Mesh,
+    m_actual: int | None = None,
+) -> jnp.ndarray:
+    """blip2 max-over-query InfoNCE with the (M, Q, D) target bank sharded
+    over 'bank' rows and the batch over 'data' (the (M, 32, 256) bank is the
+    largest device-resident tensor in blip2 stage 2 — ~2 GB at CIRR scale)."""
+    m_actual = m_actual if m_actual is not None else bank.shape[0]
+    assert bank.shape[0] % mesh.shape[AXIS_BANK] == 0, (
+        bank.shape, mesh.shape, "pad with pad_bank_rows first")
+    fn = jax.shard_map(
+        functools.partial(_local_max_query_infonce, tau=tau, m_actual=m_actual),
+        mesh=mesh,
+        in_specs=(P(AXIS_DATA), P(AXIS_BANK), P(AXIS_DATA)),
+        out_specs=P(),
+    )
+    return fn(feats, bank, labels)

@@ -62,13 +62,36 @@ def make_optimizer(
     return optax.masked(opt, trainable_mask(params, filter_fn))
 
 
-def create_train_state(backbone: CIRBackbone, params, learning_rate: float,
+def create_train_state(backbone: CIRBackbone, params, learning_rate,
                        **opt_kw) -> TrainState:
-    tx = make_optimizer(learning_rate, params, backbone.trainable_filter, **opt_kw)
+    """learning_rate may be a float or an optax schedule. Backbone-specific
+    AdamW hyperparameters apply unless overridden."""
+    merged = {**backbone.optimizer_kwargs(), **opt_kw}
+    tx = make_optimizer(learning_rate, params, backbone.trainable_filter,
+                        **merged)
     return TrainState.create(apply_fn=None, params=params, tx=tx)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4))
+def make_lr_schedule(kind: str, base_lr: float, steps_per_epoch: int,
+                     num_epochs: int, warmup_steps: int = 0,
+                     min_lr: float = 0.0):
+    """Optional LR schedules (the reference trains at constant LR; its
+    vendored LAVIS ships warmup-cosine/linear, blip24cir/lavis/common/optims.py
+    :14-117 — provided here as first-class options)."""
+    total = max(steps_per_epoch * num_epochs, 1)
+    if kind == "constant":
+        return base_lr
+    if kind == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if warmup_steps else base_lr,
+            peak_value=base_lr, warmup_steps=warmup_steps,
+            decay_steps=total, end_value=min_lr)
+    if kind == "linear":
+        return optax.linear_schedule(base_lr, min_lr, total)
+    raise ValueError(f"unknown lr schedule {kind!r}")
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4), donate_argnums=(1,))
 def stage2_train_step(
     backbone: CIRBackbone,
     state: TrainState,

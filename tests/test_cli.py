@@ -131,3 +131,18 @@ def test_validate_cli_other_backbones(fiq_root, cirr_root, tmp_path, monkeypatch
         "--dataset", "cirr", "--data_path", cirr_root,
         "--clip-model-name", "test-tiny"])
     assert "arithmetic_mean" in r
+
+
+def test_train_cli_resume(fiq_root, tmp_path, monkeypatch):
+    """--resume checkpoints full state per epoch and restores it."""
+    monkeypatch.chdir(tmp_path)
+    argv = [
+        "--dataset", "fiq", "--data_path", fiq_root,
+        "--dress_types", "dress", "--clip-model-name", "test-tiny",
+        "--batch-size", "4", "--loss_impl", "xla", "--resume",
+        "--output_path", str(tmp_path / "out"),
+    ]
+    train_main("clip", argv + ["--num-epochs", "1"])
+    assert os.path.exists(tmp_path / "out" / "resume")
+    # second invocation resumes at epoch 1 and continues to 2
+    train_main("clip", argv + ["--num-epochs", "2"])

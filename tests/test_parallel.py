@@ -90,3 +90,27 @@ def test_mesh_helpers():
     x = jnp.zeros((8, 4))
     sharded = shard_batch(x, mesh)
     assert sharded.sharding.spec == jax.sharding.PartitionSpec(AXIS_DATA)
+
+
+@pytest.mark.parametrize("data,bank", [(4, 2), (2, 4)])
+def test_sharded_max_query_matches_xla(rng, data, bank):
+    from spn4cir_tpu.ops.infonce import max_query_infonce as xla_mq
+    from spn4cir_tpu.parallel.loss import sharded_max_query_infonce
+
+    mesh = make_mesh(data=data, bank=bank)
+    b, m, nq, d = 8, 30, 4, 16
+    feats = jnp.asarray(_norm(rng.randn(b, d)).astype(np.float32))
+    bk = jnp.asarray(_norm(rng.randn(m, nq, d)).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, m, size=b))
+    tau = 0.05
+    padded = pad_bank_rows(bk, bank)
+    got = float(sharded_max_query_infonce(feats, padded, labels, tau, mesh,
+                                          m_actual=m))
+    want = float(xla_mq(feats, bk, labels, tau))
+    assert abs(got - want) < 1e-5
+    # grads
+    g_sh = jax.grad(lambda f: sharded_max_query_infonce(
+        f, padded, labels, tau, mesh, m_actual=m))(feats)
+    g_ref = jax.grad(lambda f: xla_mq(f, bk, labels, tau))(feats)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                               atol=1e-5, rtol=1e-4)

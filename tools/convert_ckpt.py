@@ -1,0 +1,73 @@
+"""Offline checkpoint conversion CLI: reference .pt/.pth -> framework msgpack.
+
+Usage:
+    python tools/convert_ckpt.py --backbone clip --clip-model-name RN50x4 \
+        --input models/stage1.pt --output models/stage1.msgpack
+
+Covers the reference's four upstream checkpoint schema families
+(SURVEY.md §5 checkpoint row) via spn4cir_tpu.models.convert.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--backbone", required=True,
+                   choices=["clip", "zs", "tgcir", "blip", "blip2"])
+    p.add_argument("--clip-model-name", default="RN50x4")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--tau", type=float, default=0.02)
+    p.add_argument("--init-stage2", action="store_true",
+                   help="apply the stage-2 parameter surgery after loading")
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import torch
+
+    from spn4cir_tpu.models import convert
+    from spn4cir_tpu.models.api import build_backbone
+    from spn4cir_tpu.utils.checkpoint import save_model
+
+    kw = dict(tau=args.tau)
+    if args.backbone in ("clip", "zs", "tgcir"):
+        kw["clip_model_name"] = args.clip_model_name
+    backbone = build_backbone(args.backbone, **kw)
+    template = backbone.init_params(jax.random.PRNGKey(0))
+
+    if args.backbone in ("clip", "zs"):
+        params = convert.load_torch_checkpoint(args.input, backbone, template)
+    else:
+        obj = torch.load(args.input, map_location="cpu", weights_only=False)
+        sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+        if args.backbone == "blip":
+            params = convert.convert_blip_retrieval(
+                sd, backbone.vit_cfg.layers, backbone.med_cfg.num_layers,
+                tau=args.tau)
+        elif args.backbone == "blip2":
+            params = convert.convert_blip2_cir(
+                sd, backbone.vit_cfg.layers, backbone.q_cfg.num_layers,
+                tau=args.tau)
+        else:
+            raise SystemExit("tgcir conversion: load the CLIP tower with "
+                             "--backbone clip and re-init the heads "
+                             "(reference tgcir ckpts are full CIRPlus dumps)")
+
+    if args.init_stage2 and hasattr(type(backbone), "init_stage2"):
+        params = type(backbone).init_stage2(params)
+
+    save_model(args.output, params, extra={"source": args.input,
+                                           "backbone": args.backbone})
+    print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()
