@@ -51,10 +51,13 @@ def extract_index_features(
     batch_size: int = 32,
     num_workers: int = 4,
 ) -> GalleryIndex:
+    from spn4cir_tpu.data.prefetch import prefetch
+
     encode = jax.jit(lambda imgs: backbone.index_features(params, imgs))
     names = dataset.gallery_names
     bufs: Dict[str, np.ndarray] = {}
-    for ids, images in iter_gallery(dataset, batch_size, num_workers):
+    for ids, images in prefetch(iter_gallery(dataset, batch_size, num_workers),
+                                depth=2):
         out = jax.device_get(encode(jnp.asarray(images)))
         if not bufs:
             bufs = {k: np.zeros((len(names), *v.shape[1:]), v.dtype)

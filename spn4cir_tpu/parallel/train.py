@@ -54,7 +54,6 @@ def make_sharded_stage2_step(backbone: CIRBackbone, mesh: Mesh, tau=None,
         step,
         in_shardings=(rep, ksh, {"refer_feats": bsh, "text_ids": bsh, "labels": bsh}),
         out_shardings=(rep, rep),
-        donate_argnums=(0,),
     )
 
 

@@ -28,7 +28,7 @@ def create_stage1_state(backbone: CIRBackbone, params, learning_rate: float,
     return TrainState.create(apply_fn=None, params=params, tx=tx)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=(1,))
+@functools.partial(jax.jit, static_argnums=(0, 3))
 def stage1_train_step(backbone: CIRBackbone, state: TrainState, batch,
                       neg_type: int = 0):
     """batch: refer_images (B,H,W,3), target_images (B,H,W,3), text_ids.

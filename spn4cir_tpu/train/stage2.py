@@ -91,7 +91,7 @@ def make_lr_schedule(kind: str, base_lr: float, steps_per_epoch: int,
     raise ValueError(f"unknown lr schedule {kind!r}")
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4), donate_argnums=(1,))
+@functools.partial(jax.jit, static_argnums=(0, 4))
 def stage2_train_step(
     backbone: CIRBackbone,
     state: TrainState,
@@ -124,9 +124,12 @@ def train_epoch(
     log_fn: Callable[[int, float], None] = lambda step, loss: None,
 ):
     """Host epoch loop over `iter_train_bank` batches: gather refer rows,
-    tokenize, dispatch the jitted step. Returns (state, mean_loss)."""
+    tokenize, dispatch the jitted step. Returns (state, mean_loss). Batches
+    are prefetched on a background thread (spn4cir_tpu.data.prefetch)."""
+    from spn4cir_tpu.data.prefetch import prefetch
+
     total, count = 0.0, 0
-    for step, raw in enumerate(batches):
+    for step, raw in enumerate(prefetch(batches, depth=2)):
         dev_batch = {
             "refer_feats": jnp.asarray(bank.gather_refer(raw["refer_image_id"])),
             "text_ids": jnp.asarray(backbone.tokenize(raw["captions"])),
