@@ -1,0 +1,146 @@
+"""Utility-layer tests: checkpointing, logging, seeding, optimizer config."""
+
+import io
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spn4cir_tpu.utils.checkpoint import CheckpointManager, load_model, save_model
+from spn4cir_tpu.utils.logging import MetricLogger, RunningAverage, StepTimer
+from spn4cir_tpu.utils.seeding import seed_everything
+
+
+def test_save_load_model_roundtrip(tmp_path):
+    params = {"params": {"w": jnp.arange(6.0).reshape(2, 3),
+                         "b": jnp.zeros(3)}}
+    path = str(tmp_path / "best.msgpack")
+    save_model(path, params, epoch=3, extra={"score": 42.5})
+    loaded, meta = load_model(path, params)
+    np.testing.assert_array_equal(np.asarray(loaded["params"]["w"]),
+                                  np.asarray(params["params"]["w"]))
+    assert meta["epoch"] == 3 and meta["score"] == 42.5
+
+
+def test_checkpoint_manager_resume(tmp_path):
+    from spn4cir_tpu.models.api import build_backbone
+    from spn4cir_tpu.train.stage2 import create_train_state
+
+    bb = build_backbone("clip", clip_model_name="test-tiny")
+    params = bb.init_params(jax.random.PRNGKey(0))
+    state = create_train_state(bb, params, 1e-3)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(2, state)
+    mgr.wait()
+    assert mgr.latest_step() == 2
+    restored, step = mgr.restore(state)
+    assert step == 2
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
+
+
+def test_running_average():
+    avg = RunningAverage()
+    for v in (1.0, 2.0, 3.0):
+        avg.update(v)
+    assert avg() == 2.0
+
+
+def test_metric_logger_json_lines():
+    buf = io.StringIO()
+    logger = MetricLogger(stream=buf, prefix="test")
+    logger.log(0, loss=1.5)
+    logger.log(1, loss=1.2, lr=1e-4)
+    lines = [json.loads(l) for l in buf.getvalue().strip().split("\n")]
+    assert lines[0]["step"] == 0 and lines[0]["loss"] == 1.5
+    assert lines[1]["lr"] == 1e-4 and lines[1]["tag"] == "test"
+
+
+def test_step_timer():
+    import time
+
+    t = StepTimer(warmup=1)
+    for _ in range(4):
+        t.start()
+        time.sleep(0.01)
+        t.stop(items=10)
+    assert t.mean_step_s > 0.005
+    assert t.items_per_s > 100
+
+
+def test_seed_everything_deterministic():
+    import random
+
+    k1 = seed_everything(7)
+    a = (random.random(), np.random.rand(), jax.random.uniform(k1, ()))
+    k2 = seed_everything(7)
+    b = (random.random(), np.random.rand(), jax.random.uniform(k2, ()))
+    assert a[0] == b[0] and a[1] == b[1] and float(a[2]) == float(b[2])
+
+
+def test_backbone_optimizer_kwargs():
+    from spn4cir_tpu.models.api import build_backbone
+
+    clip = build_backbone("clip", clip_model_name="test-tiny")
+    assert clip.optimizer_kwargs()["b2"] == 0.999
+    blip2 = build_backbone("blip2", blip2_size="test-tiny")
+    kw = blip2.optimizer_kwargs()
+    assert kw["b2"] == 0.98 and kw["weight_decay"] == 0.05
+
+
+def test_lr_schedules():
+    from spn4cir_tpu.train.stage2 import make_lr_schedule
+
+    s = make_lr_schedule("cosine", 1e-3, steps_per_epoch=10, num_epochs=2,
+                         warmup_steps=5)
+    assert float(s(0)) == 0.0
+    assert abs(float(s(5)) - 1e-3) < 1e-9
+    assert float(s(20)) < 1e-4
+    assert make_lr_schedule("constant", 1e-3, 10, 2) == 1e-3
+    lin = make_lr_schedule("linear", 1e-3, 10, 2)
+    assert abs(float(lin(0)) - 1e-3) < 1e-9
+    with pytest.raises(ValueError):
+        make_lr_schedule("nope", 1e-3, 10, 2)
+
+
+def test_bert_vocab_from_file(tmp_path):
+    from spn4cir_tpu.tokenizer.wordpiece import BertTokenizer, tiny_test_vocab
+
+    path = str(tmp_path / "vocab.txt")
+    with open(path, "w") as f:
+        f.write("\n".join(tiny_test_vocab()))
+    tok = BertTokenizer(vocab_path=path)
+    assert tok.encode("a dress") == [tok.vocab["a"], tok.vocab["dress"]]
+    # env-var resolution
+    os.environ["SPN4CIR_BERT_VOCAB"] = path
+    try:
+        tok2 = BertTokenizer()
+        assert tok2.vocab_size == tok.vocab_size
+    finally:
+        del os.environ["SPN4CIR_BERT_VOCAB"]
+
+
+def test_use_cc_dataset(tmp_path):
+    """zscir --use_cc consumes cap.cc.train.json (FIQ) / cap.rc2.cc.json."""
+    import json as _json
+
+    from spn4cir_tpu.data.datasets import CIRDataset
+    from spn4cir_tpu.data.transforms import ImageTransform
+    from tests.fixtures import make_fiq
+
+    root = make_fiq(str(tmp_path / "fiq"), extended=False)
+    base = CIRDataset("fiq", "train", "relative",
+                      ImageTransform("targetpad", 32), root, ["dress"])
+    cc = [{"candidate": base.imagenames[0], "target": base.imagenames[1],
+           "captions": ["cc style caption"]}]
+    with open(os.path.join(root, "captions", "cap.cc.train.json"), "w") as f:
+        _json.dump(cc, f)
+    ds = CIRDataset("fiq", "train", "relative",
+                    ImageTransform("targetpad", 32), root, ["dress"],
+                    plus=True, use_cc=True)
+    assert len(ds) == len(base) + 1
+    assert ds.triplets[-1]["captions"] == ["cc style caption"]
