@@ -50,10 +50,24 @@ def extract_index_features(
     dataset: CIRDataset,
     batch_size: int = 32,
     num_workers: int = 4,
+    mesh=None,
 ) -> GalleryIndex:
+    """Gallery encode; with `mesh`, images shard over the 'data' axis and
+    each device encodes its slice (multi-chip indexing, SURVEY.md §7
+    decision 5 — mirrors the reference's single-GPU scan at
+    clip4cir/utils.py:24). batch_size must divide the data-axis size."""
     from spn4cir_tpu.data.prefetch import prefetch
 
-    encode = jax.jit(lambda imgs: backbone.index_features(params, imgs))
+    if mesh is not None:
+        from spn4cir_tpu.parallel.mesh import batch_sharding, replicated
+
+        encode = jax.jit(
+            lambda imgs: backbone.index_features(params, imgs),
+            in_shardings=(batch_sharding(mesh),),
+            out_shardings=replicated(mesh),
+        )
+    else:
+        encode = jax.jit(lambda imgs: backbone.index_features(params, imgs))
     names = dataset.gallery_names
     bufs: Dict[str, np.ndarray] = {}
     for ids, images in prefetch(iter_gallery(dataset, batch_size, num_workers),

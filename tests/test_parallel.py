@@ -114,3 +114,24 @@ def test_sharded_max_query_matches_xla(rng, data, bank):
     g_ref = jax.grad(lambda f: xla_mq(f, bk, labels, tau))(feats)
     np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_sharded_gallery_indexing(rng, tmp_path):
+    """extract_index_features with a mesh shards the encode over 'data' and
+    matches the single-device result."""
+    from spn4cir_tpu.data.datasets import CIRDataset
+    from spn4cir_tpu.data.transforms import ImageTransform
+    from spn4cir_tpu.eval.retrieval import extract_index_features
+    from tests.fixtures import make_fiq
+
+    bb = build_backbone("clip", clip_model_name="test-tiny")
+    params = bb.init_params(jax.random.PRNGKey(0))
+    root = make_fiq(str(tmp_path / "fiq"))
+    ds = CIRDataset("fiq", "val", "classic", ImageTransform("targetpad", 32),
+                    root, ["dress"])
+    mesh = make_mesh(data=4, bank=2)
+    sharded = extract_index_features(bb, params, ds, batch_size=4,
+                                     num_workers=0, mesh=mesh)
+    plain = extract_index_features(bb, params, ds, batch_size=4, num_workers=0)
+    np.testing.assert_allclose(np.asarray(sharded.target),
+                               np.asarray(plain.target), atol=1e-5)
