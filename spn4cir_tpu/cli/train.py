@@ -33,11 +33,7 @@ from spn4cir_tpu.data.datasets import (
     iter_unique_images,
     iter_unlabeled,
 )
-from spn4cir_tpu.eval.retrieval import (
-    cirr_val_retrieval,
-    extract_index_features,
-    fiq_val_retrieval,
-)
+from spn4cir_tpu.eval.retrieval import cirr_val_retrieval, fiq_val_retrieval
 from spn4cir_tpu.eval.metrics import fiq_average
 from spn4cir_tpu.train.stage1 import create_stage1_state, train_epoch_stage1
 from spn4cir_tpu.train.stage2 import create_train_state, train_epoch
@@ -45,7 +41,7 @@ from spn4cir_tpu.parallel.loss import pad_bank_rows
 from spn4cir_tpu.parallel.mesh import make_mesh, put_bank, replicate, shard_batch
 from spn4cir_tpu.parallel.train import make_sharded_stage2_step
 from spn4cir_tpu.utils.checkpoint import save_model
-from spn4cir_tpu.utils.logging import MetricLogger, RunningAverage
+from spn4cir_tpu.utils.logging import MetricLogger
 from spn4cir_tpu.utils.seeding import seed_everything
 
 

@@ -11,7 +11,7 @@ sentence turning image-1 into image-2."""
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence
+from typing import Callable
 
 FEW_SHOT_EXAMPLES = {
     # (caption1, caption2) -> modification text; the reference's few-shot

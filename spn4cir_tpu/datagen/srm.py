@@ -18,7 +18,7 @@ Outputs (npz `srm.npz`, same tensor roles as the reference's srm.pth):
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ with no sort, no string compares, and no host round-trip.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

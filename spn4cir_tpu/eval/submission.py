@@ -16,7 +16,7 @@ from typing import Dict, List, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from spn4cir_tpu.data.datasets import CIRDataset, iter_relative_eval
+from spn4cir_tpu.data.datasets import CIRDataset
 from spn4cir_tpu.eval import metrics as M
 from spn4cir_tpu.eval.retrieval import (
     GalleryIndex,

@@ -16,18 +16,13 @@ XLA fuses (SURVEY.md §2.9).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from spn4cir_tpu.models.layers import (
-    LayerNorm,
-    Transformer,
-    causal_mask,
-    quick_gelu,
-)
+from spn4cir_tpu.models.layers import LayerNorm, Transformer, causal_mask
 
 Dtype = Any
 

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from spn4cir_tpu.models.api import BankSpec, CIRBackbone, register_backbone
-from spn4cir_tpu.models.clip import CLIP_CONFIGS, build_clip
+from spn4cir_tpu.models.clip import build_clip
 from spn4cir_tpu.ops import infonce
 from spn4cir_tpu.ops.bank_kernels import bank_infonce
 from spn4cir_tpu.tokenizer import tokenize

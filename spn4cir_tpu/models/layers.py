@@ -13,7 +13,6 @@ TPU-first conventions used throughout the model zoo:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Optional
 
 import flax.linen as nn

@@ -13,7 +13,7 @@ text side trains fine without it and eval parity is exact)."""
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from spn4cir_tpu.models.api import BankSpec, CIRBackbone, register_backbone
-from spn4cir_tpu.models.clip import CLIP, CLIP_CONFIGS, build_clip
+from spn4cir_tpu.models.clip import CLIP, CLIP_CONFIGS
 from spn4cir_tpu.ops import infonce
 from spn4cir_tpu.ops.bank_kernels import bank_infonce
 from spn4cir_tpu.tokenizer import tokenize

@@ -21,7 +21,7 @@ All losses take logits in float32 regardless of input dtype (bf16-safe).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ feature-parity tolerance ladder (SURVEY.md §7 "hard parts")."""
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ pmax/psum (see `spn4cir_tpu.parallel.loss`).
 
 from __future__ import annotations
 
-import functools
 from typing import Dict
 
 import jax
@@ -20,9 +19,8 @@ from jax.sharding import Mesh
 from spn4cir_tpu.models.api import CIRBackbone
 from spn4cir_tpu.parallel.loss import sharded_bank_infonce
 from spn4cir_tpu.parallel.mesh import (
-    AXIS_BANK,
-    batch_sharding,
     bank_sharding,
+    batch_sharding,
     replicated,
 )
 from spn4cir_tpu.train.stage2 import TrainState

@@ -20,7 +20,6 @@ gather by reference-image id.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Any, Callable, Dict, Iterator, Optional
 

@@ -11,7 +11,7 @@ import contextlib
 import json
 import sys
 import time
-from typing import Dict, Optional
+from typing import Optional
 
 
 class RunningAverage:
