@@ -230,7 +230,6 @@ def convert_med_state_dict(sd: Dict[str, Any], num_layers: int,
     p: Dict = {
         "word_embeddings": _t(sd[f"{emb}.word_embeddings.weight"]),
         "position_embeddings": _t(sd[f"{emb}.position_embeddings.weight"]),
-        "token_type_embeddings": _t(sd[f"{emb}.token_type_embeddings.weight"]),
         "embeddings_ln": {"scale": _t(sd[f"{emb}.LayerNorm.weight"]),
                           "bias": _t(sd[f"{emb}.LayerNorm.bias"])},
         "layers": {"layer": {

@@ -31,7 +31,6 @@ class MedConfig:
     num_heads: int = 12
     intermediate_size: int = 3072
     max_position_embeddings: int = 512
-    type_vocab_size: int = 2
     encoder_width: int = 768  # cross-attn kv width (= ViT width)
 
     @classmethod
@@ -119,13 +118,13 @@ class MedBert(nn.Module):
     def __call__(self, input_ids, attention_mask=None, encoder_hidden_states=None,
                  encoder_attention_mask=None):
         cfg = self.cfg
+        # MED embeddings: word + position only (the reference's BertEmbeddings
+        # drops token_type, blip4cir/med.py)
         emb = self.param("word_embeddings", nn.initializers.normal(0.02),
                          (cfg.vocab_size, cfg.hidden_size), jnp.float32)
         pos = self.param("position_embeddings", nn.initializers.normal(0.02),
                          (cfg.max_position_embeddings, cfg.hidden_size), jnp.float32)
-        tok_type = self.param("token_type_embeddings", nn.initializers.normal(0.02),
-                              (cfg.type_vocab_size, cfg.hidden_size), jnp.float32)
-        x = emb[input_ids] + pos[: input_ids.shape[1]][None] + tok_type[0][None, None]
+        x = emb[input_ids] + pos[: input_ids.shape[1]][None]
         x = _ln("embeddings_ln")(x).astype(self.dtype)
 
         self_mask = additive_mask(attention_mask) if attention_mask is not None else None

@@ -66,14 +66,19 @@ def _ln(name: str):
 
 
 class _SplitFFN(nn.Module):
-    """Query/text-split feed-forward with post-LN residual
-    (ref Qformer.py:449-467)."""
+    """Query/text-split feed-forward with post-LN residual.
+
+    The modified LAVIS layer gates the split on the PRESENCE of encoder
+    states, not on query_length (ref Qformer.py:434-470, the "baiyang
+    change"): with an image present, query positions use the `_query` FFN
+    and text positions the plain FFN; without one (the stage-2 text
+    re-read), the whole sequence uses the plain FFN."""
 
     cfg: QFormerConfig
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, query_length: int):
+    def __call__(self, hidden, query_length: int, split: bool):
         def ffn(x, suffix):
             inter = nn.Dense(self.cfg.intermediate_size, dtype=self.dtype,
                              name=f"intermediate{suffix}")(x)
@@ -82,6 +87,11 @@ class _SplitFFN(nn.Module):
                            name=f"output{suffix}")(inter)
             return _ln(f"ln{suffix}")((x + out).astype(jnp.float32)).astype(self.dtype)
 
+        if not split:
+            # touch the query FFN params so the module structure is stable
+            # across modes (flax materializes traced paths only)
+            _ = ffn(hidden[:, :1], "_query")
+            return ffn(hidden, "")
         q_out = ffn(hidden[:, :query_length], "_query")
         if hidden.shape[1] > query_length:
             t_out = ffn(hidden[:, query_length:], "")
@@ -95,7 +105,8 @@ class _QFormerLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, enc_states, self_mask, cross_mask, query_length):
+    def __call__(self, hidden, enc_states, self_mask, cross_mask, query_length,
+                 split: bool):
         med = self.cfg.as_med()
         hidden = _BertAttention(med, self.dtype, name="self_attn")(
             hidden, mask=self_mask)
@@ -103,7 +114,8 @@ class _QFormerLayer(nn.Module):
             q_part = _BertAttention(med, self.dtype, name="cross_attn")(
                 hidden[:, :query_length], kv=enc_states, mask=cross_mask)
             hidden = jnp.concatenate([q_part, hidden[:, query_length:]], axis=1)
-        return _SplitFFN(self.cfg, self.dtype, name="ffn")(hidden, query_length)
+        return _SplitFFN(self.cfg, self.dtype, name="ffn")(hidden, query_length,
+                                                           split)
 
 
 class _LayerPair(nn.Module):
@@ -114,10 +126,13 @@ class _LayerPair(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, enc_states, self_mask, cross_mask, query_length):
+        # the FFN split applies to EVERY layer whenever an image is present
+        # (ref Qformer.py:435 gates on encoder_hidden_states, not has_cross)
+        split = enc_states is not None
         hidden = _QFormerLayer(self.cfg, True, self.dtype, name="cross_layer")(
-            hidden, enc_states, self_mask, cross_mask, query_length)
+            hidden, enc_states, self_mask, cross_mask, query_length, split)
         hidden = _QFormerLayer(self.cfg, False, self.dtype, name="plain_layer")(
-            hidden, None, self_mask, None, query_length)
+            hidden, None, self_mask, None, query_length, split)
         return hidden, None
 
 

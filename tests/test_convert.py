@@ -198,7 +198,6 @@ def test_convert_blip_retrieval_structure():
     emb = "text_encoder.embeddings"
     sd[f"{emb}.word_embeddings.weight"] = t(med.vocab_size, med.hidden_size)
     sd[f"{emb}.position_embeddings.weight"] = t(med.max_position_embeddings, med.hidden_size)
-    sd[f"{emb}.token_type_embeddings.weight"] = t(med.type_vocab_size, med.hidden_size)
     sd[f"{emb}.LayerNorm.weight"] = t(med.hidden_size)
     sd[f"{emb}.LayerNorm.bias"] = t(med.hidden_size)
     for i in range(med.num_layers):
