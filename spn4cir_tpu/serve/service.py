@@ -1,0 +1,143 @@
+"""CIR retrieval serving: an in-process service + HTTP front-end.
+
+The reference vendors LLaVA's controller/worker REST stack for MLLM serving
+(`zscir/llava/serve/`, SURVEY.md §2.6) but has no serving path for the CIR
+product itself; this module provides one, TPU-native: a pre-encoded gallery
+index held in device HBM, a jitted fuse+score+top-k query path, and a
+threaded HTTP server (stdlib only) for deployment.
+
+Query forms:
+  - reference by gallery name (the CIR eval convention, quirk SURVEY.md §8.8:
+    reference features come from the gallery index)
+  - reference by image (base64-encoded), encoded on the fly
+"""
+
+from __future__ import annotations
+
+import base64
+import functools
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spn4cir_tpu.eval.retrieval import GalleryIndex
+from spn4cir_tpu.models.api import CIRBackbone
+
+
+class RetrievalService:
+    """Composed-image-retrieval queries against a fixed gallery index."""
+
+    def __init__(self, backbone: CIRBackbone, params, index: GalleryIndex,
+                 preprocess=None, default_k: int = 10):
+        self.backbone = backbone
+        self.params = params
+        self.index = index
+        self.preprocess = preprocess
+        self.default_k = default_k
+        self._name2gid = {n: i for i, n in enumerate(index.names)}
+        self._fuse = jax.jit(
+            lambda refer, text: backbone.fuse(params, refer, text))
+        self._encode_refer = jax.jit(
+            lambda imgs: backbone.index_features(params, imgs)["refer"])
+        self._lock = threading.Lock()  # jit dispatch is not thread-safe-free
+
+    # -- query paths --------------------------------------------------------
+    def query_by_name(self, reference_name: str, caption: str,
+                      k: Optional[int] = None) -> List[dict]:
+        gid = self._name2gid.get(reference_name)
+        if gid is None:
+            raise KeyError(f"unknown gallery image {reference_name!r}")
+        refer = self.index.refer_rows(np.asarray([gid]))
+        return self._run(refer, caption, k, exclude_gid=gid)
+
+    def query_by_image(self, image, caption: str,
+                       k: Optional[int] = None) -> List[dict]:
+        """image: PIL.Image or (H, W, 3) array; preprocessed + encoded live."""
+        if self.preprocess is None:
+            raise RuntimeError("service built without a preprocess pipeline")
+        arr = image if isinstance(image, np.ndarray) else self.preprocess(image)
+        refer = self._encode_refer(jnp.asarray(arr[None]))
+        return self._run(refer, caption, k, exclude_gid=None)
+
+    def _run(self, refer, caption: str, k: Optional[int],
+             exclude_gid: Optional[int]) -> List[dict]:
+        k = min(k or self.default_k, len(self.index.names))
+        with self._lock:
+            text = jnp.asarray(self.backbone.tokenize([caption]))
+            query = self._fuse(refer, text)
+            scores = self.backbone.score_queries(query, self.index.target)[0]
+        scores = np.array(scores)  # copy: jax array views are read-only
+        if exclude_gid is not None:
+            scores[exclude_gid] = -np.inf
+        top = np.argsort(-scores)[:k]
+        return [{"name": self.index.names[int(i)],
+                 "score": float(scores[int(i)])} for i in top]
+
+
+# ---------------------------------------------------------------------------
+# HTTP front-end (stdlib; one process per chip, scale behind any LB)
+# ---------------------------------------------------------------------------
+
+def make_handler(service: RetrievalService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok",
+                                 "gallery_size": len(service.index.names)})
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/retrieve":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length))
+                caption = req["caption"]
+                k = req.get("k")
+                if "reference_name" in req:
+                    results = service.query_by_name(req["reference_name"],
+                                                    caption, k)
+                elif "image_b64" in req:
+                    from PIL import Image
+
+                    raw = base64.b64decode(req["image_b64"])
+                    results = service.query_by_image(
+                        Image.open(io.BytesIO(raw)), caption, k)
+                else:
+                    raise KeyError("need reference_name or image_b64")
+                self._send(200, {"results": results})
+            except KeyError as exc:
+                self._send(400, {"error": str(exc)})
+            except Exception as exc:  # pragma: no cover
+                self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
+
+    return Handler
+
+
+def serve(service: RetrievalService, host: str = "0.0.0.0", port: int = 8080
+          ) -> ThreadingHTTPServer:
+    """Start the HTTP server on a background thread; returns the server
+    (call .shutdown() to stop)."""
+    server = ThreadingHTTPServer((host, port), make_handler(service))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server
