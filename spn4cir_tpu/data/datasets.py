@@ -55,6 +55,7 @@ class CIRDataset:
         extend_suffix: str = "clip",
         use_cc: bool = False,
         fiq_val_type: int = 0,
+        val_ret_train: bool = False,
         seed: Optional[int] = None,
     ):
         if dress_types is None:
@@ -71,6 +72,7 @@ class CIRDataset:
         self.dress_types = list(dress_types)
         self.use_bank = False
         self.fiq_val_type = fiq_val_type
+        self.val_ret_train = val_ret_train
         self._rng = random.Random(seed)
 
         self.triplets: List[dict] = []
@@ -306,6 +308,14 @@ class CIRDataset:
                     return row
                 return (self.load_image(t["reference"]), caption,
                         self.load_image(t["target"]), *row[1:])
+            if self.split == "val" and self.val_ret_train:
+                # retrieval-training on the val split: images + the pinned
+                # deterministic caption branch (ref data_utils.py:276-285,
+                # generate_randomized_fiq_caption(type=0))
+                caption = (generate_randomized_fiq_caption(t["captions"], type=0)
+                           if len(t["captions"]) > 1 else t["captions"][0])
+                return (self.load_image(t["reference"]), caption,
+                        self.load_image(t["target"]))
             if self.split == "val":
                 if self.data_name == "fiq":
                     return t["reference_name"], t["target_name"], t["captions"]

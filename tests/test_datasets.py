@@ -158,3 +158,13 @@ def test_fiq_val_type_gallery(fiq_root):
     needed = {t["reference_name"] for t in rel.triplets}
     needed |= {t["target_name"] for t in rel.triplets}
     assert set(val_only.gallery_names) == needed
+
+
+def test_val_ret_train_mode(fiq_root):
+    ds = CIRDataset("fiq", "val", "relative", TF, fiq_root, ["dress"],
+                    val_ret_train=True)
+    refer_img, caption, target_img = ds[0]
+    assert refer_img.shape == (32, 32, 3)
+    assert target_img.shape == (32, 32, 3)
+    # deterministic "a and b" branch (type=0)
+    assert " and " in caption
