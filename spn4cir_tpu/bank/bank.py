@@ -37,31 +37,43 @@ import numpy as np
 
 @dataclasses.dataclass
 class Bank:
-    """refer: (M, *refer_shape) host array keyed by unique image id;
-    target: (M, *target_shape) device array, L2-normalized."""
+    """refer: (N, *refer_shape) host array; target: (M, *target_shape)
+    device array, L2-normalized.
+
+    refer_key: 'image' when refer rows are keyed by unique image id (clip /
+    tgcir / blip, and blip2 --plus); 'triplet' when keyed by triplet index
+    (blip2 non-plus fusion states are caption-dependent,
+    ref blip24cir/models.py:49-82 + quirk SURVEY.md §8.3)."""
 
     refer: np.ndarray
     target: jnp.ndarray
+    refer_key: str = "image"
 
     @property
     def num_images(self) -> int:
-        return self.refer.shape[0]
+        return self.target.shape[0]
 
-    def gather_refer(self, image_ids: np.ndarray) -> np.ndarray:
-        """Per-batch host gather of refer rows (fed to the jitted step)."""
-        return self.refer[image_ids]
+    def gather_refer(self, batch: dict) -> np.ndarray:
+        """Per-batch host gather of refer rows (fed to the jitted step);
+        accepts an iter_train_bank batch dict and picks the right key."""
+        ids = (batch["refer_image_id"] if self.refer_key == "image"
+               else batch["triplet_idx"])
+        return self.refer[ids]
 
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         np.savez_compressed(path, refer=self.refer,
-                            target=np.asarray(self.target))
+                            target=np.asarray(self.target),
+                            refer_key=np.asarray(self.refer_key))
 
     @classmethod
     def load(cls, path: str, device_target: bool = True) -> "Bank":
         data = np.load(path)
         target = data["target"]
+        key = str(data["refer_key"]) if "refer_key" in data else "image"
         return cls(refer=data["refer"],
-                   target=jnp.asarray(target) if device_target else target)
+                   target=jnp.asarray(target) if device_target else target,
+                   refer_key=key)
 
 
 def extract_banks(
@@ -98,7 +110,8 @@ def extract_banks(
     if refer_buf is None:
         raise ValueError("no image batches supplied")
 
-    bank = Bank(refer=refer_buf, target=jnp.asarray(target_buf))
+    bank = Bank(refer=refer_buf, target=jnp.asarray(target_buf),
+                refer_key="image")
     if cache_path:
         bank.save(cache_path)
     return bank
@@ -157,7 +170,8 @@ def extract_fusion_banks(
     if refer_buf is None:
         raise ValueError("no batches supplied")
 
-    bank = Bank(refer=refer_buf, target=jnp.asarray(target_buf))
+    bank = Bank(refer=refer_buf, target=jnp.asarray(target_buf),
+                refer_key="image" if by_image else "triplet")
     if cache_path:
         bank.save(cache_path)
     return bank
@@ -192,4 +206,4 @@ def extend_target_bank(bank: Bank, unlabeled: np.ndarray,
     truncates to the first `neg_num` rows when set)."""
     extra = unlabeled[:neg_num] if neg_num and neg_num > 0 else unlabeled
     target = jnp.concatenate([bank.target, jnp.asarray(extra)], axis=0)
-    return Bank(refer=bank.refer, target=target)
+    return Bank(refer=bank.refer, target=target, refer_key=bank.refer_key)

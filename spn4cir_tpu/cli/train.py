@@ -169,8 +169,7 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
             for raw in _itb(train_ds, args.batch_size,
                             epoch_seed=args.seed + epoch):
                 batch = shard_batch({
-                    "refer_feats": jnp.asarray(
-                        bank.gather_refer(raw["refer_image_id"])),
+                    "refer_feats": jnp.asarray(bank.gather_refer(raw)),
                     "text_ids": jnp.asarray(backbone.tokenize(raw["captions"])),
                     "labels": jnp.asarray(raw["target_image_id"]),
                 }, mesh)

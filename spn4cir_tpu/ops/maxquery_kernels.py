@@ -8,11 +8,14 @@ behavior: `blip2_qformer_cir_align_prompt.py:226-268`):
     loss   = mean CE(logits, labels)
 
 For CIRR-scale banks the XLA path materializes the (B, M, Q) sims tensor
-(e.g. 128 x 60k x 32 x 4B = 1 GB); this kernel sweeps bank blocks through
-VMEM — per block one (TB, TM*Q) MXU matmul, a Q-group max, and the same
-flash-style online-softmax statistics as `ops/bank_kernels`. The backward
-pass recomputes per-block sims, resolves each (b, m) argmax over Q with a
-one-hot mask, and accumulates dfeats = P~ @ bank_flat in one MXU call.
+(e.g. 128 x 60k x 32 x 4B = 1 GB); this kernel sweeps (Q, TM, D) bank blocks
+through VMEM (query axis leading/untiled so a fori_loop can index it —
+Mosaic rejects both the 2D->3D reshape a fused matmul would need and large
+unrolled bodies). Per block: a fori_loop of Q MXU matmuls folded with a
+running elementwise max, then the same flash-style online-softmax statistics
+as `ops/bank_kernels`. The backward pass recomputes per-q sims, routes each
+(b, m) weight to its first argmax query, and accumulates dfeats with Q MXU
+calls per block.
 
 Gradients: dfeats and dtau exact; the bank is a frozen cache (zero grad,
 DCE'd); labels carry none.
@@ -42,22 +45,29 @@ def _round_up(x, m):
     return _cdiv(x, m) * m
 
 
-def _block_logits(q, bank_flat, nq, tau):
-    """(TB, D) x (TM*Q, D) -> max-over-Q logits (TB, TM) in f32."""
-    sims = jax.lax.dot_general(
-        q.astype(jnp.float32), bank_flat.astype(jnp.float32),
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    tb = sims.shape[0]
-    tm = sims.shape[1] // nq
-    sims = sims.reshape(tb, tm, nq)
-    return jnp.max(sims, axis=-1) / tau, sims
+def _q_sim(q, bank_ref, qq):
+    """(TB, D) x bank_ref[qq] (TM, D) -> (TB, TM) f32 sims. The bank block is
+    laid out (Q, TM, D): the query-token axis leads so dynamic indexing hits
+    an untiled dimension."""
+    bk = bank_ref[qq].astype(jnp.float32)
+    return jax.lax.dot_general(
+        q, bk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _max_logits(q, bank_ref, nq, tau):
+    """max over Q of per-query sims, divided by tau (max commutes with /tau)."""
+    init = _q_sim(q, bank_ref, 0)
+    acc = jax.lax.fori_loop(
+        1, nq, lambda qq, a: jnp.maximum(a, _q_sim(q, bank_ref, qq)), init)
+    return acc / tau
 
 
 def _fwd_kernel(labels_ref, q_ref, bank_ref, tau_ref,
                 mx_ref, se_ref, pos_ref, el_ref, *, m_actual, block_m, nq):
     m_idx = pl.program_id(1)
     tau = tau_ref[0]
-    logits, _ = _block_logits(q_ref[:], bank_ref[:], nq, tau)
+    q = q_ref[:].astype(jnp.float32)
+    logits = _max_logits(q, bank_ref, nq, tau)
 
     col0 = m_idx * block_m
     col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
@@ -98,7 +108,12 @@ def _bwd_kernel(labels_ref, q_ref, bank_ref, tau_ref, mx_ref, se_ref, g_ref,
                 dq_ref, *, m_actual, block_m, nq):
     m_idx = pl.program_id(1)
     tau = tau_ref[0]
-    logits, sims = _block_logits(q_ref[:], bank_ref[:], nq, tau)
+    q = q_ref[:].astype(jnp.float32)
+
+    maxsim = jax.lax.fori_loop(
+        1, nq, lambda qq, a: jnp.maximum(a, _q_sim(q, bank_ref, qq)),
+        _q_sim(q, bank_ref, 0))
+    logits = maxsim / tau
 
     col0 = m_idx * block_m
     col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
@@ -107,18 +122,22 @@ def _bwd_kernel(labels_ref, q_ref, bank_ref, tau_ref, mx_ref, se_ref, g_ref,
     p = jnp.where(valid, jnp.exp(logits - mx_ref[:, :1]) / se_ref[:, :1], 0.0)
     p = p - jnp.where(col_ids == labels_ref[:, :1], 1.0, 0.0)
     p = p * g_ref[:, :1]  # per-example chain scale incl. 1/tau
+    p = jnp.where(valid, p, 0.0)
 
-    # route each (b, m) weight to its argmax query token
-    tb, tm = logits.shape
-    amax = jnp.max(sims, axis=-1, keepdims=True)          # (TB, TM, 1)
-    onehot = (sims == amax).astype(jnp.float32)
-    # break ties toward the first maximal q (jnp.max grad convention differs;
-    # normalize so tied maxima split the weight — matches XLA's max vjp)
-    onehot = onehot / jnp.sum(onehot, axis=-1, keepdims=True)
-    weights = (p[:, :, None] * onehot).reshape(tb, tm * nq)
-    contrib = jax.lax.dot_general(
-        weights, bank_ref[:].astype(jnp.float32),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    # route each (b, m) weight to its FIRST argmax query (ties are
+    # measure-zero with float sims; XLA's max vjp splits them instead)
+    def body(qq, carry):
+        contrib, taken = carry
+        sim = _q_sim(q, bank_ref, qq)
+        pick = jnp.where((sim >= maxsim) & (taken < 0.5), 1.0, 0.0)
+        contrib = contrib + jax.lax.dot_general(
+            p * pick, bank_ref[qq].astype(jnp.float32),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return contrib, jnp.maximum(taken, pick)
+
+    contrib, _ = jax.lax.fori_loop(
+        0, nq, body, (jnp.zeros(q.shape, jnp.float32),
+                      jnp.zeros_like(maxsim)))
 
     @pl.when(m_idx == 0)
     def _init():
@@ -135,18 +154,17 @@ def _common_prep(feats, bank, labels, block_b, block_m):
     bp = _round_up(b_actual, block_b)
     mp = _round_up(m_actual, block_m)
     q = jnp.pad(feats, ((0, bp - b_actual), (0, 0)))
-    bank_flat = bank.reshape(m_actual * nq, d)
-    bk = jnp.pad(bank_flat, ((0, (mp - m_actual) * nq), (0, 0)))
+    # (M, Q, D) -> (Q, Mp, D): query axis leads (untiled, dynamically indexed)
+    bk = jnp.pad(bank.transpose(1, 0, 2), ((0, 0), (0, mp - m_actual), (0, 0)))
     lab = jnp.pad(labels.astype(jnp.int32), (0, bp - b_actual),
                   constant_values=-1)
     lab = jnp.broadcast_to(lab[:, None], (bp, LANES))
     return q, bk, lab, b_actual, m_actual, nq, bp, mp, d
 
 
-def _stat_specs(block_b):
-    spec = pl.BlockSpec((block_b, LANES), lambda i, j: (i, 0),
+def _stat_spec(block_b):
+    return pl.BlockSpec((block_b, LANES), lambda i, j: (i, 0),
                         memory_space=pltpu.VMEM)
-    return spec
 
 
 def _run_forward(feats, bank, labels, tau, *, block_b, block_m):
@@ -156,13 +174,13 @@ def _run_forward(feats, bank, labels, tau, *, block_b, block_m):
     grid = (bp // block_b, mp // block_m)
     kernel = functools.partial(_fwd_kernel, m_actual=m_actual,
                                block_m=block_m, nq=nq)
-    stat_spec = _stat_specs(block_b)
+    stat_spec = _stat_spec(block_b)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0, grid=grid,
         in_specs=[
             pl.BlockSpec((block_b, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m * nq, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, block_m, d), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1,), lambda i, j: (0,), memory_space=pltpu.SMEM),
         ],
         out_specs=[stat_spec] * 4,
@@ -190,13 +208,13 @@ def _run_backward(feats, bank, labels, tau, mx, se, g, *, block_b, block_m):
     grid = (bp // block_b, mp // block_m)
     kernel = functools.partial(_bwd_kernel, m_actual=m_actual,
                                block_m=block_m, nq=nq)
-    stat_spec = _stat_specs(block_b)
+    stat_spec = _stat_spec(block_b)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0, grid=grid,
         in_specs=[
             pl.BlockSpec((block_b, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m * nq, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, block_m, d), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1,), lambda i, j: (0,), memory_space=pltpu.SMEM),
             stat_spec, stat_spec, stat_spec,
         ],
@@ -215,7 +233,7 @@ def _run_backward(feats, bank, labels, tau, mx, se, g, *, block_b, block_m):
 
 
 DEFAULT_BLOCK_B = 128
-DEFAULT_BLOCK_M = 128  # bank block holds block_m * 32 rows of D floats
+DEFAULT_BLOCK_M = 128  # bank block = (block_m, Q, D) floats in VMEM
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

@@ -130,7 +130,7 @@ def train_epoch(
     total, count = 0.0, 0
     for step, raw in enumerate(prefetch(batches, depth=2)):
         dev_batch = {
-            "refer_feats": jnp.asarray(bank.gather_refer(raw["refer_image_id"])),
+            "refer_feats": jnp.asarray(bank.gather_refer(raw)),
             "text_ids": jnp.asarray(backbone.tokenize(raw["captions"])),
             "labels": jnp.asarray(raw["target_image_id"]),
         }

@@ -146,3 +146,29 @@ def test_train_cli_resume(fiq_root, tmp_path, monkeypatch):
     assert os.path.exists(tmp_path / "out" / "resume")
     # second invocation resumes at epoch 1 and continues to 2
     train_main("clip", argv + ["--num-epochs", "2"])
+
+
+def test_train_cli_blip2(fiq_root, tmp_path, monkeypatch):
+    """blip2 train path: caption-aware fusion banks + max-query loss."""
+    monkeypatch.chdir(tmp_path)
+    best = train_main("blip2", [
+        "--dataset", "fiq", "--data_path", fiq_root,
+        "--dress_types", "dress", "--clip-model-name", "test-tiny",
+        "--num-epochs", "1", "--batch-size", "4",
+        "--loss_impl", "xla",
+        "--output_path", str(tmp_path / "out"),
+    ])
+    assert best >= 0
+    assert os.path.exists(tmp_path / "out" / "fiq_bank.npz")
+
+
+def test_train_cli_tgcir(fiq_root, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    best = train_main("tgcir", [
+        "--dataset", "fiq", "--data_path", fiq_root,
+        "--dress_types", "dress", "--clip-model-name", "test-tiny",
+        "--num-epochs", "1", "--batch-size", "4",
+        "--loss_impl", "xla",
+        "--output_path", str(tmp_path / "out"),
+    ])
+    assert best >= 0
