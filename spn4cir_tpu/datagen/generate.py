@@ -124,3 +124,54 @@ def write_extended_triplets(dataset, triplets: List[dict], model_tag: str,
     with open(path, "w") as f:
         f.write(json.dumps(triplets))
     return path
+
+
+def generate_cc_triplets(
+    cc_captions: Dict[str, str],
+    data_name: str,
+    *,
+    k: int = 1,
+    prompt_ids: Sequence[int] = (0,),
+    total_cap: int = 0,
+    llm_rewrite: Optional[Callable[[str, str], str]] = None,
+    seed: Optional[int] = None,
+) -> List[dict]:
+    """Out-of-domain (CC3M-style) triplet generation (ref get_cir_data.get_cc
+    :180-223): partners sampled among the external captioned images; output
+    schema matches the in-domain extended triplets so `--use_cc` consumes it
+    (cap.cc.train.json / cap.rc2.cc.json)."""
+    rng = random.Random(seed)
+    names = list(cc_captions.keys())
+    n = len(names)
+    out: List[dict] = []
+    for i, name1 in enumerate(names):
+        for j in sample_partners(i, n, k, rng):
+            name2 = names[j]
+            caption1, caption2 = cc_captions[name1], cc_captions[name2]
+            captions = get_captions(caption1, caption2, prompt_ids)
+            if data_name == "fiq":
+                out.append({"candidate": name1, "target": name2,
+                            "captions": captions,
+                            "caption1": caption1, "caption2": caption2})
+            else:
+                out.append({"reference": name1, "target_hard": name2,
+                            "caption": captions, "pairid": 0,
+                            "img_set": {"members": ["xxx"]},
+                            "caption1": caption1, "caption2": caption2})
+    if total_cap > 0 and len(out) > total_cap:
+        out = rng.sample(out, total_cap)
+    if llm_rewrite is not None:
+        for t in out:
+            t["llm_caption"] = llm_rewrite(t["caption1"], t["caption2"])
+    return out
+
+
+def write_cc_triplets(data_path: str, data_name: str, triplets: List[dict]) -> str:
+    if data_name == "fiq":
+        path = os.path.join(data_path, "captions", "cap.cc.train.json")
+    else:
+        path = os.path.join(data_path, "cirr", "captions", "cap.rc2.cc.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(json.dumps(triplets))
+    return path

@@ -184,3 +184,53 @@ def test_rewrite_prompt_contains_shots():
     p = build_rewrite_prompt("old cap", "new cap", "fiq")
     assert "old cap" in p and "new cap" in p
     assert p.count("Modification:") >= 3
+
+
+def test_generate_cc_triplets(tmp_path):
+    from spn4cir_tpu.datagen.generate import generate_cc_triplets, write_cc_triplets
+
+    cc = {f"cc_img{i}": f"caption {i}" for i in range(6)}
+    trips = generate_cc_triplets(cc, "fiq", k=1, seed=0)
+    assert len(trips) == 6
+    assert {"candidate", "target", "captions"} <= set(trips[0])
+    root = make_fiq(str(tmp_path / "fiq"), extended=False)
+    path = write_cc_triplets(root, "fiq", trips)
+    assert path.endswith("cap.cc.train.json")
+    cc_cirr = generate_cc_triplets(cc, "cirr", k=1, seed=0)
+    assert cc_cirr[0]["img_set"]["members"] == ["xxx"]
+
+
+def test_zscir_datagen_cli_scripts(tmp_path, monkeypatch):
+    """The zscir CLI wrappers run end-to-end on a fixture: dedup ->
+    captioner -> get_cir_data (the reference's offline recipe chain)."""
+    import subprocess
+    import sys
+
+    root = make_fiq(str(tmp_path / "fiq"), extended=False)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    repo = os.path.join(os.path.dirname(__file__), "..")
+
+    def run(script, *args):
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "zscir", script), *args],
+            capture_output=True, text=True, env=env, cwd=str(tmp_path),
+            timeout=300)
+        assert out.returncode == 0, out.stderr[-2000:]
+        return out.stdout
+
+    run("deduplicate_images.py", "--dataset", "fiq", "--data_path", root,
+        "--dress_types", "dress")
+    assert os.path.exists(os.path.join(root, "optimized_images.json"))
+    run("captioner.py", "--dataset", "fiq", "--data_path", root,
+        "--dress_types", "dress", "--word_num", "6")
+    it_path = str(tmp_path / "mm_data" / "fiq" / "fashioniq_it_stub_6.json")
+    assert os.path.exists(it_path)
+    run("get_cir_data.py", "--dataset", "fiq", "--data_path", root,
+        "--dress_types", "dress", "--it_list", it_path, "--model", "zs",
+        "--k", "1")
+    assert os.path.exists(os.path.join(root, "captions",
+                                       "cap.extend_zs.train.json"))
+    # the generated file feeds --plus training
+    ds = CIRDataset("fiq", "train", "relative", TF, root, ["dress"],
+                    plus=True, extend_suffix="zs")
+    assert len(ds) > ds.N

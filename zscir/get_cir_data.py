@@ -1,0 +1,58 @@
+"""Thin CLI wrapper over the shared datagen core. Reference counterpart: zscir/get_cir_data.py."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import argparse
+import json
+
+import numpy as np
+
+from spn4cir_tpu.data.datasets import CIRDataset
+from spn4cir_tpu.data.transforms import ImageTransform
+from spn4cir_tpu.datagen.generate import (
+    generate_extended_triplets, load_it_list, write_extended_triplets)
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", required=True, choices=["fiq", "cirr"])
+    p.add_argument("--data_path", default="")
+    p.add_argument("--dress_types", default="dress,shirt,toptee")
+    p.add_argument("--it_list", required=True,
+                   help="mm_data it-list JSON from the captioner")
+    p.add_argument("--model", default="zs", help="filename tag (clip/tgcir/...)")
+    p.add_argument("--k", type=int, default=1)
+    p.add_argument("--K", type=int, default=0, help="total cap")
+    p.add_argument("--p_list", default="0", help="comma prompt ids 0-2")
+    p.add_argument("--refer", action="store_true")
+    p.add_argument("--i2i_rank", type=int, default=-1)
+    p.add_argument("--i2i_rank_max", type=int, default=-1)
+    p.add_argument("--srm", default="", help="srm.npz for the i2i rank window")
+    p.add_argument("--sims", default="", help="sims npz with an 'i2i' matrix")
+    p.add_argument("--use_llm", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args()
+    data_path = args.data_path or ("fashionIQ_dataset" if args.dataset == "fiq"
+                                   else "cirr_dataset")
+    ds = CIRDataset(args.dataset, "train", "relative",
+                    ImageTransform("targetpad", 224), data_path,
+                    args.dress_types.split(",") if args.dataset == "fiq" else None)
+    name2cap = load_it_list(args.it_list)
+    i2i_ranks = None
+    if args.i2i_rank >= 0 and args.sims:
+        sims = np.load(args.sims)["i2i"]
+        i2i_ranks = np.argsort(-sims, axis=1)
+    rewriter = None
+    if args.use_llm:
+        from spn4cir_tpu.datagen.llm_rewrite import load_hf_rewriter
+        rewriter = load_hf_rewriter(data=args.dataset)
+    triplets = generate_extended_triplets(
+        ds, name2cap, k=args.k, total_cap=args.K,
+        prompt_ids=[int(x) for x in args.p_list.split(",")],
+        refer_only=args.refer, i2i_ranks=i2i_ranks,
+        rank_lo=args.i2i_rank, rank_hi=args.i2i_rank_max,
+        llm_rewrite=rewriter, seed=args.seed)
+    out = write_extended_triplets(ds, triplets, args.model, llm=args.use_llm)
+    print(f"wrote {len(triplets)} extended triplets -> {out}")
