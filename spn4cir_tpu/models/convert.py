@@ -467,3 +467,66 @@ def convert_blip2_cir(sd: Dict[str, Any], num_vit_layers: int = 39,
         "tau": _t(sd["temp"]) if "temp" in sd else np.float32(tau),
     }
     return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# TG-CIR (full CIRPlus checkpoint)
+# ---------------------------------------------------------------------------
+
+def _tokenlearner_from_torch(sd: Dict[str, Any], prefix: str, num_tokens: int
+                             ) -> Dict:
+    """Reference TokenLearner = S separate SpatialAttention conv1d(dim->1)
+    modules (tgcir/models.py:21-49); ours is one Dense(D->S). Stack each
+    conv's weights into the corresponding Dense column."""
+    kernels, biases = [], []
+    for i in range(num_tokens):
+        w = _t(sd[f"{prefix}.tokenizers.{i}.conv.0.weight"])  # (1, D, 1)
+        b = _t(sd[f"{prefix}.tokenizers.{i}.conv.0.bias"])    # (1,)
+        kernels.append(w.reshape(-1))
+        biases.append(b.reshape(()))
+    return {"attn": {"kernel": np.stack(kernels, axis=1),
+                     "bias": np.stack(biases)}}
+
+
+def _gate_mlp_from_torch(sd: Dict[str, Any], prefix: str) -> Dict:
+    """s_remain_map Sequential(Linear, ReLU, Linear, Sigmoid)
+    (tgcir/models.py:165-170) -> GateMLP fc1/fc2."""
+    return {
+        "fc1": {"kernel": _t(sd[f"{prefix}.0.weight"]).T,
+                "bias": _t(sd[f"{prefix}.0.bias"])},
+        "fc2": {"kernel": _t(sd[f"{prefix}.2.weight"]).T,
+                "bias": _t(sd[f"{prefix}.2.bias"])},
+    }
+
+
+def convert_tgcir_state_dict(sd: Dict[str, Any], num_vision_layers: int,
+                             num_text_layers: int,
+                             local_tokens: int = 8) -> Dict:
+    """TG-CIR CIRPlus state dict -> TGCIRModule params.
+
+    Handles the reference's aliased submodules (backbone.image_backbone is
+    the same tensors as backbone.clip.visual) and drops params our module
+    does not use (t_remain_map / t_replace_map / local_weight are created
+    but never exercised by the trained path, SURVEY.md §2.3)."""
+    if any(k.startswith("state_dict.") for k in sd):
+        sd = {k[len("state_dict."):]: v for k, v in sd.items()}
+    bb = "backbone"
+    clip_sd = {k[len(f"{bb}.clip."):]: v for k, v in sd.items()
+               if k.startswith(f"{bb}.clip.")}
+    clip_params = convert_clip_state_dict(
+        clip_sd, num_vision_layers, num_text_layers, is_vit=True)
+    p: Dict = {
+        "clip": clip_params["params"],
+        "fc": {"kernel": _t(sd[f"{bb}.fc.weight"]).T,
+               "bias": _t(sd[f"{bb}.fc.bias"])},
+        "text_fc": {"kernel": _t(sd[f"{bb}.text_fc.weight"]).T,
+                    "bias": _t(sd[f"{bb}.text_fc.bias"])},
+        "tokenlearn": _tokenlearner_from_torch(sd, f"{bb}.tokenlearn",
+                                               local_tokens),
+        "tokenlearn_text": _tokenlearner_from_torch(sd, f"{bb}.tokenlearn_text",
+                                                    local_tokens),
+        "masks": {"masks": _t(sd[f"{bb}.masks.weight"])},
+        "masks_text": {"masks": _t(sd[f"{bb}.masks_text.weight"])},
+        "s_remain": _gate_mlp_from_torch(sd, "s_remain_map"),
+    }
+    return {"params": p}

@@ -266,3 +266,44 @@ def test_convert_blip2_structure():
     embeds = bb.encode_image(params, imgs)
     feats = bb.fuse(params, embeds, text)
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_convert_tgcir_structure(rng):
+    from spn4cir_tpu.models.api import build_backbone as bbf
+    from spn4cir_tpu.models.convert import convert_tgcir_state_dict
+
+    bb = bbf("tgcir", clip_model_name="test-tiny")
+    cfg = bb.cfg
+    hidden = cfg.embed_dim
+
+    def t(*shape):
+        return torch.tensor(rng.randn(*shape).astype(np.float32) * 0.02)
+
+    sd = {f"backbone.clip.{k}": v
+          for k, v in make_torch_clip_sd(cfg, rng).items()}
+    for branch in ("tokenlearn", "tokenlearn_text"):
+        for i in range(8):
+            sd[f"backbone.{branch}.tokenizers.{i}.conv.0.weight"] = t(1, hidden, 1)
+            sd[f"backbone.{branch}.tokenizers.{i}.conv.0.bias"] = t(1)
+    sd["backbone.masks.weight"] = t(4, hidden)
+    sd["backbone.masks_text.weight"] = t(4, hidden)
+    sd["backbone.fc.weight"] = t(hidden, cfg.vision_width)
+    sd["backbone.fc.bias"] = t(hidden)
+    sd["backbone.text_fc.weight"] = t(hidden, cfg.transformer_width)
+    sd["backbone.text_fc.bias"] = t(hidden)
+    sd["s_remain_map.0.weight"] = t(hidden, 2 * hidden)
+    sd["s_remain_map.0.bias"] = t(hidden)
+    sd["s_remain_map.2.weight"] = t(1, hidden)
+    sd["s_remain_map.2.bias"] = t(1)
+
+    params = convert_tgcir_state_dict(sd, cfg.vision_layers,
+                                      cfg.transformer_layers)
+    template = bb.init_params(jax.random.PRNGKey(0))
+    assert (jax.tree_util.tree_structure(template)
+            == jax.tree_util.tree_structure(params))
+    imgs = jnp.ones((1, bb.input_dim, bb.input_dim, 3))
+    tokens = bb.encode_image(params, imgs)
+    assert tokens.shape == (1, 12, hidden)
+    text = jnp.asarray(bb.tokenize(["a dress"]))
+    q = bb.fuse(params, tokens, text)
+    assert np.isfinite(np.asarray(q)).all()

@@ -56,10 +56,9 @@ def main():
             params = convert.convert_blip2_cir(
                 sd, backbone.vit_cfg.layers, backbone.q_cfg.num_layers,
                 tau=args.tau)
-        else:
-            raise SystemExit("tgcir conversion: load the CLIP tower with "
-                             "--backbone clip and re-init the heads "
-                             "(reference tgcir ckpts are full CIRPlus dumps)")
+        else:  # tgcir
+            params = convert.convert_tgcir_state_dict(
+                sd, backbone.cfg.vision_layers, backbone.cfg.transformer_layers)
 
     if args.init_stage2 and hasattr(type(backbone), "init_stage2"):
         params = type(backbone).init_stage2(params)
