@@ -65,6 +65,10 @@ def base_parser(default_model: str = "RN50x4", default_tau: float = 0.02,
     p.add_argument("--lr_schedule", default="constant",
                    choices=["constant", "cosine", "linear"])
     p.add_argument("--warmup_steps", type=int, default=0)
+    p.add_argument("--bank_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="device dtype of the target bank (bf16 halves the "
+                        "bank-loss HBM traffic; logits still accumulate f32)")
     return p
 
 

@@ -115,8 +115,14 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
                 reload=args.reload_bank)
             bank = extend_target_bank(bank, extra,
                                       args.neg_num if args.neg_num > 0 else 0)
+        if args.bank_dtype == "bfloat16":
+            from spn4cir_tpu.bank.bank import Bank
+
+            bank = Bank(refer=bank.refer,
+                        target=bank.target.astype(jnp.bfloat16),
+                        refer_key=bank.refer_key)
         print(f"bank: {bank.num_images} images, refer {bank.refer.shape}, "
-              f"target {bank.target.shape} -> {bank_path}")
+              f"target {bank.target.shape} {bank.target.dtype} -> {bank_path}")
 
     if args.lr_schedule != "constant":
         from spn4cir_tpu.train.stage2 import make_lr_schedule

@@ -172,3 +172,15 @@ def test_train_cli_tgcir(fiq_root, tmp_path, monkeypatch):
         "--output_path", str(tmp_path / "out"),
     ])
     assert best >= 0
+
+
+def test_train_cli_bf16_bank(fiq_root, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    best = train_main("clip", [
+        "--dataset", "fiq", "--data_path", fiq_root,
+        "--dress_types", "dress", "--clip-model-name", "test-tiny",
+        "--num-epochs", "1", "--batch-size", "4",
+        "--bank_dtype", "bfloat16", "--loss_impl", "xla",
+        "--output_path", str(tmp_path / "out"),
+    ])
+    assert best >= 0
