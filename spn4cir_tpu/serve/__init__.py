@@ -1,3 +1,7 @@
-from spn4cir_tpu.serve.service import RetrievalService, serve
+from spn4cir_tpu.serve.service import (
+    BatchingRetrievalService,
+    RetrievalService,
+    serve,
+)
 
-__all__ = ["RetrievalService", "serve"]
+__all__ = ["BatchingRetrievalService", "RetrievalService", "serve"]

@@ -141,3 +141,78 @@ def serve(service: RetrievalService, host: str = "0.0.0.0", port: int = 8080
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server
+
+
+class BatchingRetrievalService(RetrievalService):
+    """Coalesces concurrent name-referenced queries into one fused+scored
+    device dispatch (micro-batching; requests wait at most `max_delay_s`).
+    Query-by-image requests fall back to the base single-query path."""
+
+    def __init__(self, *args, max_batch: int = 32, max_delay_s: float = 0.005,
+                 **kw):
+        super().__init__(*args, **kw)
+        import queue
+
+        self.max_batch = max_batch
+        self.max_delay_s = max_delay_s
+        self._queue: "queue.Queue" = queue.Queue()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+        self._fuse_batch = jax.jit(
+            lambda refer, text: self.backbone.fuse(self.params, refer, text))
+
+    def query_by_name(self, reference_name: str, caption: str,
+                      k: Optional[int] = None) -> List[dict]:
+        gid = self._name2gid.get(reference_name)
+        if gid is None:
+            raise KeyError(f"unknown gallery image {reference_name!r}")
+        event = threading.Event()
+        slot: dict = {}
+        self._queue.put((gid, caption, k, event, slot))
+        event.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["results"]
+
+    def _loop(self):
+        import queue
+        import time
+
+        while True:
+            first = self._queue.get()
+            batch = [first]
+            deadline = time.monotonic() + self.max_delay_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                self._run_batch(batch)
+            except Exception as exc:  # propagate to all waiters
+                for _, _, _, event, slot in batch:
+                    slot["error"] = exc
+                    event.set()
+
+    def _run_batch(self, batch):
+        import numpy as np
+
+        gids = np.asarray([item[0] for item in batch])
+        captions = [item[1] for item in batch]
+        refer = self.index.refer_rows(gids)
+        with self._lock:
+            text = jnp.asarray(self.backbone.tokenize(captions))
+            queries = self._fuse_batch(refer, text)
+            scores = np.array(self.backbone.score_queries(queries,
+                                                          self.index.target))
+        for row, (gid, _, k, event, slot) in enumerate(batch):
+            s = scores[row].copy()
+            s[gid] = -np.inf
+            kk = min(k or self.default_k, len(self.index.names))
+            top = np.argsort(-s)[:kk]
+            slot["results"] = [{"name": self.index.names[int(i)],
+                                "score": float(s[int(i)])} for i in top]
+            event.set()

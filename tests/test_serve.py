@@ -91,3 +91,29 @@ def test_http_server(service, rng):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_batching_service_concurrent(service, tmp_path_factory):
+    """Concurrent queries coalesce into batched dispatches and match the
+    unbatched results."""
+    import concurrent.futures
+
+    from spn4cir_tpu.serve import BatchingRetrievalService
+
+    batched = BatchingRetrievalService(
+        service.backbone, service.params, service.index,
+        preprocess=service.preprocess, default_k=4, max_batch=8,
+        max_delay_s=0.02)
+    names = service.index.names[:6]
+    captions = [f"caption {i}" for i in range(6)]
+
+    with concurrent.futures.ThreadPoolExecutor(6) as pool:
+        futs = [pool.submit(batched.query_by_name, n, c)
+                for n, c in zip(names, captions)]
+        got = [f.result(timeout=180) for f in futs]
+    for n, c, res in zip(names, captions, got):
+        want = service.query_by_name(n, c, k=4)
+        assert [r["name"] for r in res] == [w["name"] for w in want]
+
+    with pytest.raises(KeyError):
+        batched.query_by_name("nope", "x")
