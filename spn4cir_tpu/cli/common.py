@@ -44,6 +44,14 @@ def base_parser(default_model: str = "RN50x4", default_tau: float = 0.02,
     p.add_argument("--neg_num", type=int, default=-1)
     p.add_argument("--llmcap", action="store_true")
     p.add_argument("--wo_bank", action="store_true")
+    p.add_argument("--fiq_val_type", type=int, default=0, choices=[0, 1],
+                   help="FIQ gallery: 0=original image_splits list, 1=VAL-set "
+                        "images only (ref clip4cir/validate.py:247, "
+                        "data_utils.py:300-310)")
+    p.add_argument("--val_ret_train", action="store_true",
+                   help="val relative mode returns (ref, cap, tgt) image "
+                        "triplets for retrieval-on-train analysis (ref "
+                        "data_utils.py:276-285)")
     # TPU-native extensions
     p.add_argument("--bf16", action="store_true", help="bfloat16 activations")
     p.add_argument("--mesh_data", type=int, default=0,
@@ -69,6 +77,9 @@ def base_parser(default_model: str = "RN50x4", default_tau: float = 0.02,
                    choices=["float32", "bfloat16"],
                    help="device dtype of the target bank (bf16 halves the "
                         "bank-loss HBM traffic; logits still accumulate f32)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize() before any "
+                        "backend use (or set SPN4CIR_DIST_* env vars)")
     return p
 
 

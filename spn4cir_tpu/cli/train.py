@@ -66,6 +66,13 @@ def run_validation(backbone, params, args, preprocess) -> tuple[float, dict]:
 def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
     args = base_parser(**parser_kw).parse_args(argv)
     finalize_args(args)
+    if args.distributed:
+        from spn4cir_tpu.parallel.mesh import initialize_distributed
+
+        os.environ.setdefault("SPN4CIR_DISTRIBUTED", "1")
+        if initialize_distributed():
+            print(f"distributed: process {jax.process_index()}/"
+                  f"{jax.process_count()}, {jax.device_count()} devices")
     key = seed_everything(args.seed)
 
     backbone = make_backbone(backbone_name, args)
@@ -142,7 +149,13 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
     mesh = None
     sharded_step = None
     if not args.wo_bank and (args.mesh_data > 1 or args.mesh_bank > 1):
-        mesh = make_mesh(data=args.mesh_data or None, bank=args.mesh_bank)
+        if jax.process_count() > 1:
+            # multi-host: data axis spans slices over DCN, bank stays on ICI
+            from spn4cir_tpu.parallel.mesh import make_hybrid_mesh
+
+            mesh = make_hybrid_mesh(bank=args.mesh_bank)
+        else:
+            mesh = make_mesh(data=args.mesh_data or None, bank=args.mesh_bank)
         m_actual = int(bank.target.shape[0])
         bank_padded = put_bank(pad_bank_rows(bank.target, args.mesh_bank), mesh)
         state = replicate(state, mesh)
@@ -171,7 +184,8 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
         if mesh is not None:
             from spn4cir_tpu.data.datasets import iter_train_bank as _itb
 
-            total, count = 0.0, 0
+            # device-resident loss accumulation: no per-step host sync
+            loss_sum, count = None, 0
             for raw in _itb(train_ds, args.batch_size,
                             epoch_seed=args.seed + epoch):
                 batch = shard_batch({
@@ -180,9 +194,9 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
                     "labels": jnp.asarray(raw["target_image_id"]),
                 }, mesh)
                 state, loss = sharded_step(state, bank_padded, batch)
-                total += float(loss)
+                loss_sum = loss if loss_sum is None else loss_sum + loss
                 count += 1
-            mean_loss = total / max(count, 1)
+            mean_loss = float(loss_sum) / count if count else 0.0
         elif args.wo_bank:
             state, mean_loss = train_epoch_stage1(
                 backbone, state,

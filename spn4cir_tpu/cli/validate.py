@@ -34,7 +34,8 @@ def validate_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
         per_type = {}
         for dt in args.dress_types:
             per_type[dt] = fiq_val_retrieval(backbone, params, args.data_path,
-                                             dt, preprocess, batch_size=32)
+                                             dt, preprocess, batch_size=32,
+                                             fiq_val_type=args.fiq_val_type)
         results = {f"{dt}_{k}": v for dt, m in per_type.items()
                    for k, v in m.items()}
         results.update(fiq_average(list(per_type.values())))

@@ -136,8 +136,12 @@ def fiq_val_retrieval(
     preprocess,
     batch_size: int = 32,
     index: Optional[GalleryIndex] = None,
+    fiq_val_type: int = 0,
 ) -> Dict[str, float]:
-    classic = CIRDataset("fiq", "val", "classic", preprocess, data_path, [dress_type])
+    # fiq_val_type selects the gallery image list (0=image_splits, 1=VAL-set
+    # only); the relative query set is unaffected (ref validate.py:102-108).
+    classic = CIRDataset("fiq", "val", "classic", preprocess, data_path,
+                         [dress_type], fiq_val_type=fiq_val_type)
     relative = CIRDataset("fiq", "val", "relative", preprocess, data_path, [dress_type])
     if index is None:
         index = extract_index_features(backbone, params, classic, batch_size)

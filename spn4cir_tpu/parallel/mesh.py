@@ -74,12 +74,70 @@ def world_size() -> int:
     return jax.device_count()
 
 
-def initialize_distributed():
-    """Multi-host init (no-op single-process; mirrors the reference's
-    env-var rank discovery responsibilities, dist_utils.py:57-71)."""
-    if jax.process_count() > 1:
-        return
-    try:
-        jax.distributed.initialize()
-    except Exception:
-        pass  # single-process / already initialized
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host init (mirrors the reference's env-var rank discovery
+    responsibilities, dist_utils.py:57-71 — there it is NCCL
+    init_process_group; here jax.distributed over the TPU runtime).
+
+    Must run before any other JAX API touches the backend. Gating: explicit
+    arguments, or the SPN4CIR_DIST_* env vars; on TPU pods with no explicit
+    config, `jax.distributed.initialize()` auto-discovers from the
+    environment. Returns True iff distributed mode was initialized.
+    Exceptions propagate — a mis-configured multi-host launch must fail
+    loudly, not silently fall back to single-host."""
+    import os
+
+    env_addr = os.environ.get("SPN4CIR_DIST_COORDINATOR", "")
+    coordinator_address = coordinator_address or (env_addr or None)
+    if num_processes is None and os.environ.get("SPN4CIR_DIST_NPROCS"):
+        num_processes = int(os.environ["SPN4CIR_DIST_NPROCS"])
+    if process_id is None and os.environ.get("SPN4CIR_DIST_PROC_ID"):
+        process_id = int(os.environ["SPN4CIR_DIST_PROC_ID"])
+    explicit = coordinator_address is not None or num_processes is not None
+    auto = os.environ.get("SPN4CIR_DISTRIBUTED", "") not in ("", "0", "false")
+    if not (explicit or auto):
+        return False
+    kw = {}
+    if coordinator_address is not None:
+        kw["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kw["num_processes"] = num_processes
+    if process_id is not None:
+        kw["process_id"] = process_id
+    jax.distributed.initialize(**kw)
+    return True
+
+
+def make_hybrid_mesh(
+    data_per_slice: Optional[int] = None,
+    bank: int = 1,
+    num_slices: Optional[int] = None,
+) -> Mesh:
+    """DCN-aware (data, bank) mesh for multi-slice / multi-host topologies:
+    the data axis spans slices (gradient all-reduce rides DCN, which
+    tolerates the lower bandwidth — it moves only parameter-sized traffic
+    once per step), while the bank axis stays inside a slice so the
+    per-step softmax-denominator psum over bank shards rides ICI.
+    Falls back to `make_mesh` on a single slice."""
+    from jax.experimental import mesh_utils
+
+    devices = jax.devices()
+    slice_ids = sorted({getattr(d, "slice_index", 0) for d in devices})
+    n_slices = num_slices if num_slices is not None else len(slice_ids)
+    if n_slices <= 1:
+        return make_mesh(data=data_per_slice, bank=bank)
+    per_slice = len(devices) // n_slices
+    if data_per_slice is None:
+        assert per_slice % bank == 0, (per_slice, bank)
+        data_per_slice = per_slice // bank
+    assert data_per_slice * bank == per_slice, (data_per_slice, bank, per_slice)
+    arr = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(data_per_slice, bank),
+        dcn_mesh_shape=(n_slices, 1),
+        devices=devices,
+    )
+    return Mesh(arr, (AXIS_DATA, AXIS_BANK))  # (n_slices*data_per_slice, bank)

@@ -55,8 +55,9 @@ def train_epoch_stage1(
     log_every: int = 50,
     log_fn: Callable[[int, float], None] = lambda step, loss: None,
 ):
-    """Host loop over `iter_train_images` batches (drops padded tails)."""
-    total, count = 0.0, 0
+    """Host loop over `iter_train_images` batches (drops padded tails).
+    Loss accumulates on device; host sync only every `log_every` steps."""
+    loss_sum, count = None, 0
     for step, raw in enumerate(batches):
         if (raw["triplet_idx"] < 0).any():
             continue  # drop_last semantics (ref clip4cir/train.py:78)
@@ -66,9 +67,8 @@ def train_epoch_stage1(
             "text_ids": jnp.asarray(backbone.tokenize(raw["captions"])),
         }
         state, loss = stage1_train_step(backbone, state, batch, neg_type)
-        loss_val = float(loss)
-        total += loss_val
+        loss_sum = loss if loss_sum is None else loss_sum + loss
         count += 1
         if log_every and step % log_every == 0:
-            log_fn(step, loss_val)
-    return state, total / max(count, 1)
+            log_fn(step, float(loss))
+    return state, (float(loss_sum) / count if count else 0.0)

@@ -127,7 +127,10 @@ def train_epoch(
     are prefetched on a background thread (spn4cir_tpu.data.prefetch)."""
     from spn4cir_tpu.data.prefetch import prefetch
 
-    total, count = 0.0, 0
+    # Loss stays on device between steps (loss_sum is a device scalar); a
+    # host round-trip happens only every `log_every` steps — per-step
+    # float(loss) would force a sync and defeat async dispatch.
+    loss_sum, count = None, 0
     for step, raw in enumerate(prefetch(batches, depth=2)):
         dev_batch = {
             "refer_feats": jnp.asarray(bank.gather_refer(raw)),
@@ -140,9 +143,9 @@ def train_epoch(
                 rng.randint(0, bank.num_images,
                             size=(len(raw["captions"]), neg_num)))
         state, loss = stage2_train_step(backbone, state, bank.target, dev_batch, impl)
-        loss_val = float(loss)
-        total += loss_val
+        loss_sum = loss if loss_sum is None else loss_sum + loss
         count += 1
         if log_every and step % log_every == 0:
-            log_fn(step, loss_val)
-    return state, (total / max(count, 1))
+            log_fn(step, float(loss))
+    mean = float(loss_sum) / count if count else 0.0
+    return state, mean

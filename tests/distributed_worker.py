@@ -1,0 +1,87 @@
+"""Subprocess body for the multi-host smoke test (tests/test_distributed.py).
+
+Runs one of N processes, each with 4 virtual CPU devices, initializes
+jax.distributed through `initialize_distributed`'s env-var gate
+(SPN4CIR_DIST_*), then executes the production sharded stage-2 train step
+(`make_sharded_stage2_step`) over the 8-device global mesh and checks the
+loss against the single-device XLA value computed locally.
+
+This is the TPU-native equivalent of the reference's NCCL multi-process
+bring-up (`blip24cir/lavis/common/dist_utils.py:57-91`), exercised for real:
+two OS processes, cross-process collectives (Gloo on CPU; ICI/DCN on TPU).
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    from spn4cir_tpu.parallel.mesh import initialize_distributed
+
+    assert initialize_distributed(), "env-var gate should trigger init"
+    assert jax.process_count() == int(os.environ["SPN4CIR_DIST_NPROCS"])
+    assert jax.device_count() == 8, jax.devices()
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spn4cir_tpu.models.api import build_backbone
+    from spn4cir_tpu.ops import bank_infonce
+    from spn4cir_tpu.parallel.loss import pad_bank_rows
+    from spn4cir_tpu.parallel.mesh import (
+        bank_sharding,
+        batch_sharding,
+        make_mesh,
+        replicated,
+    )
+    from spn4cir_tpu.parallel.train import make_sharded_stage2_step
+    from spn4cir_tpu.train.stage2 import create_train_state
+
+    backbone = build_backbone("clip", clip_model_name="test-tiny", tau=0.05)
+    params = backbone.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh(data=4, bank=2)
+
+    rng = np.random.RandomState(0)
+    b, m = 8, 40
+    refer = rng.randn(b, backbone.embed_dim).astype(np.float32)
+    text_ids = np.asarray(backbone.tokenize([f"caption {i}" for i in range(b)]))
+    bank = rng.randn(m, backbone.embed_dim).astype(np.float32)
+    bank /= np.linalg.norm(bank, axis=-1, keepdims=True)
+    labels = rng.randint(0, m, size=b)
+
+    def put(full, sharding):
+        return jax.make_array_from_callback(
+            full.shape, sharding, lambda idx: full[idx])
+
+    bsh, ksh, rep = batch_sharding(mesh), bank_sharding(mesh), replicated(mesh)
+    batch = {
+        "refer_feats": put(refer, bsh),
+        "text_ids": put(text_ids, bsh),
+        "labels": put(labels, bsh),
+    }
+    bank_padded = put(np.asarray(pad_bank_rows(jnp.asarray(bank), 2)), ksh)
+    state = create_train_state(backbone, params, learning_rate=1e-3)
+    state = jax.tree_util.tree_map(
+        lambda x: put(np.asarray(x), rep) if hasattr(x, "shape") else x, state)
+
+    step = make_sharded_stage2_step(backbone, mesh, m_actual=m)
+    new_state, loss = step(state, bank_padded, batch)
+    got = float(loss)
+
+    # single-device oracle, computed locally on this process
+    query = backbone.fuse(params, jnp.asarray(refer), jnp.asarray(text_ids))
+    want = float(bank_infonce(query, jnp.asarray(bank), jnp.asarray(labels), 0.05))
+    assert abs(got - want) < 1e-5, (got, want)
+    assert int(new_state.step) == 1
+    print(f"OK process={jax.process_index()} loss={got:.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
