@@ -1,88 +1,264 @@
 """LLM rewriting of template-composed modification texts.
 
-Parity target: `zscir/llama_generate.py:29-96` (LLaMA-2-7b-chat pipeline over
-few-shot prompts from `zscir/prompt.py:41-115`) and the CC paraphrase prompts
-(`zscir/prompts.py:1-66`).
+Parity target: `zscir/llama_generate.py:29-96` (LLaMA-2-7b-chat pipeline) with
+the few-shot chat prompts of `zscir/prompt.py:41-115` and the plain rewrite
+templates of `zscir/prompt.py:1-16`. The prompt blocks below are the
+reference's *data contract* — generated `_llm` captions only match the
+reference's distribution if the prompts match verbatim, so they are
+reproduced exactly (content, ordering, whitespace), not approximated.
 
-The model is a pluggable text-generation callable (HF pipeline, JAX LM, or a
-service); weights are external assets. `build_rewrite_prompt` reproduces the
-task framing: given two image captions, produce one natural modification
-sentence turning image-1 into image-2."""
+The LM itself is a pluggable text-generation callable (HF pipeline, JAX LM,
+or a service); weights are external assets in this environment.
+"""
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Sequence
 
-FEW_SHOT_EXAMPLES = {
-    # (caption1, caption2) -> modification text; the reference's few-shot
-    # blocks follow this exact task shape (zscir/prompt.py:41-115).
-    "fiq": [
-        ("a red sleeveless dress", "a blue dress with long sleeves",
-         "make it blue and add long sleeves"),
-        ("a plain white shirt", "a white shirt with a floral print",
-         "add a floral print"),
-        ("a long black gown", "a short black cocktail dress",
-         "make it shorter and more casual"),
-    ],
-    "cirr": [
-        ("a dog lying on grass", "two dogs running on a beach",
-         "show two of them running on a beach instead"),
-        ("a red car parked on a street", "a red car driving in the rain",
-         "show it driving in the rain"),
-        ("a bowl of salad", "a plate of pasta",
-         "replace the salad with pasta on a plate"),
-    ],
-}
+# --- zscir/prompt.py:1-16 — llm_type 2 plain rewrite templates -------------
 
-SYSTEM_INSTRUCTION = (
-    "You are given captions of two images. Write ONE short sentence that "
-    "tells how to modify the first image so it becomes the second image. "
-    "Answer with the modification sentence only."
+_REWRITE_TEMPLATE = (
+    "Rewrite the sentence to maintain the original meaning while reducing "
+    "grammatical errors and increasing the variety of expression\n"
+    "Remember only output the new sentence without other additional words.\n"
+    "sentence:{0}\n"
+    "new sentence:\n"
 )
 
-PARAPHRASE_PROMPTS = [
-    "Rewrite the following image-editing request in different words: {0}",
-    "Paraphrase this modification instruction: {0}",
-    "Say the same editing request another way: {0}",
+PROMPT_TEMPLATES = {
+    "fiq": _REWRITE_TEMPLATE,
+    "cirr": _REWRITE_TEMPLATE,
+}
+
+# --- zscir/prompt.py:35-40 — llm_type 1 system prompt ----------------------
+
+SYSTEM_PROMPT = """You are a researcher tasked with rewrite source sentence to mimic target sentence while trying to keep the original meaning.  
+Please ensure that your responses are close to the style of the target sentences in the examples.
+If you encounter harmful words, please change them to harmless content.
+Remember only output the new sentence without other additional words.
+Output answer in one string
+"""
+
+# --- zscir/prompt.py:44-66 — FIQ few-shot source/target pairs --------------
+
+FIQ_CAPTION_PAIRS = [
+    {
+        "source": "The dress is a sleeveless, black, fitted, and stylish dress",
+        "target": "is solid black with no sleeves",
+    },
+    {
+        "source": "Red, flowy, short, sequined, and elegant.",
+        "target": "is red and flowy",
+    },
+    {
+        "source": "Obama Mama shirt, black color.",
+        "target": "has the words Obama Mama on front",
+    },
+    {
+        "source": "Striped, black and white, sleeveless, fitted, and stylish.",
+        "target": "has sleeveless black and white stripes",
+    },
+    {
+        "source": "Colorful striped top with a v-neck.",
+        "target": "Has stripes.",
+    },
+]
+
+# --- zscir/prompt.py:78-101 — CIRR few-shot source/target pairs ------------
+
+CIRR_CAPTION_PAIRS = [
+    {
+        "source": "A large, brown dog with a black nose is sitting on the grass, looking up instead of A cute baby panda is being held by a person in a zoo",
+        "target": "Dog in grass instead of a panda.",
+    },
+    {
+        "source": "A street with several blue buildings, including churches, and a park with trees and bushes instead of A large, old stone church with a tower and a wall, surrounded by a grassy field and a dirt road",
+        "target": "instead of an old fortress with a rampart, an Orthodox church with a courtyard.",
+    },
+    {
+        "source": "A colorful parrot is standing on a perch in a cage instead of Two parrots are sitting on a branch, sharing a piece of fruit",
+        "target": "Remove one of the parrots.",
+    },
+    {
+        "source": "Two colorful parrots are kissing on a branch instead of A colorful parrot is perched on a tree branch, looking at the camera.",
+        "target": "two birds, facing each other.",
+    },
+    {
+        "source": "A monkey is standing on a grassy field, looking at the camera instead of A group of monkeys is sitting on the ground, with some of them touching each other.",
+        "target": "I want the pic to show just one monkey.",
+    },
 ]
 
 
+def _few_shot_prompt(caption: str, pairs: Sequence[dict]) -> str:
+    """LLaMA-2 chat formatting exactly as zscir/prompt.py:42-73 builds it
+    (first shot carries the <<SYS>> block; note the reference's asymmetric
+    'caption:' vs ' target caption:' spacing in the final turn)."""
+    prompt = f"""<s>[INST] <<SYS>>\n{SYSTEM_PROMPT}<</SYS>>\n\n"""
+    for i, pair in enumerate(pairs):
+        if i == 0:
+            prompt += (f"source caption: {pair['source']}\n"
+                       f"target caption: [/INST]{pair['target']} </s>")
+        else:
+            prompt += (f"<s>[INST]source caption: {pair['source']}\n"
+                       f"target caption: [/INST]{pair['target']} </s>")
+    prompt += f"<s>[INST]source caption: {caption}\n target caption: [/INST]"
+    return prompt
+
+
+def get_fiq_prompt(caption: str) -> str:
+    return _few_shot_prompt(caption, FIQ_CAPTION_PAIRS)
+
+
+def get_cirr_prompt(caption: str) -> str:
+    return _few_shot_prompt(caption, CIRR_CAPTION_PAIRS)
+
+
+def get_prompt(caption: str, data: str = "fiq") -> str:
+    """zscir/prompt.py:118-122."""
+    if data == "fiq":
+        return get_fiq_prompt(caption)
+    return get_cirr_prompt(caption)
+
+
+def post_process(output: str) -> str:
+    """zscir/llama_generate.py:47-52: strip, keep text after the last ':',
+    truncate at the first newline."""
+    res = output.strip()
+    if ":" in output:
+        res = res.split(":")[-1]
+    res = res.split("\n")[0]
+    return res
+
+
+def compose_old_text(caption1: str, caption2: str) -> str:
+    """mod_type 0 composition (zscir/llama_generate.py:79-84): strip one
+    trailing period from each caption, then '{1} instead of {0}'."""
+    if caption1 and caption1[-1] == ".":
+        caption1 = caption1[:-1]
+    if caption2 and caption2[-1] == ".":
+        caption2 = caption2[:-1]
+    return "{1} instead of {0}".format(caption1, caption2)
+
+
 def build_rewrite_prompt(caption1: str, caption2: str, data: str = "fiq",
-                         n_shots: int = 3) -> str:
-    shots = FEW_SHOT_EXAMPLES.get(data, FEW_SHOT_EXAMPLES["fiq"])[:n_shots]
-    lines = [SYSTEM_INSTRUCTION, ""]
-    for c1, c2, mod in shots:
-        lines += [f"Image 1: {c1}", f"Image 2: {c2}", f"Modification: {mod}", ""]
-    lines += [f"Image 1: {caption1}", f"Image 2: {caption2}", "Modification:"]
-    return "\n".join(lines)
+                         mod_type: int = 0, llm_type: int = 1) -> str:
+    """Full prompt for one rewrite, mirroring generate_modified_text
+    (zscir/llama_generate.py:73-93): llm_type 1 -> few-shot chat prompt,
+    otherwise the plain rewrite template."""
+    old_text = compose_old_text(caption1, caption2) if mod_type == 0 else caption2
+    if llm_type == 1:
+        return get_prompt(old_text, data)
+    return PROMPT_TEMPLATES[data].format(old_text)
 
 
-def make_llm_rewriter(generate_fn: Callable[[str], str], data: str = "fiq"
+def max_new_tokens_for(data: str) -> int:
+    """zscir/llama_generate.py:94: 25 for FIQ, 50 otherwise."""
+    return 25 if data == "fiq" else 50
+
+
+def make_llm_rewriter(generate_fn: Callable[[str], str], data: str = "fiq",
+                      mod_type: int = 0, llm_type: int = 1,
                       ) -> Callable[[str, str], str]:
     """Wrap a text-generation callable into the (caption1, caption2) ->
-    llm_caption signature `generate_extended_triplets` expects. Output is
-    cleaned to the first line (the reference strips the prompt echo +
-    truncates, llama_generate.py:73-96)."""
+    llm_caption signature `generate_extended_triplets` expects. The callable
+    receives the full prompt and must return only the continuation (the
+    reference pipeline slices off the prompt echo, llama_generate.py:65-66);
+    output goes through the reference's post_process."""
 
     def rewrite(caption1: str, caption2: str) -> str:
-        raw = generate_fn(build_rewrite_prompt(caption1, caption2, data))
-        line = raw.strip().split("\n")[0].strip()
-        return line if line else caption2
+        prompt = build_rewrite_prompt(caption1, caption2, data, mod_type, llm_type)
+        res = post_process(generate_fn(prompt))
+        return res if res else caption2
 
     return rewrite
 
 
+# --- zscir/prompts.py:1-66 — CC paraphrase prompt banks --------------------
+# (kept verbatim for the CC3M out-of-domain triplet path; the reference
+# prints their lengths at import, we only expose the lists.)
+
+PROMPTS_REFERENCE = [
+    "remove {0}",
+    "{0} is removed",
+]
+
+PROMPTS_TARGET = [
+    "{1}",
+    "apply {1}",
+    "add {1}",
+    "if it is {1}",
+    "{1} is the new option",
+    "choose {1} instead",
+    "{1} is the updated version",
+    "use {1} from now on",
+    "{1} is the new choice",
+    "opt for {1}",
+    "{1} is the updated option",
+    "{1} is the new selection",
+    "{1} is the new option available",
+    "{1} is the updated choice",
+    "{1} is introduced as the new option after",
+]
+
+PROMPTS_BOTH = [
+    "I want an image of {1} instead of an image of {0}",
+    "change {0} to {1}",
+    "Replace the image of {0} with {1} in the output.",
+    "Generate an output image where {1} is depicted instead of {0}.",
+    "Transform the input image to show {1} instead of {0}.",
+    "Obtain an image with {1} replacing {0} from the input.",
+    "Produce an output image featuring {1} rather than {0}.",
+    "Modify the input image to display {1} instead of {0}.",
+    "Create a new image by substituting {0} for {1} in the original.",
+    "Request an image of {1} as a replacement for {0}.",
+    "replace {0} with {1}",
+    "substitute {1} for {0}",
+    "exchange {0} with {1}",
+    "alter {0} to {1}",
+    "convert {0} to {1}",
+    "transform {0} into {1}",
+    "swap {0} for {1}",
+    "replace {0} with {1}",
+    "remodel {0} into {1}",
+    "redesign {0} as {1}",
+    "update {0} to {1}",
+    "revamp {0} into {1}",
+    "substitute {1} for {0}",
+    "modify {0} to become {1}",
+    "turn {0} into {1}",
+    "alter {0} to match {1}",
+    "customize {0} to become {1}",
+    "adapt {0} to fit {1}",
+    "upgrade {0} to {1}",
+    "change {0} to match {1}",
+    "tweak {0} to become {1}",
+    "amend {0} to fit {1}",
+    "{0} is replaced with {1}",
+    "{0} is removed and {1} is added",
+    "{1} is introduced after {0} is removed",
+    "{0} is removed and {1} takes its place",
+    "{1} is added after {0} is removed",
+    "{0} is removed and {1} is introduced",
+    "{1} is added in place of {0}",
+    "{1} is introduced after {0} is retired",
+    "{1} is added as a replacement for {0}",
+]
+
+
 def load_hf_rewriter(model_name: str = "meta-llama/Llama-2-7b-chat-hf",
-                     data: str = "fiq", max_new_tokens: int = 40):
-    """HF-pipeline rewriter (requires the model weights locally; the
-    environment has no network egress, so this is gated)."""
+                     data: str = "fiq", mod_type: int = 0, llm_type: int = 1):
+    """HF-pipeline rewriter matching the reference's sampling setup
+    (zscir/llama_generate.py:34-70: do_sample, top_k=10, eos as pad).
+    Requires the model weights locally; this environment has no egress."""
     from transformers import pipeline  # lazy; heavy
 
     pipe = pipeline("text-generation", model=model_name,
-                    max_new_tokens=max_new_tokens, do_sample=False)
+                    max_new_tokens=max_new_tokens_for(data),
+                    do_sample=True, top_k=10)
 
     def generate(prompt: str) -> str:
         out = pipe(prompt)[0]["generated_text"]
         return out[len(prompt):]
 
-    return make_llm_rewriter(generate, data)
+    return make_llm_rewriter(generate, data, mod_type, llm_type)

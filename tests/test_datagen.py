@@ -180,10 +180,49 @@ def test_captioner_pipeline(tmp_path, rng):
     assert loaded["im0"] == it_list[0]["caption"]
 
 
-def test_rewrite_prompt_contains_shots():
-    p = build_rewrite_prompt("old cap", "new cap", "fiq")
-    assert "old cap" in p and "new cap" in p
-    assert p.count("Modification:") >= 3
+def test_rewrite_prompt_contract():
+    # mod_type 0 strips trailing periods and composes "{1} instead of {0}"
+    # (ref llama_generate.py:79-84); llm_type 1 wraps in the LLaMA-2 chat
+    # few-shot prompt (ref prompt.py:41-73).
+    p = build_rewrite_prompt("old cap.", "new cap.", "fiq")
+    assert "source caption: new cap instead of old cap\n target caption: [/INST]" in p
+    assert p.startswith("<s>[INST] <<SYS>>\n")
+    assert p.count("</s>") == 5  # 5 few-shot pairs
+    # llm_type 2: plain rewrite template
+    p2 = build_rewrite_prompt("a.", "b.", "cirr", llm_type=2)
+    assert p2.startswith("Rewrite the sentence")
+    assert "sentence:b instead of a\n" in p2
+
+
+def test_rewrite_prompts_byte_exact_vs_reference():
+    ref_prompt = "/root/reference/zscir/prompt.py"
+    ref_prompts = "/root/reference/zscir/prompts.py"
+    if not (os.path.exists(ref_prompt) and os.path.exists(ref_prompts)):
+        pytest.skip("reference not available")
+    from spn4cir_tpu.datagen import llm_rewrite as lr
+
+    ns = {}
+    exec(open(ref_prompt).read(), ns)  # pure string builders
+    for cap in ("a red dress", "b instead of a"):
+        assert lr.get_fiq_prompt(cap) == ns["get_fiq_prompt"](cap)
+        assert lr.get_cirr_prompt(cap) == ns["get_cirr_prompt"](cap)
+    assert lr.PROMPT_TEMPLATES["fiq"] == ns["prompt_templates"]["fiq"]
+    assert lr.PROMPT_TEMPLATES["cirr"] == ns["prompt_templates"]["cirr"]
+    ns2 = {}
+    exec(open(ref_prompts).read(), ns2)
+    assert lr.PROMPTS_REFERENCE == ns2["prompts_reference"]
+    assert lr.PROMPTS_TARGET == ns2["prompts_target"]
+    assert lr.PROMPTS_BOTH == ns2["prompts_both"]
+
+
+def test_rewrite_post_process():
+    from spn4cir_tpu.datagen.llm_rewrite import max_new_tokens_for, post_process
+
+    # ref llama_generate.py:47-52: last ':' segment, first line, stripped
+    assert post_process(" new sentence: a nice dress \nextra") == " a nice dress "
+    assert post_process("plain output\nsecond") == "plain output"
+    assert max_new_tokens_for("fiq") == 25
+    assert max_new_tokens_for("cirr") == 50
 
 
 def test_generate_cc_triplets(tmp_path):
