@@ -90,7 +90,9 @@ class ImageTransform:
     """A picklable preprocess pipeline: pad -> resize -> crop -> normalize.
 
     kind: 'clip' (no pad), 'squarepad', or 'targetpad'
-    (ref `clip4cir/train.py` `--transform` flag semantics).
+    (ref `clip4cir/train.py` `--transform` flag semantics), or 'blip_eval'
+    (direct square bicubic resize, the LAVIS BlipImageEvalProcessor used by
+    the reference captioner, lavis/processors/blip_processors.py:167-179).
     """
 
     kind: str
@@ -100,6 +102,10 @@ class ImageTransform:
     std: Tuple[float, ...] = CLIP_STD
 
     def __call__(self, image: Image.Image) -> np.ndarray:
+        if self.kind == "blip_eval":
+            image = image.convert("RGB").resize((self.dim, self.dim),
+                                                Image.BICUBIC)
+            return normalize_to_array(image, self.mean, self.std)
         if self.kind == "squarepad":
             image = square_pad(image)
         elif self.kind == "targetpad":

@@ -135,6 +135,22 @@ def _convert_modified_resnet(sd: Dict[str, Any], p: Dict, bs: Dict):
         _set(p, ("visual", "attnpool", name, "bias"), _t(sd[f"{ap}.{name}.bias"]))
 
 
+def load_torch_state_dict(path: str) -> Dict[str, Any]:
+    """Load a torch checkpoint file and unwrap the common containers
+    ({'model': sd} — BLIP upstream; {'state_dict': sd} — SPN saves;
+    {'CLIP': ...} etc. are handled by the model-specific converters)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        return obj.state_dict()
+    if isinstance(obj, dict) and "model" in obj and isinstance(obj["model"], dict):
+        return obj["model"]
+    if isinstance(obj, dict) and "state_dict" in obj:
+        return obj["state_dict"]
+    return obj
+
+
 def load_torch_checkpoint(path: str, backbone, params_template):
     """Load a reference .pt/.pth checkpoint into backbone params.
 
@@ -214,36 +230,55 @@ def _bert_attention(sd, prefix: str, n: int, qualifier: str) -> Dict:
 
 
 def convert_med_state_dict(sd: Dict[str, Any], num_layers: int,
-                           prefix: str = "text_encoder") -> Dict:
+                           prefix: str = "text_encoder",
+                           with_cross: bool = True) -> Dict:
     """HF/MED BertModel state dict -> MedBert params subtree (stacked scan).
 
     Parity: blip4cir/med.py BertModel layout — embeddings + per-layer
-    attention / crossattention / intermediate / output."""
-    emb = f"{prefix}.embeddings"
-    layer = f"{prefix}.encoder.layer"
+    attention / crossattention / intermediate / output. `with_cross=False`
+    converts a plain HF BERT (no crossattention keys — e.g. the BGE text
+    encoder, zscir/srm_utils.py:44-46); standard-BERT token_type embeddings
+    are mapped when present."""
+    emb = f"{prefix}.embeddings" if prefix else "embeddings"
+    layer = f"{prefix}.encoder.layer" if prefix else "encoder.layer"
 
     def stacked(key, transpose=False):
         arrs = [_t(sd[f"{layer}.{i}.{key}"]) for i in range(num_layers)]
         out = np.stack(arrs)
         return out.transpose(0, 2, 1) if transpose else out
 
+    layer_tree: Dict = {
+        "self_attn": _bert_attention(sd, layer, num_layers, "attention"),
+        "intermediate": {"kernel": stacked("intermediate.dense.weight", True),
+                         "bias": stacked("intermediate.dense.bias")},
+        "output": {"kernel": stacked("output.dense.weight", True),
+                   "bias": stacked("output.dense.bias")},
+        "ln": {"scale": stacked("output.LayerNorm.weight"),
+               "bias": stacked("output.LayerNorm.bias")},
+    }
+    if with_cross:
+        layer_tree["cross_attn"] = _bert_attention(sd, layer, num_layers,
+                                                   "crossattention")
     p: Dict = {
         "word_embeddings": _t(sd[f"{emb}.word_embeddings.weight"]),
         "position_embeddings": _t(sd[f"{emb}.position_embeddings.weight"]),
         "embeddings_ln": {"scale": _t(sd[f"{emb}.LayerNorm.weight"]),
                           "bias": _t(sd[f"{emb}.LayerNorm.bias"])},
-        "layers": {"layer": {
-            "self_attn": _bert_attention(sd, layer, num_layers, "attention"),
-            "cross_attn": _bert_attention(sd, layer, num_layers, "crossattention"),
-            "intermediate": {"kernel": stacked("intermediate.dense.weight", True),
-                             "bias": stacked("intermediate.dense.bias")},
-            "output": {"kernel": stacked("output.dense.weight", True),
-                       "bias": stacked("output.dense.bias")},
-            "ln": {"scale": stacked("output.LayerNorm.weight"),
-                   "bias": stacked("output.LayerNorm.bias")},
-        }},
+        "layers": {"layer": layer_tree},
     }
+    if f"{emb}.token_type_embeddings.weight" in sd:
+        p["token_type_embeddings"] = _t(sd[f"{emb}.token_type_embeddings.weight"])
     return p
+
+
+def convert_bge_state_dict(sd: Dict[str, Any], num_layers: int = 12) -> Dict:
+    """BAAI/bge-base-en (a standard HF BertModel save) -> MedBert params.
+    The pooler head is unused (SRM takes the raw CLS hidden state,
+    zscir/srm_utils.py:66-68)."""
+    sd = {k[len("bert."):] if k.startswith("bert.") else k: v
+          for k, v in sd.items()}
+    return {"params": convert_med_state_dict(sd, num_layers, prefix="",
+                                             with_cross=False)}
 
 
 def convert_blip_vit_state_dict(sd: Dict[str, Any], num_layers: int,
@@ -284,6 +319,37 @@ def convert_blip_vit_state_dict(sd: Dict[str, Any], num_layers: int,
     }
 
 
+def convert_med_lm_state_dict(sd: Dict[str, Any], num_layers: int,
+                              prefix: str = "text_decoder") -> Dict:
+    """HF/MED BertLMHeadModel state dict -> MedLMModel params (bert trunk +
+    cls.predictions LM head, ref blip4cir/med.py:520-553). The head's
+    decoder weight/bias exist explicitly in BLIP checkpoints (tied or not),
+    so they are mapped directly."""
+    cls = f"{prefix}.cls.predictions"
+    return {
+        "bert": convert_med_state_dict(sd, num_layers, prefix=f"{prefix}.bert"),
+        "lm_head": {
+            "transform": {"kernel": _t(sd[f"{cls}.transform.dense.weight"]).T,
+                          "bias": _t(sd[f"{cls}.transform.dense.bias"])},
+            "transform_ln": {"scale": _t(sd[f"{cls}.transform.LayerNorm.weight"]),
+                             "bias": _t(sd[f"{cls}.transform.LayerNorm.bias"])},
+            "decoder": {"kernel": _t(sd[f"{cls}.decoder.weight"]).T,
+                        "bias": _t(sd[f"{cls}.bias"])},
+        },
+    }
+
+
+def convert_blip_caption(sd: Dict[str, Any], num_vit_layers: int = 12,
+                         num_text_layers: int = 12) -> Dict:
+    """BLIP captioner checkpoint (LAVIS blip_caption / upstream blip_decoder
+    schema: visual_encoder.* + text_decoder.bert.* + text_decoder.cls.*) ->
+    BlipCaptionModule params."""
+    return {"params": {
+        "visual_encoder": convert_blip_vit_state_dict(sd, num_vit_layers),
+        "text_decoder": convert_med_lm_state_dict(sd, num_text_layers),
+    }}
+
+
 def convert_blip_retrieval(sd: Dict[str, Any], num_vit_layers: int = 12,
                            num_text_layers: int = 12,
                            tau: float = 0.03) -> Dict:
@@ -301,6 +367,58 @@ def convert_blip_retrieval(sd: Dict[str, Any], num_vit_layers: int = 12,
         "tau": _t(sd["tau"]) if "tau" in sd else np.float32(tau),
     }
     return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# Unicom ViT (SRM matcher image encoder, zscir/unicom)
+# ---------------------------------------------------------------------------
+
+def convert_unicom_state_dict(sd: Dict[str, Any], num_layers: int) -> Dict:
+    """DeepGlint Unicom VisionTransformer state dict -> UnicomViT params.
+
+    Layout per zscir/unicom/vision_transformer.py: patch_embed.proj conv,
+    pos_embed (1, P, D), blocks.{i}.{norm1,attn.qkv,attn.proj,norm2,mlp.fc*},
+    final norm, and the `feature` Sequential (Linear/BN/Linear/BN). Accepts
+    raw or 'module.'-prefixed keys (the published ckpts are DDP saves,
+    zscir/unicom/model.py:32-42)."""
+    sd = {(k.split("module.")[-1] if "module." in k else k): v
+          for k, v in sd.items()}
+
+    def stacked(key, transpose=False):
+        arrs = [_t(sd[f"blocks.{i}.{key}"]) for i in range(num_layers)]
+        out = np.stack(arrs)
+        return out.transpose(0, 2, 1) if transpose else out
+
+    def bn(idx):
+        return {"scale": _t(sd[f"feature.{idx}.weight"]),
+                "bias": _t(sd[f"feature.{idx}.bias"]),
+                "mean": _t(sd[f"feature.{idx}.running_mean"]),
+                "var": _t(sd[f"feature.{idx}.running_var"])}
+
+    return {"params": {
+        "patch_embed": {
+            "kernel": _t(sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0),
+            "bias": _t(sd["patch_embed.proj.bias"])},
+        "pos_embed": _t(sd["pos_embed"])[0],
+        "blocks": {"block": {
+            "norm1": {"scale": stacked("norm1.weight"),
+                      "bias": stacked("norm1.bias")},
+            "qkv": {"kernel": stacked("attn.qkv.weight", True)},
+            "proj": {"kernel": stacked("attn.proj.weight", True),
+                     "bias": stacked("attn.proj.bias")},
+            "norm2": {"scale": stacked("norm2.weight"),
+                      "bias": stacked("norm2.bias")},
+            "fc1": {"kernel": stacked("mlp.fc1.weight", True),
+                    "bias": stacked("mlp.fc1.bias")},
+            "fc2": {"kernel": stacked("mlp.fc2.weight", True),
+                    "bias": stacked("mlp.fc2.bias")},
+        }},
+        "norm": {"scale": _t(sd["norm.weight"]), "bias": _t(sd["norm.bias"])},
+        "feature_fc1": {"kernel": _t(sd["feature.0.weight"]).T},
+        "feature_bn1": bn(1),
+        "feature_fc2": {"kernel": _t(sd["feature.2.weight"]).T},
+        "feature_bn2": bn(3),
+    }}
 
 
 # ---------------------------------------------------------------------------

@@ -32,11 +32,19 @@ class MedConfig:
     intermediate_size: int = 3072
     max_position_embeddings: int = 512
     encoder_width: int = 768  # cross-attn kv width (= ViT width)
+    # 0 = MED semantics (BLIP's BertEmbeddings has no token_type table);
+    # 2 = standard HF BERT (the BGE text encoder, zscir/srm_utils.py:44-46)
+    type_vocab_size: int = 0
 
     @classmethod
-    def tiny(cls, vocab_size: int = 128) -> "MedConfig":
+    def tiny(cls, vocab_size: int = 128, **kw) -> "MedConfig":
         return cls(vocab_size=vocab_size, hidden_size=32, num_layers=2,
-                   num_heads=2, intermediate_size=64, encoder_width=32)
+                   num_heads=2, intermediate_size=64, encoder_width=32, **kw)
+
+    @classmethod
+    def bge_base(cls, vocab_size: int = 30522) -> "MedConfig":
+        """BAAI/bge-base-en geometry (a standard bert-base-uncased)."""
+        return cls(vocab_size=vocab_size, type_vocab_size=2)
 
 
 def _ln(name: str):
@@ -107,16 +115,25 @@ def additive_mask(attention_mask: jnp.ndarray) -> jnp.ndarray:
     return (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * -1e9
 
 
+def causal_additive_mask(length: int) -> jnp.ndarray:
+    """(1, 1, L, L) additive causal bias (upper triangle masked), matching the
+    HF decoder extended-attention-mask semantics the reference's
+    BertLMHeadModel relies on (blip4cir/med.py, is_decoder=True)."""
+    tri = jnp.tril(jnp.ones((length, length), jnp.float32))
+    return (1.0 - tri)[None, None] * -1e9
+
+
 class MedBert(nn.Module):
     """BertModel(add_pooling_layer=False) equivalent: token ids (+ mask,
-    + optional encoder states for cross-attn) -> last hidden states."""
+    + optional encoder states for cross-attn) -> last hidden states.
+    `causal=True` gives the decoder mode (BertLMHeadModel's bert trunk)."""
 
     cfg: MedConfig
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, encoder_hidden_states=None,
-                 encoder_attention_mask=None):
+                 encoder_attention_mask=None, causal: bool = False):
         cfg = self.cfg
         # MED embeddings: word + position only (the reference's BertEmbeddings
         # drops token_type, blip4cir/med.py)
@@ -125,9 +142,19 @@ class MedBert(nn.Module):
         pos = self.param("position_embeddings", nn.initializers.normal(0.02),
                          (cfg.max_position_embeddings, cfg.hidden_size), jnp.float32)
         x = emb[input_ids] + pos[: input_ids.shape[1]][None]
+        if cfg.type_vocab_size:
+            # standard-BERT token_type embeddings; single-sentence inputs use
+            # type 0 everywhere (HF default when token_type_ids is omitted)
+            tte = self.param("token_type_embeddings",
+                             nn.initializers.normal(0.02),
+                             (cfg.type_vocab_size, cfg.hidden_size), jnp.float32)
+            x = x + tte[0]
         x = _ln("embeddings_ln")(x).astype(self.dtype)
 
         self_mask = additive_mask(attention_mask) if attention_mask is not None else None
+        if causal:
+            cmask = causal_additive_mask(input_ids.shape[1])
+            self_mask = cmask if self_mask is None else self_mask + cmask
         cross_mask = (additive_mask(encoder_attention_mask)
                       if encoder_attention_mask is not None else None)
 
@@ -140,3 +167,39 @@ class MedBert(nn.Module):
         )(cfg=cfg, dtype=self.dtype, name="layers")
         x, _ = scanned(x, encoder_hidden_states, self_mask, cross_mask)
         return x
+
+
+class MedLMHead(nn.Module):
+    """BertLMPredictionHead equivalent (ref blip4cir/med.py:520-553):
+    dense -> exact GELU -> LayerNorm -> vocab projection (+ bias)."""
+
+    cfg: MedConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden):
+        d = self.cfg.hidden_size
+        h = nn.Dense(d, dtype=self.dtype, name="transform")(hidden)
+        h = jax.nn.gelu(h, approximate=False)
+        h = _ln("transform_ln")(h).astype(self.dtype)
+        logits = nn.Dense(self.cfg.vocab_size, use_bias=True, dtype=self.dtype,
+                          name="decoder")(h)
+        return logits
+
+
+class MedLMModel(nn.Module):
+    """BertLMHeadModel equivalent: causal MED trunk + LM head -> logits.
+    The reference uses it both for teacher-forced LM loss and as the
+    generation backbone (blip4cir/med.py BertLMHeadModel; LAVIS
+    XBertLMHeadDecoder)."""
+
+    cfg: MedConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask=None, encoder_hidden_states=None,
+                 encoder_attention_mask=None):
+        hidden = MedBert(self.cfg, self.dtype, name="bert")(
+            input_ids, attention_mask, encoder_hidden_states,
+            encoder_attention_mask, causal=True)
+        return MedLMHead(self.cfg, self.dtype, name="lm_head")(hidden)

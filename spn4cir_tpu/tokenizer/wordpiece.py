@@ -152,12 +152,46 @@ class BertTokenizer:
         return batch, mask
 
 
+    # HF PreTrainedTokenizer.clean_up_tokenization replacements, in order
+    _CLEANUP = [(" .", "."), (" ?", "?"), (" !", "!"), (" ,", ","),
+                (" ' ", "'"), (" n't", "n't"), (" 'm", "'m"), (" 's", "'s"),
+                (" 've", "'ve"), (" 're", "'re")]
+
+    def decode(self, ids, skip_special_tokens: bool = True,
+               clean_up_tokenization_spaces: bool = True) -> str:
+        """HF BertTokenizer.decode semantics: drop special tokens, join with
+        spaces, merge '##' pieces, apply HF's clean_up_tokenization. Used by
+        the captioner to turn generated ids back into text
+        (ref blip_caption.py:202 batch_decode(skip_special_tokens=True))."""
+        special = {self.pad_id, self.unk_id, self.cls_id, self.sep_id,
+                   self.vocab.get(MASK), self.dec_token_id, self.enc_token_id}
+        pieces: List[str] = []
+        for i in [int(x) for x in ids]:
+            if skip_special_tokens and i in special:
+                continue
+            pieces.append(self.inv_vocab.get(i, UNK))
+        text = " ".join(pieces).replace(" ##", "")
+        if clean_up_tokenization_spaces:
+            for a, b in self._CLEANUP:
+                text = text.replace(a, b)
+        return text
+
+    def batch_decode(self, batch_ids, **kw) -> List[str]:
+        return [self.decode(row, **kw) for row in batch_ids]
+
+
 def tiny_test_vocab(extra_words: Sequence[str] = ()) -> List[str]:
-    """A miniature WordPiece vocab for tests."""
+    """A miniature WordPiece vocab for tests. Entries are deduped (a
+    duplicate line would shadow an id: the id->token map loses the earlier
+    index and generated ids could decode to nothing)."""
     base = [PAD, UNK, CLS, SEP, MASK]
     letters = list("abcdefghijklmnopqrstuvwxyz")
     pieces = ["##" + c for c in letters]
     words = ["the", "a", "dress", "shirt", "blue", "red", "make", "it",
              "more", "less", "with", "print", "sleeve", "##s", "##ing",
              "short", "long"]
-    return base + letters + pieces + words + list(extra_words)
+    out: List[str] = []
+    for tok in base + letters + pieces + words + list(extra_words):
+        if tok not in out:
+            out.append(tok)
+    return out

@@ -1,4 +1,7 @@
-"""Thin CLI wrapper over the shared datagen core. Reference counterpart: zscir/captioner_llava.py + captioner_blip.py."""
+"""Thin CLI wrapper over the shared datagen core. Reference counterpart:
+zscir/captioner_llava.py + captioner_blip.py (prompt + it-list contract;
+`--mllm blip` runs the JAX BLIP captioner, `--mllm stub` the model-free
+fallback)."""
 
 import os
 import sys
@@ -11,16 +14,28 @@ from PIL import Image
 
 from spn4cir_tpu.data.datasets import CIRDataset
 from spn4cir_tpu.data.transforms import ImageTransform
-from spn4cir_tpu.datagen.captioner import caption_images, stub_captioner, write_it_list
+from spn4cir_tpu.datagen.captioner import (caption_images,
+                                           caption_images_batched,
+                                           make_blip_captioner,
+                                           stub_captioner, write_it_list)
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", required=True, choices=["fiq", "cirr"])
     p.add_argument("--data_path", default="")
     p.add_argument("--dress_types", default="dress,shirt,toptee")
-    p.add_argument("--mllm", default="stub",
-                   help="captioner tag; 'stub' = model-free fallback. Plug a "
-                        "real MLLM by importing datagen.captioner directly.")
+    p.add_argument("--mllm", default="stub", choices=["stub", "blip"],
+                   help="'blip' = JAX BLIP captioner (ViT + MED LM decoder, "
+                        "ref captioner_blip.py); 'stub' = model-free fallback")
+    p.add_argument("--ckpt", default="",
+                   help="BLIP caption checkpoint (torch .pth, LAVIS "
+                        "blip_caption schema) for --mllm blip")
+    p.add_argument("--blip_size", default="base")
+    p.add_argument("--bert_vocab", default="", help="WordPiece vocab path "
+                   "(or SPN4CIR_BERT_VOCAB)")
+    p.add_argument("--num_beams", type=int, default=3)
+    p.add_argument("--nucleus", action="store_true")
+    p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--word_num", type=int, default=10)
     p.add_argument("--category", default="image")
     args = p.parse_args()
@@ -30,12 +45,27 @@ if __name__ == "__main__":
                     ImageTransform("targetpad", 224), data_path,
                     args.dress_types.split(",") if args.dataset == "fiq" else None)
 
-    def images():
-        import numpy as np
-        for name, path in zip(ds.imagenames, ds.imagepaths):
-            yield name, np.asarray(Image.open(path).convert("RGB"))
+    if args.mllm == "blip":
+        _, transform, batched_fn = make_blip_captioner(
+            args.ckpt, blip_size=args.blip_size,
+            bert_vocab_path=args.bert_vocab or None,
+            use_nucleus_sampling=args.nucleus, num_beams=args.num_beams,
+            batch_size=args.batch_size)
 
-    it_list = caption_images(images(), stub_captioner,
-                             category=args.category, num_words=args.word_num)
+        def images():
+            for name, path in zip(ds.imagenames, ds.imagepaths):
+                yield name, transform(Image.open(path))
+
+        it_list = caption_images_batched(images(), batched_fn,
+                                         batch_size=args.batch_size)
+    else:
+        def images():
+            import numpy as np
+            for name, path in zip(ds.imagenames, ds.imagepaths):
+                yield name, np.asarray(Image.open(path).convert("RGB"))
+
+        it_list = caption_images(images(), stub_captioner,
+                                 category=args.category,
+                                 num_words=args.word_num)
     out = write_it_list(it_list, args.dataset, args.mllm, args.word_num)
     print(f"wrote {len(it_list)} captions -> {out}")
