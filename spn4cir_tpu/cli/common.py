@@ -54,6 +54,10 @@ def base_parser(default_model: str = "RN50x4", default_tau: float = 0.02,
                         "data_utils.py:276-285)")
     # TPU-native extensions
     p.add_argument("--bf16", action="store_true", help="bfloat16 activations")
+    p.add_argument("--dropout", type=float, default=0.0,
+                   help="train-mode dropout on the BLIP/BLIP-2 MED text side "
+                        "(the reference trains with HF BERT dropout 0.1; 0.0 "
+                        "matches eval parity)")
     p.add_argument("--mesh_data", type=int, default=0,
                    help="data-axis size (0 = all devices)")
     p.add_argument("--mesh_bank", type=int, default=1, help="bank-axis size")
@@ -105,6 +109,12 @@ def finalize_args(args) -> None:
 def make_backbone(name: str, args) -> CIRBackbone:
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     kw = dict(tau=args.tau, dtype=dtype, remat=bool(args.grad_ckpt))
+    if getattr(args, "dropout", 0.0):
+        if name in ("blip", "blip2"):
+            kw["dropout"] = args.dropout
+        else:
+            print(f"[warn] --dropout ignored for the {name} backbone "
+                  "(the reference's CLIP towers have no dropout)")
     if name in ("clip", "zs", "tgcir"):
         kw["clip_model_name"] = args.clip_model_name
     elif name == "blip":

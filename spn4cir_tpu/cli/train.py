@@ -205,10 +205,13 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
                 neg_type=args.neg_type,
                 log_fn=lambda step, loss: logger.log(step, epoch=epoch, loss=loss))
         else:
+            drop_rng = (jax.random.PRNGKey(args.seed * 1000 + epoch)
+                        if args.dropout else None)
             state, mean_loss = train_epoch(
                 backbone, state, bank,
                 iter_train_bank(train_ds, args.batch_size, epoch_seed=args.seed + epoch),
                 impl=args.loss_impl, neg_num=neg_num, neg_rng=neg_rng,
+                dropout_rng=drop_rng,
                 log_fn=lambda step, loss: logger.log(step, epoch=epoch, loss=loss))
         print(f"epoch {epoch}: mean loss {mean_loss:.4f}")
 

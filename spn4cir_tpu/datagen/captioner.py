@@ -83,7 +83,8 @@ def make_blip_captioner(params, *, blip_size: str = "base",
         from spn4cir_tpu.models.convert import (convert_blip_caption,
                                                 load_torch_state_dict)
         params = convert_blip_caption(load_torch_state_dict(params),
-                                      cap.vit_cfg.layers, cap.med_cfg.num_layers)
+                                      cap.vit_cfg.layers, cap.med_cfg.num_layers,
+                                      num_tokens=cap.vit_cfg.num_tokens)
 
     def batched_fn(images: List[np.ndarray], rng=None) -> List[str]:
         out: List[str] = []

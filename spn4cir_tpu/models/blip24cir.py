@@ -152,17 +152,19 @@ class Blip2CirModule(nn.Module):
         return hidden[:, : queries.shape[1], :]
 
     # ---- trainable stage-2 path ----
-    def fusion_feats_q(self, fusion_hidden_states, input_ids, attention_mask):
+    def fusion_feats_q(self, fusion_hidden_states, input_ids, attention_mask,
+                       deterministic: bool = True):
         """Stage-2 text re-read with the trainable Q-Former copy: token at
         index num_query (first text position, the CLS) -> text_proj_q ->
-        normalize (ref forward_stage2 :244-253)."""
+        normalize (ref forward_stage2 :244-253). deterministic=False enables
+        Q-Former dropout (the reference trains this module in train mode)."""
         b = fusion_hidden_states.shape[0]
         nq = fusion_hidden_states.shape[1]
         full_mask = jnp.concatenate(
             [jnp.ones((b, nq), jnp.int32), attention_mask], axis=1)
         hidden = self.qformer_query(
             input_ids=input_ids, query_embeds=fusion_hidden_states,
-            attention_mask=full_mask)
+            attention_mask=full_mask, deterministic=deterministic)
         return infonce.l2_normalize(
             self.text_proj_q(hidden[:, nq, :]).astype(jnp.float32))
 
@@ -192,7 +194,8 @@ class Blip2CIR(CIRBackbone):
                  dtype=jnp.float32, remat: bool = False,
                  bert_vocab_path: Optional[str] = None,
                  vit_cfg: Optional[EvaViTConfig] = None,
-                 q_cfg: Optional[QFormerConfig] = None, **_):
+                 q_cfg: Optional[QFormerConfig] = None,
+                 dropout: float = 0.0, **_):
         if blip2_size == "test-tiny":
             self.tokenizer = BertTokenizer(vocab=tiny_test_vocab())
             vit_cfg = vit_cfg or EvaViTConfig.tiny()
@@ -202,6 +205,9 @@ class Blip2CIR(CIRBackbone):
             vit_cfg = vit_cfg or EvaViTConfig()
             q_cfg = q_cfg or QFormerConfig(vocab_size=self.tokenizer.vocab_size,
                                            encoder_width=vit_cfg.width)
+        if dropout:
+            import dataclasses as _dc
+            q_cfg = _dc.replace(q_cfg, dropout_rate=dropout)
         self.vit_cfg = vit_cfg
         self.q_cfg = q_cfg
         self.tau = tau
@@ -269,13 +275,20 @@ class Blip2CIR(CIRBackbone):
 
     # ---- losses ----
     def stage2_loss(self, params, refer_feats, text_ids, target_bank, labels,
-                    *, neg_idx: Optional[jnp.ndarray] = None, impl: str = "auto"):
+                    *, neg_idx: Optional[jnp.ndarray] = None, impl: str = "auto",
+                    dropout_rng: Optional[jnp.ndarray] = None):
         """refer_feats here are cached fusion hidden states (B, 32, 768);
         target_bank is (M, 32, 256). Loss = max-over-query InfoNCE
         (ref forward_stage2 :254-266, loop -> einsum)."""
         ids, mask = text_ids[:, 0, :], text_ids[:, 1, :]
-        feats = self.model.apply(params, refer_feats, ids, mask,
-                                 method="fusion_feats_q")
+        if dropout_rng is not None and self.q_cfg.dropout_rate:
+            feats = self.model.apply(params, refer_feats, ids, mask,
+                                     method="fusion_feats_q",
+                                     deterministic=False,
+                                     rngs={"dropout": dropout_rng})
+        else:
+            feats = self.model.apply(params, refer_feats, ids, mask,
+                                     method="fusion_feats_q")
         tau = params["params"]["tau"]
         if neg_idx is not None:
             negs = jnp.take(target_bank, neg_idx.reshape(-1), axis=0).reshape(

@@ -61,15 +61,18 @@ class BlipCirModule(nn.Module):
         return infonce.l2_normalize(
             self.text_proj(hidden[:, 0, :]).astype(jnp.float32))
 
-    def img_txt_fusion(self, ref_tokens, input_ids, attention_mask):
+    def img_txt_fusion(self, ref_tokens, input_ids, attention_mask,
+                       deterministic: bool = True):
         """Text encoder cross-attends to reference image tokens; CLS ->
         text_proj -> normalized query (ref blip_cir.py:82-107). input_ids
-        must already carry the enc-token swap at position 0."""
+        must already carry the enc-token swap at position 0.
+        deterministic=False enables MED dropout (the reference's stage-2
+        trains the live text side in torch train mode)."""
         img_mask = jnp.ones(ref_tokens.shape[:-1], jnp.int32)
         hidden = self.text_encoder(
             input_ids, attention_mask=attention_mask,
             encoder_hidden_states=ref_tokens.astype(self.dtype),
-            encoder_attention_mask=img_mask)
+            encoder_attention_mask=img_mask, deterministic=deterministic)
         return infonce.l2_normalize(
             self.text_proj(hidden[:, 0, :]).astype(jnp.float32))
 
@@ -95,7 +98,8 @@ class BlipCIR(CIRBackbone):
                  dtype=jnp.float32, remat: bool = False,
                  bert_vocab_path: Optional[str] = None,
                  med_cfg: Optional[MedConfig] = None,
-                 vit_cfg: Optional[BlipViTConfig] = None, **_):
+                 vit_cfg: Optional[BlipViTConfig] = None,
+                 dropout: float = 0.0, **_):
         if vit_cfg is None:
             vit_cfg = (BlipViTConfig.tiny() if blip_size == "test-tiny"
                        else BlipViTConfig.large() if blip_size == "large"
@@ -107,6 +111,9 @@ class BlipCIR(CIRBackbone):
             self.tokenizer = BertTokenizer(vocab_path=bert_vocab_path)
             med_cfg = med_cfg or MedConfig(vocab_size=self.tokenizer.vocab_size,
                                            encoder_width=vit_cfg.width)
+        if dropout:
+            import dataclasses as _dc
+            med_cfg = _dc.replace(med_cfg, dropout_rate=dropout)
         self.vit_cfg = vit_cfg
         self.med_cfg = med_cfg
         self.tau = tau  # init value; live value is params['params']['tau']
@@ -153,15 +160,22 @@ class BlipCIR(CIRBackbone):
         return self.model.apply(params, ids, mask, method="text_only")
 
     # ---- fusion ----
-    def fuse(self, params, refer_feats, text_ids):
+    def fuse(self, params, refer_feats, text_ids, dropout_rng=None):
         ids, mask = text_ids[:, 0, :], text_ids[:, 1, :]
+        if dropout_rng is not None and self.med_cfg.dropout_rate:
+            return self.model.apply(params, refer_feats, ids, mask,
+                                    method="img_txt_fusion",
+                                    deterministic=False,
+                                    rngs={"dropout": dropout_rng})
         return self.model.apply(params, refer_feats, ids, mask,
                                 method="img_txt_fusion")
 
     # ---- losses ----
     def stage2_loss(self, params, refer_feats, text_ids, target_bank, labels,
-                    *, neg_idx: Optional[jnp.ndarray] = None, impl: str = "auto"):
-        query = self.fuse(params, refer_feats, text_ids)
+                    *, neg_idx: Optional[jnp.ndarray] = None, impl: str = "auto",
+                    dropout_rng: Optional[jnp.ndarray] = None):
+        query = self.fuse(params, refer_feats, text_ids,
+                          dropout_rng=dropout_rng)
         tau = params["params"]["tau"]
         if neg_idx is not None:
             return infonce.sampled_neg_infonce(query, target_bank, labels,

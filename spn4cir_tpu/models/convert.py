@@ -12,7 +12,7 @@ per-layer block weights into the nn.scan axis. torch is imported lazily
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -281,17 +281,52 @@ def convert_bge_state_dict(sd: Dict[str, Any], num_layers: int = 12) -> Dict:
                                              with_cross=False)}
 
 
+def interpolate_pos_embed(pos: np.ndarray, target_num_tokens: int,
+                          num_prefix: int = 1) -> np.ndarray:
+    """Bicubic pos-embed grid interpolation for mismatched resolutions,
+    exactly the reference's interpolate_pos_embed (blip4cir/vit.py:284-308 /
+    blip.py:232-236): prefix (CLS/dist) tokens unchanged, grid tokens
+    resampled with torch bicubic align_corners=False. pos: (T, D) or
+    (1, T, D); returns (target_num_tokens, D)."""
+    import torch
+    import torch.nn.functional as Fn
+
+    pos = np.asarray(pos)
+    if pos.ndim == 3:
+        pos = pos[0]
+    if pos.shape[0] == target_num_tokens:
+        return pos
+    dim = pos.shape[-1]
+    orig = int(round((pos.shape[0] - num_prefix) ** 0.5))
+    new = int(round((target_num_tokens - num_prefix) ** 0.5))
+    assert orig * orig == pos.shape[0] - num_prefix, pos.shape
+    assert new * new == target_num_tokens - num_prefix, target_num_tokens
+    extra = pos[:num_prefix]
+    grid = torch.tensor(pos[num_prefix:].reshape(1, orig, orig, dim)
+                        ).permute(0, 3, 1, 2)
+    grid = Fn.interpolate(grid, size=(new, new), mode="bicubic",
+                          align_corners=False)
+    grid = grid.permute(0, 2, 3, 1).reshape(new * new, dim).numpy()
+    return np.concatenate([extra, grid], axis=0)
+
+
 def convert_blip_vit_state_dict(sd: Dict[str, Any], num_layers: int,
-                                prefix: str = "visual_encoder") -> Dict:
-    """timm-style BLIP ViT -> BlipViT params subtree."""
+                                prefix: str = "visual_encoder",
+                                num_tokens: Optional[int] = None) -> Dict:
+    """timm-style BLIP ViT -> BlipViT params subtree. `num_tokens` (the
+    target model's 1+grid² token count) triggers bicubic pos-embed
+    interpolation on resolution mismatch (ref blip4cir/blip.py:232-236)."""
     def stacked(key, transpose=False):
         arrs = [_t(sd[f"{prefix}.blocks.{i}.{key}"]) for i in range(num_layers)]
         out = np.stack(arrs)
         return out.transpose(0, 2, 1) if transpose else out
 
+    pos = _t(sd[f"{prefix}.pos_embed"])[0]
+    if num_tokens is not None:
+        pos = interpolate_pos_embed(pos, num_tokens, num_prefix=1)
     return {
         "cls_token": _t(sd[f"{prefix}.cls_token"]),
-        "pos_embed": _t(sd[f"{prefix}.pos_embed"])[0],
+        "pos_embed": pos,
         "patch_embed": {
             "kernel": _t(sd[f"{prefix}.patch_embed.proj.weight"]).transpose(2, 3, 1, 0),
             "bias": _t(sd[f"{prefix}.patch_embed.proj.bias"]),
@@ -340,25 +375,31 @@ def convert_med_lm_state_dict(sd: Dict[str, Any], num_layers: int,
 
 
 def convert_blip_caption(sd: Dict[str, Any], num_vit_layers: int = 12,
-                         num_text_layers: int = 12) -> Dict:
+                         num_text_layers: int = 12,
+                         num_tokens: Optional[int] = None) -> Dict:
     """BLIP captioner checkpoint (LAVIS blip_caption / upstream blip_decoder
     schema: visual_encoder.* + text_decoder.bert.* + text_decoder.cls.*) ->
-    BlipCaptionModule params."""
+    BlipCaptionModule params. `num_tokens` interpolates the pos-embed grid
+    on resolution mismatch (ref blip.py:232-236)."""
     return {"params": {
-        "visual_encoder": convert_blip_vit_state_dict(sd, num_vit_layers),
+        "visual_encoder": convert_blip_vit_state_dict(
+            sd, num_vit_layers, num_tokens=num_tokens),
         "text_decoder": convert_med_lm_state_dict(sd, num_text_layers),
     }}
 
 
 def convert_blip_retrieval(sd: Dict[str, Any], num_vit_layers: int = 12,
                            num_text_layers: int = 12,
-                           tau: float = 0.03) -> Dict:
+                           tau: float = 0.03,
+                           num_tokens: Optional[int] = None) -> Dict:
     """BLIP_Retrieval (ref blip4cir/blip_cir.py) -> BlipCirModule params.
-    Accepts either bare keys or the CIRPlus 'blip.'-prefixed wrapper."""
+    Accepts either bare keys or the CIRPlus 'blip.'-prefixed wrapper.
+    `num_tokens` interpolates the pos-embed grid on resolution mismatch."""
     if any(k.startswith("blip.") for k in sd):
         sd = {k[len("blip."):]: v for k, v in sd.items() if k.startswith("blip.")}
     p = {
-        "visual_encoder": convert_blip_vit_state_dict(sd, num_vit_layers),
+        "visual_encoder": convert_blip_vit_state_dict(
+            sd, num_vit_layers, num_tokens=num_tokens),
         "text_encoder": convert_med_state_dict(sd, num_text_layers),
         "vision_proj": {"kernel": _t(sd["vision_proj.weight"]).T,
                         "bias": _t(sd["vision_proj.bias"])},
@@ -426,10 +467,13 @@ def convert_unicom_state_dict(sd: Dict[str, Any], num_layers: int) -> Dict:
 # ---------------------------------------------------------------------------
 
 def convert_eva_vit_state_dict(sd: Dict[str, Any], num_layers: int,
-                               prefix: str = "visual_encoder") -> Dict:
+                               prefix: str = "visual_encoder",
+                               num_tokens: Optional[int] = None) -> Dict:
     """EVA ViT-g -> EvaViT params. EVA attention has separate q_bias/v_bias
     with an implicit zero k bias (ref eva_vit.py); fused here as
-    [q_bias; zeros; v_bias]."""
+    [q_bias; zeros; v_bias]. `num_tokens` triggers bicubic pos-embed
+    interpolation on resolution mismatch (the LAVIS loader does the same
+    via interpolate_pos_embed)."""
     def per_layer(i, key):
         return _t(sd[f"{prefix}.blocks.{i}.{key}"])
 
@@ -453,7 +497,10 @@ def convert_eva_vit_state_dict(sd: Dict[str, Any], num_layers: int,
 
     return {
         "cls_token": _t(sd[f"{prefix}.cls_token"]),
-        "pos_embed": _t(sd[f"{prefix}.pos_embed"])[0],
+        "pos_embed": (interpolate_pos_embed(_t(sd[f"{prefix}.pos_embed"])[0],
+                                             num_tokens)
+                      if num_tokens is not None
+                      else _t(sd[f"{prefix}.pos_embed"])[0]),
         "patch_embed": {
             "kernel": _t(sd[f"{prefix}.patch_embed.proj.weight"]).transpose(2, 3, 1, 0),
             "bias": _t(sd[f"{prefix}.patch_embed.proj.bias"]),
@@ -547,11 +594,13 @@ def convert_qformer_state_dict(sd: Dict[str, Any], num_layers: int,
 
 
 def convert_blip2_cir(sd: Dict[str, Any], num_vit_layers: int = 39,
-                      num_q_layers: int = 12, tau: float = 0.05) -> Dict:
+                      num_q_layers: int = 12, tau: float = 0.05,
+                      num_tokens: Optional[int] = None) -> Dict:
     """Blip2QformerCirAlignPrompt state dict -> Blip2CirModule params.
     Missing stage-2 copies (Qformer_query / text_proj_q) are filled from
     their stage-1 sources (quirk SURVEY.md §8.11's double-load collapses to
-    one copy)."""
+    one copy). `num_tokens` interpolates the EVA pos-embed grid on
+    resolution mismatch."""
     if any(k.startswith("blip_model.") for k in sd):
         sd = {k[len("blip_model."):]: v for k, v in sd.items()
               if k.startswith("blip_model.")}
@@ -570,7 +619,7 @@ def convert_blip2_cir(sd: Dict[str, Any], num_vit_layers: int = 39,
                    if "text_proj_q.weight" in sd
                    else jax.tree_util.tree_map(np.copy, text_proj))
     p = {
-        "visual_encoder": convert_eva_vit_state_dict(sd, num_vit_layers),
+        "visual_encoder": convert_eva_vit_state_dict(sd, num_vit_layers, num_tokens=num_tokens),
         "ln_vision": {"ln": {"scale": _t(sd["ln_vision.weight"]),
                              "bias": _t(sd["ln_vision.bias"])}},
         "qformer": qformer,

@@ -7,8 +7,11 @@ cross-attention to image tokens in every layer (`add_cross_attention: true`),
 vocab 30522 + 2 BLIP special tokens.
 
 TPU-native: layers are nn.scan-rolled (stacked params under 'layers'); the
-attention mask is an additive f32 bias; dropout is omitted (the CIR stage-2
-text side trains fine without it and eval parity is exact)."""
+attention mask is an additive f32 bias. Dropout defaults OFF
+(dropout_rate=0.0 — exact eval parity); setting dropout_rate=0.1 with
+deterministic=False reproduces the reference's train-mode regularization
+(HF hidden/attention dropout at the BertSelfAttention/BertSelfOutput/
+BertOutput/embeddings positions)."""
 
 from __future__ import annotations
 
@@ -35,6 +38,10 @@ class MedConfig:
     # 0 = MED semantics (BLIP's BertEmbeddings has no token_type table);
     # 2 = standard HF BERT (the BGE text encoder, zscir/srm_utils.py:44-46)
     type_vocab_size: int = 0
+    # HF BERT trains with hidden/attention dropout 0.1 (med_config.json);
+    # the reference's stage-2 runs the live MED side in train mode, so
+    # dropout is active there. 0.0 reproduces eval/parity numerics.
+    dropout_rate: float = 0.0
 
     @classmethod
     def tiny(cls, vocab_size: int = 128, **kw) -> "MedConfig":
@@ -57,9 +64,10 @@ class _BertAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, kv=None, mask=None):
-        d = self.cfg.hidden_size
-        h = self.cfg.num_heads
+    def __call__(self, hidden, kv=None, mask=None, deterministic: bool = True):
+        cfg = self.cfg
+        d = cfg.hidden_size
+        h = cfg.num_heads
         hd = d // h
         kv_in = hidden if kv is None else kv
         q = nn.Dense(d, dtype=self.dtype, name="query")(hidden)
@@ -75,9 +83,17 @@ class _BertAttention(nn.Module):
         if mask is not None:
             logits = logits + mask
         weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        if cfg.dropout_rate:
+            # HF BertSelfAttention drops attention probs
+            weights = nn.Dropout(cfg.dropout_rate, name="attn_drop")(
+                weights, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         out = out.reshape(*hidden.shape[:-1], d)
         out = nn.Dense(d, dtype=self.dtype, name="output")(out)
+        if cfg.dropout_rate:
+            # HF BertSelfOutput drops the projection before the residual
+            out = nn.Dropout(cfg.dropout_rate, name="out_drop")(
+                out, deterministic=deterministic)
         return _ln("ln")((hidden + out).astype(jnp.float32)).astype(self.dtype)
 
 
@@ -86,16 +102,21 @@ class _BertLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, enc_states=None, self_mask=None, cross_mask=None):
+    def __call__(self, hidden, enc_states=None, self_mask=None, cross_mask=None,
+                 deterministic: bool = True):
         hidden = _BertAttention(self.cfg, self.dtype, name="self_attn")(
-            hidden, mask=self_mask)
+            hidden, mask=self_mask, deterministic=deterministic)
         if enc_states is not None:
             hidden = _BertAttention(self.cfg, self.dtype, name="cross_attn")(
-                hidden, kv=enc_states, mask=cross_mask)
+                hidden, kv=enc_states, mask=cross_mask,
+                deterministic=deterministic)
         inter = nn.Dense(self.cfg.intermediate_size, dtype=self.dtype,
                          name="intermediate")(hidden)
         inter = jax.nn.gelu(inter, approximate=False)
         out = nn.Dense(self.cfg.hidden_size, dtype=self.dtype, name="output")(inter)
+        if self.cfg.dropout_rate:
+            out = nn.Dropout(self.cfg.dropout_rate, name="ffn_drop")(
+                out, deterministic=deterministic)
         return _ln("ln")((hidden + out).astype(jnp.float32)).astype(self.dtype)
 
 
@@ -104,9 +125,10 @@ class _ScanLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, enc_states, self_mask, cross_mask):
+    def __call__(self, hidden, enc_states, self_mask, cross_mask,
+                 deterministic):
         y = _BertLayer(self.cfg, self.dtype, name="layer")(
-            hidden, enc_states, self_mask, cross_mask)
+            hidden, enc_states, self_mask, cross_mask, deterministic)
         return y, None
 
 
@@ -133,7 +155,8 @@ class MedBert(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, encoder_hidden_states=None,
-                 encoder_attention_mask=None, causal: bool = False):
+                 encoder_attention_mask=None, causal: bool = False,
+                 deterministic: bool = True):
         cfg = self.cfg
         # MED embeddings: word + position only (the reference's BertEmbeddings
         # drops token_type, blip4cir/med.py)
@@ -150,6 +173,9 @@ class MedBert(nn.Module):
                              (cfg.type_vocab_size, cfg.hidden_size), jnp.float32)
             x = x + tte[0]
         x = _ln("embeddings_ln")(x).astype(self.dtype)
+        if cfg.dropout_rate:
+            x = nn.Dropout(cfg.dropout_rate, name="emb_drop")(
+                x, deterministic=deterministic)
 
         self_mask = additive_mask(attention_mask) if attention_mask is not None else None
         if causal:
@@ -161,11 +187,12 @@ class MedBert(nn.Module):
         scanned = nn.scan(
             _ScanLayer,
             variable_axes={"params": 0},
-            split_rngs={"params": True},
+            split_rngs={"params": True, "dropout": True},
             length=cfg.num_layers,
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
         )(cfg=cfg, dtype=self.dtype, name="layers")
-        x, _ = scanned(x, encoder_hidden_states, self_mask, cross_mask)
+        x, _ = scanned(x, encoder_hidden_states, self_mask, cross_mask,
+                       deterministic)
         return x
 
 

@@ -45,19 +45,21 @@ class QFormerConfig:
     encoder_width: int = 1408  # EVA ViT-g feature width
     num_query_tokens: int = 32
     cross_attention_freq: int = 2
+    dropout_rate: float = 0.0  # HF BERT train-mode dropout (0.0 = parity)
 
     @classmethod
-    def tiny(cls, vocab_size: int = 128) -> "QFormerConfig":
+    def tiny(cls, vocab_size: int = 128, **kw) -> "QFormerConfig":
         return cls(vocab_size=vocab_size, hidden_size=32, num_layers=2,
                    num_heads=2, intermediate_size=64, encoder_width=32,
-                   num_query_tokens=8)
+                   num_query_tokens=8, **kw)
 
     def as_med(self) -> MedConfig:
         return MedConfig(vocab_size=self.vocab_size,
                          hidden_size=self.hidden_size,
                          num_layers=self.num_layers, num_heads=self.num_heads,
                          intermediate_size=self.intermediate_size,
-                         encoder_width=self.encoder_width)
+                         encoder_width=self.encoder_width,
+                         dropout_rate=self.dropout_rate)
 
 
 def _ln(name: str):
@@ -78,13 +80,18 @@ class _SplitFFN(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, query_length: int, split: bool):
+    def __call__(self, hidden, query_length: int, split: bool,
+                 deterministic: bool = True):
         def ffn(x, suffix):
             inter = nn.Dense(self.cfg.intermediate_size, dtype=self.dtype,
                              name=f"intermediate{suffix}")(x)
             inter = jax.nn.gelu(inter, approximate=False)
             out = nn.Dense(self.cfg.hidden_size, dtype=self.dtype,
                            name=f"output{suffix}")(inter)
+            if self.cfg.dropout_rate:
+                out = nn.Dropout(self.cfg.dropout_rate,
+                                 name=f"drop{suffix}")(
+                    out, deterministic=deterministic)
             return _ln(f"ln{suffix}")((x + out).astype(jnp.float32)).astype(self.dtype)
 
         if not split:
@@ -106,16 +113,17 @@ class _QFormerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, enc_states, self_mask, cross_mask, query_length,
-                 split: bool):
+                 split: bool, deterministic: bool = True):
         med = self.cfg.as_med()
         hidden = _BertAttention(med, self.dtype, name="self_attn")(
-            hidden, mask=self_mask)
+            hidden, mask=self_mask, deterministic=deterministic)
         if self.has_cross and enc_states is not None:
             q_part = _BertAttention(med, self.dtype, name="cross_attn")(
-                hidden[:, :query_length], kv=enc_states, mask=cross_mask)
+                hidden[:, :query_length], kv=enc_states, mask=cross_mask,
+                deterministic=deterministic)
             hidden = jnp.concatenate([q_part, hidden[:, query_length:]], axis=1)
-        return _SplitFFN(self.cfg, self.dtype, name="ffn")(hidden, query_length,
-                                                           split)
+        return _SplitFFN(self.cfg, self.dtype, name="ffn")(
+            hidden, query_length, split, deterministic)
 
 
 class _LayerPair(nn.Module):
@@ -125,14 +133,16 @@ class _LayerPair(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, enc_states, self_mask, cross_mask, query_length):
+    def __call__(self, hidden, enc_states, self_mask, cross_mask, query_length,
+                 deterministic):
         # the FFN split applies to EVERY layer whenever an image is present
         # (ref Qformer.py:435 gates on encoder_hidden_states, not has_cross)
         split = enc_states is not None
         hidden = _QFormerLayer(self.cfg, True, self.dtype, name="cross_layer")(
-            hidden, enc_states, self_mask, cross_mask, query_length, split)
+            hidden, enc_states, self_mask, cross_mask, query_length, split,
+            deterministic)
         hidden = _QFormerLayer(self.cfg, False, self.dtype, name="plain_layer")(
-            hidden, None, self_mask, None, query_length, split)
+            hidden, None, self_mask, None, query_length, split, deterministic)
         return hidden, None
 
 
@@ -148,7 +158,8 @@ class QFormer(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids=None, query_embeds=None, attention_mask=None,
-                 encoder_hidden_states=None, encoder_attention_mask=None):
+                 encoder_hidden_states=None, encoder_attention_mask=None,
+                 deterministic: bool = True):
         cfg = self.cfg
         assert cfg.cross_attention_freq == 2 and cfg.num_layers % 2 == 0
         assert query_embeds is not None
@@ -165,6 +176,9 @@ class QFormer(nn.Module):
         x = jnp.concatenate(parts, axis=1)
         # LN over the concatenation, queries included (ref Qformer.py:105-108)
         x = _ln("embeddings_ln")(x).astype(self.dtype)
+        if cfg.dropout_rate:
+            x = nn.Dropout(cfg.dropout_rate, name="emb_drop")(
+                x, deterministic=deterministic)
 
         if attention_mask is not None:
             self_mask = additive_mask(attention_mask)
@@ -178,10 +192,10 @@ class QFormer(nn.Module):
         scanned = nn.scan(
             _LayerPair,
             variable_axes={"params": 0},
-            split_rngs={"params": True},
+            split_rngs={"params": True, "dropout": True},
             length=cfg.num_layers // 2,
-            in_axes=(nn.broadcast,) * 4,
+            in_axes=(nn.broadcast,) * 5,
         )(cfg=cfg, dtype=self.dtype, name="pairs")
         x, _ = scanned(x, encoder_hidden_states, self_mask, cross_mask,
-                       query_length)
+                       query_length, deterministic)
         return x

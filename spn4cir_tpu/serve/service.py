@@ -47,14 +47,49 @@ class RetrievalService:
             lambda imgs: backbone.index_features(params, imgs)["refer"])
         self._lock = threading.Lock()  # jit dispatch is not thread-safe-free
 
+    # -- gallery management --------------------------------------------------
+    def refresh_index(self, index: GalleryIndex) -> None:
+        """Atomically swap the gallery index (full reindex). In-flight
+        queries finish against the old index; new ones see the new one."""
+        name2gid = {n: i for i, n in enumerate(index.names)}
+        with self._lock:
+            self.index = index
+            self._name2gid = name2gid
+
+    def add_images(self, names: Sequence[str], images) -> int:
+        """Append new gallery images: encode on-device, extend the index
+        in place (names must be new). Returns the new gallery size."""
+        if self.preprocess is None and not isinstance(images, np.ndarray):
+            raise RuntimeError("service built without a preprocess pipeline")
+        dup = [n for n in names if n in self._name2gid]
+        if dup:
+            raise KeyError(f"gallery already contains {dup[:3]}...")
+        if not isinstance(images, np.ndarray):
+            images = np.stack([self.preprocess(im) for im in images])
+        feats = self.backbone.index_features(self.params,
+                                             jnp.asarray(images))
+        new_index = GalleryIndex(
+            target=jnp.concatenate(
+                [self.index.target, feats["target"].astype(
+                    self.index.target.dtype)], axis=0),
+            refer=np.concatenate(
+                [self.index.refer, np.asarray(feats["refer"])], axis=0),
+            names=list(self.index.names) + list(names),
+        )
+        self.refresh_index(new_index)
+        return len(new_index.names)
+
     # -- query paths --------------------------------------------------------
     def query_by_name(self, reference_name: str, caption: str,
                       k: Optional[int] = None) -> List[dict]:
-        gid = self._name2gid.get(reference_name)
+        # snapshot: a concurrent refresh_index must not mix old gids with a
+        # new gallery
+        index, name2gid = self.index, self._name2gid
+        gid = name2gid.get(reference_name)
         if gid is None:
             raise KeyError(f"unknown gallery image {reference_name!r}")
-        refer = self.index.refer_rows(np.asarray([gid]))
-        return self._run(refer, caption, k, exclude_gid=gid)
+        refer = index.refer_rows(np.asarray([gid]))
+        return self._run(index, refer, caption, k, exclude_gid=gid)
 
     def query_by_image(self, image, caption: str,
                        k: Optional[int] = None) -> List[dict]:
@@ -63,20 +98,20 @@ class RetrievalService:
             raise RuntimeError("service built without a preprocess pipeline")
         arr = image if isinstance(image, np.ndarray) else self.preprocess(image)
         refer = self._encode_refer(jnp.asarray(arr[None]))
-        return self._run(refer, caption, k, exclude_gid=None)
+        return self._run(self.index, refer, caption, k, exclude_gid=None)
 
-    def _run(self, refer, caption: str, k: Optional[int],
+    def _run(self, index: GalleryIndex, refer, caption: str, k: Optional[int],
              exclude_gid: Optional[int]) -> List[dict]:
-        k = min(k or self.default_k, len(self.index.names))
+        k = min(k or self.default_k, len(index.names))
         with self._lock:
             text = jnp.asarray(self.backbone.tokenize([caption]))
             query = self._fuse(refer, text)
-            scores = self.backbone.score_queries(query, self.index.target)[0]
+            scores = self.backbone.score_queries(query, index.target)[0]
         scores = np.array(scores)  # copy: jax array views are read-only
         if exclude_gid is not None:
             scores[exclude_gid] = -np.inf
         top = np.argsort(-scores)[:k]
-        return [{"name": self.index.names[int(i)],
+        return [{"name": index.names[int(i)],
                  "score": float(scores[int(i)])} for i in top]
 
 
@@ -105,26 +140,35 @@ def make_handler(service: RetrievalService):
                 self._send(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/retrieve":
-                self._send(404, {"error": "unknown path"})
-                return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length))
-                caption = req["caption"]
-                k = req.get("k")
-                if "reference_name" in req:
-                    results = service.query_by_name(req["reference_name"],
-                                                    caption, k)
-                elif "image_b64" in req:
+                if self.path == "/retrieve":
+                    caption = req["caption"]
+                    k = req.get("k")
+                    if "reference_name" in req:
+                        results = service.query_by_name(req["reference_name"],
+                                                        caption, k)
+                    elif "image_b64" in req:
+                        from PIL import Image
+
+                        raw = base64.b64decode(req["image_b64"])
+                        results = service.query_by_image(
+                            Image.open(io.BytesIO(raw)), caption, k)
+                    else:
+                        raise KeyError("need reference_name or image_b64")
+                    self._send(200, {"results": results})
+                elif self.path == "/gallery/add":
                     from PIL import Image
 
-                    raw = base64.b64decode(req["image_b64"])
-                    results = service.query_by_image(
-                        Image.open(io.BytesIO(raw)), caption, k)
+                    items = req["images"]  # {name: image_b64}
+                    names = list(items)
+                    images = [Image.open(io.BytesIO(base64.b64decode(b)))
+                              for b in items.values()]
+                    size = service.add_images(names, images)
+                    self._send(200, {"status": "ok", "gallery_size": size})
                 else:
-                    raise KeyError("need reference_name or image_b64")
-                self._send(200, {"results": results})
+                    self._send(404, {"error": "unknown path"})
             except KeyError as exc:
                 self._send(400, {"error": str(exc)})
             except Exception as exc:  # pragma: no cover
@@ -163,12 +207,13 @@ class BatchingRetrievalService(RetrievalService):
 
     def query_by_name(self, reference_name: str, caption: str,
                       k: Optional[int] = None) -> List[dict]:
-        gid = self._name2gid.get(reference_name)
+        index, name2gid = self.index, self._name2gid
+        gid = name2gid.get(reference_name)
         if gid is None:
             raise KeyError(f"unknown gallery image {reference_name!r}")
         event = threading.Event()
         slot: dict = {}
-        self._queue.put((gid, caption, k, event, slot))
+        self._queue.put((index, gid, caption, k, event, slot))
         event.wait()
         if "error" in slot:
             raise slot["error"]
@@ -193,26 +238,35 @@ class BatchingRetrievalService(RetrievalService):
             try:
                 self._run_batch(batch)
             except Exception as exc:  # propagate to all waiters
-                for _, _, _, event, slot in batch:
+                for _, _, _, _, event, slot in batch:
                     slot["error"] = exc
                     event.set()
 
     def _run_batch(self, batch):
         import numpy as np
 
-        gids = np.asarray([item[0] for item in batch])
-        captions = [item[1] for item in batch]
-        refer = self.index.refer_rows(gids)
-        with self._lock:
-            text = jnp.asarray(self.backbone.tokenize(captions))
-            queries = self._fuse_batch(refer, text)
-            scores = np.array(self.backbone.score_queries(queries,
-                                                          self.index.target))
-        for row, (gid, _, k, event, slot) in enumerate(batch):
-            s = scores[row].copy()
-            s[gid] = -np.inf
-            kk = min(k or self.default_k, len(self.index.names))
-            top = np.argsort(-s)[:kk]
-            slot["results"] = [{"name": self.index.names[int(i)],
-                                "score": float(s[int(i)])} for i in top]
-            event.set()
+        # a refresh between enqueue and dispatch splits the batch per index
+        # snapshot so gids always match the gallery they came from
+        by_index = {}
+        for item in batch:
+            by_index.setdefault(id(item[0]), []).append(item)
+        self._batches_dispatched = getattr(self, "_batches_dispatched", 0)
+        for group in by_index.values():
+            index = group[0][0]
+            gids = np.asarray([item[1] for item in group])
+            captions = [item[2] for item in group]
+            refer = index.refer_rows(gids)
+            with self._lock:
+                text = jnp.asarray(self.backbone.tokenize(captions))
+                queries = self._fuse_batch(refer, text)
+                scores = np.array(self.backbone.score_queries(queries,
+                                                              index.target))
+            self._batches_dispatched += 1
+            for row, (_, gid, _, k, event, slot) in enumerate(group):
+                s = scores[row].copy()
+                s[gid] = -np.inf
+                kk = min(k or self.default_k, len(index.names))
+                top = np.argsort(-s)[:kk]
+                slot["results"] = [{"name": index.names[int(i)],
+                                    "score": float(s[int(i)])} for i in top]
+                event.set()

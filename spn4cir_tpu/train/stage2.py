@@ -97,14 +97,18 @@ def stage2_train_step(
     target_bank: jnp.ndarray,
     batch: Dict[str, jnp.ndarray],
     impl: str = "auto",
+    dropout_rng: Optional[jnp.ndarray] = None,
 ):
     """One optimizer step. batch: refer_feats (B, *refer_shape) gathered bank
-    rows, text_ids (B, L), labels (B,) target-image ids into the bank."""
+    rows, text_ids (B, L), labels (B,) target-image ids into the bank.
+    `dropout_rng` enables train-mode dropout on backbones configured with a
+    nonzero dropout rate (blip/blip2 MED sides)."""
 
     def loss_fn(params):
+        kw = {} if dropout_rng is None else {"dropout_rng": dropout_rng}
         return backbone.stage2_loss(
             params, batch["refer_feats"], batch["text_ids"], target_bank,
-            batch["labels"], neg_idx=batch.get("neg_idx"), impl=impl)
+            batch["labels"], neg_idx=batch.get("neg_idx"), impl=impl, **kw)
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)
     return state.apply_gradients(grads=grads), loss
@@ -119,6 +123,7 @@ def train_epoch(
     impl: str = "auto",
     neg_num: Optional[int] = None,
     neg_rng: Optional[np.random.RandomState] = None,
+    dropout_rng: Optional[jnp.ndarray] = None,
     log_every: int = 50,
     log_fn: Callable[[int, float], None] = lambda step, loss: None,
 ):
@@ -142,7 +147,10 @@ def train_epoch(
             dev_batch["neg_idx"] = jnp.asarray(
                 rng.randint(0, bank.num_images,
                             size=(len(raw["captions"]), neg_num)))
-        state, loss = stage2_train_step(backbone, state, bank.target, dev_batch, impl)
+        step_rng = (None if dropout_rng is None
+                    else jax.random.fold_in(dropout_rng, step))
+        state, loss = stage2_train_step(backbone, state, bank.target,
+                                        dev_batch, impl, step_rng)
         loss_sum = loss if loss_sum is None else loss_sum + loss
         count += 1
         if log_every and step % log_every == 0:

@@ -51,11 +51,11 @@ def main():
         if args.backbone == "blip":
             params = convert.convert_blip_retrieval(
                 sd, backbone.vit_cfg.layers, backbone.med_cfg.num_layers,
-                tau=args.tau)
+                tau=args.tau, num_tokens=backbone.vit_cfg.num_tokens)
         elif args.backbone == "blip2":
             params = convert.convert_blip2_cir(
                 sd, backbone.vit_cfg.layers, backbone.q_cfg.num_layers,
-                tau=args.tau)
+                tau=args.tau, num_tokens=backbone.vit_cfg.num_tokens)
         else:  # tgcir
             params = convert.convert_tgcir_state_dict(
                 sd, backbone.cfg.vision_layers, backbone.cfg.transformer_layers)
