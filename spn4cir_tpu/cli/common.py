@@ -54,6 +54,10 @@ def base_parser(default_model: str = "RN50x4", default_tau: float = 0.02,
                         "data_utils.py:276-285)")
     # TPU-native extensions
     p.add_argument("--bf16", action="store_true", help="bfloat16 activations")
+    p.add_argument("--text_max_len", type=int, default=0,
+                   help="BLIP text token budget (0 = backbone default 35; "
+                        "the reference pads to the longest caption — raise "
+                        "this if captions exceed 33 WordPiece tokens)")
     p.add_argument("--dropout", type=float, default=0.0,
                    help="train-mode dropout on the BLIP/BLIP-2 MED text side "
                         "(the reference trains with HF BERT dropout 0.1; 0.0 "
@@ -109,6 +113,8 @@ def finalize_args(args) -> None:
 def make_backbone(name: str, args) -> CIRBackbone:
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     kw = dict(tau=args.tau, dtype=dtype, remat=bool(args.grad_ckpt))
+    if getattr(args, "text_max_len", 0) and name == "blip":
+        kw["text_max_len"] = args.text_max_len
     if getattr(args, "dropout", 0.0):
         if name in ("blip", "blip2"):
             kw["dropout"] = args.dropout

@@ -16,7 +16,7 @@ with no sort, no string compares, and no host round-trip.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Optional, Dict, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -27,19 +27,26 @@ NEG_INF = jnp.float32(-jnp.inf)
 def target_ranks(
     scores: jnp.ndarray,
     target_ids: jnp.ndarray,
-    refer_ids: jnp.ndarray,
+    refer_ids: Optional[jnp.ndarray],
 ) -> jnp.ndarray:
-    """Per-query rank of the target in the gallery, reference excluded.
+    """Per-query rank of the target in the gallery, reference excluded when
+    `refer_ids` is given.
 
     scores: (Q, N) similarity (higher = better); target_ids/refer_ids: (Q,).
+    refer_ids=None skips the exclusion — the published FIQ eval only
+    filters the reference for clip4cir/zscir (validate.py:40); tgcir, blip
+    and blip2 rank the full gallery (tgcir/validate.py:48-58,
+    blip4cir/validate.py:40-52, blip24cir/validate.py:29-43).
     """
     q = scores.shape[0]
     rows = jnp.arange(q)
     tgt = scores[rows, target_ids]  # (Q,)
     greater = scores > tgt[:, None]
-    # exclude the reference column (ref validate.py:131-134 / :40)
-    refer_onehot = jax.nn.one_hot(refer_ids, scores.shape[1], dtype=jnp.bool_)
-    greater = jnp.logical_and(greater, jnp.logical_not(refer_onehot))
+    if refer_ids is not None:
+        # exclude the reference column (ref validate.py:131-134 / :40)
+        refer_onehot = jax.nn.one_hot(refer_ids, scores.shape[1],
+                                      dtype=jnp.bool_)
+        greater = jnp.logical_and(greater, jnp.logical_not(refer_onehot))
     return jnp.sum(greater, axis=1)
 
 
@@ -72,7 +79,7 @@ def recall_at(ranks: jnp.ndarray, k: int) -> jnp.ndarray:
 def fiq_metrics(
     scores: jnp.ndarray,
     target_ids: jnp.ndarray,
-    refer_ids: jnp.ndarray,
+    refer_ids: Optional[jnp.ndarray],
     ks: Sequence[int] = (10, 50),
 ) -> Dict[str, float]:
     """FashionIQ Recall@10/50 per dress type (ref validate.py:19-51)."""

@@ -147,8 +147,11 @@ def fiq_val_retrieval(
         index = extract_index_features(backbone, params, classic, batch_size)
     preds = generate_val_predictions(backbone, params, relative, index, batch_size)
     scores = query_scores(backbone, preds, index)
-    return M.fiq_metrics(scores, jnp.asarray(preds["target_gid"]),
-                         jnp.asarray(preds["refer_gid"]))
+    # FIQ reference exclusion is per-backbone in the published eval (only
+    # clip4cir/zscir filter it; see metrics.target_ranks citations)
+    refer = (jnp.asarray(preds["refer_gid"])
+             if getattr(backbone, "fiq_exclude_reference", True) else None)
+    return M.fiq_metrics(scores, jnp.asarray(preds["target_gid"]), refer)
 
 
 def cirr_val_retrieval(

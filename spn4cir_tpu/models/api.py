@@ -114,6 +114,11 @@ class CIRBackbone(abc.ABC):
     def tokenize(self, texts) -> Array:
         """Host tokenization to fixed-length int32 ids."""
 
+    # The published FIQ eval filters the reference image from rankings only
+    # for clip4cir/zscir (validate.py:40); tgcir/blip/blip2 rank the full
+    # gallery and override this to False.
+    fiq_exclude_reference = True
+
     def score_queries(self, query_feats: Array, gallery: Array) -> Array:
         """Similarity matrix used for retrieval eval; default = cosine dot."""
         return jnp.dot(query_feats, gallery.T, preferred_element_type=jnp.float32)

@@ -187,6 +187,9 @@ class Blip2CirModule(nn.Module):
 
 class Blip2CIR(CIRBackbone):
     name = "blip2"
+    # the published FIQ eval ranks the FULL gallery for this backbone
+    # (no reference-image filter, ref blip24cir/validate.py:29-43)
+    fiq_exclude_reference = False
     extend_suffix = "blip2"
     default_transform = "targetpad"
 

@@ -91,6 +91,9 @@ class BlipCirModule(nn.Module):
 
 class BlipCIR(CIRBackbone):
     name = "blip"
+    # the published FIQ eval ranks the FULL gallery for this backbone
+    # (no reference-image filter, ref blip4cir/validate.py:40-52)
+    fiq_exclude_reference = False
     extend_suffix = "blip"
     default_transform = "targetpad"
 
@@ -99,7 +102,7 @@ class BlipCIR(CIRBackbone):
                  bert_vocab_path: Optional[str] = None,
                  med_cfg: Optional[MedConfig] = None,
                  vit_cfg: Optional[BlipViTConfig] = None,
-                 dropout: float = 0.0, **_):
+                 dropout: float = 0.0, text_max_len: int = TEXT_MAX_LEN, **_):
         if vit_cfg is None:
             vit_cfg = (BlipViTConfig.tiny() if blip_size == "test-tiny"
                        else BlipViTConfig.large() if blip_size == "large"
@@ -122,12 +125,16 @@ class BlipCIR(CIRBackbone):
                                    dtype=dtype, remat=remat)
         self.input_dim = vit_cfg.image_size
         self.embed_dim = EMBED_DIM
+        # the reference tokenizes with padding='longest' (blip_cir.py:94-98);
+        # a fixed length keeps jit shapes static — raise it for caption sets
+        # with >text_max_len-2 WordPiece tokens
+        self.text_max_len = text_max_len
 
     # ---- construction ----
     def init_params(self, rng):
         images = jnp.zeros((1, self.input_dim, self.input_dim, 3), self.dtype)
-        ids = jnp.zeros((1, TEXT_MAX_LEN), jnp.int32)
-        mask = jnp.ones((1, TEXT_MAX_LEN), jnp.int32)
+        ids = jnp.zeros((1, self.text_max_len), jnp.int32)
+        mask = jnp.ones((1, self.text_max_len), jnp.int32)
         return self.model.init(rng, images, ids, mask, method="init_all")
 
     def bank_spec(self) -> BankSpec:
@@ -189,7 +196,7 @@ class BlipCIR(CIRBackbone):
         into one array keeps the CIRBackbone tokenize->device contract."""
         import numpy as np
 
-        ids, mask = self.tokenizer(texts, max_length=TEXT_MAX_LEN,
+        ids, mask = self.tokenizer(texts, max_length=self.text_max_len,
                                    replace_cls_with_enc=True)
         return np.stack([ids, mask], axis=1)
 

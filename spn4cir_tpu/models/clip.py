@@ -67,6 +67,13 @@ CLIP_CONFIGS = {
         32, 32, 2, 64, 16, context_length=77,
         transformer_width=32, transformer_heads=2, transformer_layers=2,
     ),
+    # tiny tgcir-parity config: the reference TG-CIR hardcodes the ViT-B/16
+    # shape contract (fc 768->512, 512-d tokens, tgcir/models.py:61-62) so
+    # its oracle needs these widths even at 2 layers
+    "test-tgcir": CLIPConfig(
+        512, 32, 2, 768, 16, context_length=77,
+        transformer_width=512, transformer_heads=8, transformer_layers=2,
+    ),
 }
 
 

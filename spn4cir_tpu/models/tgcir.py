@@ -132,6 +132,9 @@ class TGCIRModule(nn.Module):
 
 class TgcirCIR(CIRBackbone):
     name = "tgcir"
+    # the published FIQ eval ranks the FULL gallery for this backbone
+    # (no reference-image filter, ref tgcir/validate.py:48-58)
+    fiq_exclude_reference = False
     extend_suffix = "tgcir"
     default_transform = "targetpad"
 

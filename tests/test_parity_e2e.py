@@ -56,7 +56,12 @@ def _stub_torchvision():
     ftm = types.ModuleType("torchvision.transforms.functional")
     for name in ("CenterCrop", "Compose", "InterpolationMode", "Normalize",
                  "Resize", "ToTensor", "RandomHorizontalFlip"):
-        setattr(tfm, name, type(name, (), {"BICUBIC": None}))
+        # permissive constructors: reference models BUILD these at init time
+        # (e.g. tgcir targetpad_transform inside CIRPlus.__init__) but the
+        # oracles never CALL them — we always pass our own preprocess
+        setattr(tfm, name, type(name, (), {
+            "BICUBIC": None,
+            "__init__": lambda self, *a, **k: None}))
     ftm.pad = None
     tfm.functional = ftm
     tv.transforms = tfm

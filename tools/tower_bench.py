@@ -1,0 +1,247 @@
+"""Production-tower throughput + MFU on the real TPU chip (VERDICT next #5).
+
+Measures encode images/sec for every production tower the recipes use —
+CLIP ViT-B/32@224, RN50x4@288 (clip4cir flagship), ViT-B/16@224 (tgcir),
+BLIP ViT-B@384 (blip4cir), EVA ViT-g@224 (blip24cir) — and the stage-2
+train step at recipe scale, incl. the blip2 60k-bank config.
+
+Methodology (dev harness, remote chip over RPC — see bench.py):
+scalar-fetch forcing, batch differencing to cancel RPC constants,
+min-of-N. MFU = XLA cost_analysis FLOPs / time / peak (v5e bf16 ~197e12).
+
+Usage: python tools/tower_bench.py [--towers a,b,...] [--train] [--json out]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+PEAK_FLOPS = 197e12  # v5e bf16
+
+
+def synthetic_bert_vocab_file() -> str:
+    """A real-sized (30522) stand-in vocab so blip/blip2 backbones construct
+    without the HF asset; token text is irrelevant to encode/train FLOPs."""
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "bench_bert_vocab.txt")
+    if not os.path.exists(path):
+        rows = ["[PAD]"] + [f"[unused{i}]" for i in range(99)] + [
+            "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+        rows += [f"tok{i}" for i in range(30522 - len(rows))]
+        with open(path, "w") as f:
+            f.write("\n".join(rows) + "\n")
+    return path
+
+
+def force(x):
+    """Fetch a scalar: the only reliable sync on the RPC harness."""
+    return float(jnp.sum(x if x.dtype == jnp.float32 else x.astype(jnp.float32)))
+
+
+def time_encode(encode, params, make_images, b_small, b_large, repeats=5):
+    imgs_s = make_images(b_small)
+    imgs_l = make_images(b_large)
+    force(encode(params, imgs_s))  # compile+warm
+    force(encode(params, imgs_l))
+
+    def best(images):
+        out = []
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            force(encode(params, images))
+            out.append(time.monotonic() - t0)
+        return min(out)
+
+    t_s, t_l = best(imgs_s), best(imgs_l)
+    ips = (b_large - b_small) / max(t_l - t_s, 1e-9)
+    return ips, t_s, t_l
+
+
+def vit_flops_per_image(tokens: int, width: int, layers: int,
+                        mlp_width: int, patch: int, in_ch: int = 3) -> float:
+    """Analytic forward FLOPs (2 per MAC). XLA cost_analysis cannot be used
+    here: nn.scan towers compile to a while-loop and the analysis counts the
+    body ONCE, not layers× (measured: ViT-B/32 reports 0.95 GF vs 8.6 GF)."""
+    per_layer = (8 * tokens * width * width            # qkv + out proj
+                 + 4 * tokens * tokens * width         # scores + apply
+                 + 4 * tokens * width * mlp_width)     # MLP
+    embed = 2 * tokens * width * in_ch * patch * patch
+    return float(layers * per_layer + embed)
+
+
+def flops_per_image(encode, params, images, analytic: float = 0.0):
+    if analytic:
+        return analytic
+    # non-scanned models (the ModifiedResNet tower) are counted correctly
+    try:
+        comp = jax.jit(encode).lower(params, images).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) / images.shape[0]
+    except Exception as exc:  # pragma: no cover
+        print(f"  [cost_analysis unavailable: {exc}]")
+        return 0.0
+
+
+def analytic_tower_flops(bb, backbone_name) -> float:
+    """Per-image encode FLOPs from the tower geometry (scanned ViTs)."""
+    if backbone_name == "clip":
+        cfg = bb.cfg
+        if not cfg.is_vit:
+            return 0.0  # ResNet tower: fall back to cost_analysis
+        tokens = (cfg.image_resolution // cfg.vision_patch_size) ** 2 + 1
+        return vit_flops_per_image(tokens, cfg.vision_width,
+                                   cfg.vision_layers, 4 * cfg.vision_width,
+                                   cfg.vision_patch_size)
+    if backbone_name == "blip":
+        vc = bb.vit_cfg
+        return vit_flops_per_image(vc.num_tokens, vc.width, vc.layers,
+                                   4 * vc.width, vc.patch_size)
+    if backbone_name == "blip2":
+        vc = bb.vit_cfg
+        tokens = (vc.image_size // vc.patch_size) ** 2 + 1
+        return vit_flops_per_image(tokens, vc.width, vc.layers,
+                                   int(vc.mlp_ratio * vc.width), vc.patch_size)
+    return 0.0
+
+
+def bench_tower(name, backbone_name, bb_kw, b_small, b_large, results):
+    from spn4cir_tpu.models.api import build_backbone
+
+    print(f"== {name} ==", flush=True)
+    if backbone_name in ("blip", "blip2"):
+        bb_kw = dict(bb_kw, bert_vocab_path=synthetic_bert_vocab_file())
+    bb = build_backbone(backbone_name, dtype=jnp.bfloat16, **bb_kw)
+    params = jax.jit(bb.init_params)(jax.random.PRNGKey(0))
+
+    def make_images(batch):
+        return jax.jit(lambda k: jax.random.uniform(
+            k, (batch, bb.input_dim, bb.input_dim, 3), jnp.bfloat16))(
+            jax.random.PRNGKey(batch))
+
+    encode = jax.jit(lambda p, im: bb.gallery_features(p, im))
+    ips, t_s, t_l = time_encode(encode, params, make_images, b_small, b_large)
+    fpi = flops_per_image(lambda p, im: bb.gallery_features(p, im), params,
+                          make_images(min(b_small, 64)),
+                          analytic=analytic_tower_flops(bb, backbone_name))
+    mfu = ips * fpi / PEAK_FLOPS if fpi else 0.0
+    print(f"  {ips:,.0f} img/s  t({b_small})={t_s*1e3:.0f}ms "
+          f"t({b_large})={t_l*1e3:.0f}ms  {fpi/1e9:.1f} GF/img  MFU={mfu:.1%}",
+          flush=True)
+    results[name] = {"images_per_sec": round(ips, 1),
+                     "gflops_per_image": round(fpi / 1e9, 2),
+                     "mfu": round(mfu, 4), "b_small": b_small,
+                     "b_large": b_large}
+    return bb, params
+
+
+def bench_stage2(name, backbone_name, bb_kw, batch, bank_rows, results,
+                 bank_dtype=jnp.bfloat16, text_len=None, repeats=5):
+    import numpy as np
+
+    from spn4cir_tpu.models.api import build_backbone
+    from spn4cir_tpu.train.stage2 import create_train_state, stage2_train_step
+
+    print(f"== stage-2 {name} (B={batch}, M={bank_rows}) ==", flush=True)
+    if backbone_name in ("blip", "blip2"):
+        bb_kw = dict(bb_kw, bert_vocab_path=synthetic_bert_vocab_file())
+    bb = build_backbone(backbone_name, dtype=jnp.bfloat16, **bb_kw)
+    params = jax.jit(bb.init_params)(jax.random.PRNGKey(0))
+    # frozen subtrees never receive gradients in stage 2 — hold them in bf16
+    # (halves the idle HBM of e.g. the 1B-param EVA tower on the shared chip)
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params)
+    flat = {k: (v if bb.trainable_filter(k) or v.dtype != jnp.float32
+                else v.astype(jnp.bfloat16)) for k, v in flat.items()}
+    params = traverse_util.unflatten_dict(flat)
+    spec = bb.bank_spec()
+    state = create_train_state(bb, params, 2e-5)
+    bank = jax.jit(lambda k: jax.random.normal(
+        k, (bank_rows, *spec.target_shape), bank_dtype))(jax.random.PRNGKey(1))
+    refer = jax.jit(lambda k: jax.random.normal(
+        k, (batch, *spec.refer_shape), jnp.bfloat16))(jax.random.PRNGKey(2))
+    rng = np.random.RandomState(0)
+    captions = ["make the dress shorter and more casual"] * batch
+    text = jnp.asarray(bb.tokenize(captions))
+    labels = jnp.asarray(rng.randint(0, bank_rows, size=(batch,)))
+    batch_d = {"refer_feats": refer, "text_ids": text, "labels": labels}
+
+    state, loss = stage2_train_step(bb, state, bank, batch_d)  # compile
+    force(loss)
+    times = []
+    for _ in range(repeats):
+        t0 = time.monotonic()
+        state, loss = stage2_train_step(bb, state, bank, batch_d)
+        force(loss)
+        times.append(time.monotonic() - t0)
+    # RPC constant: estimate with a no-op scalar fetch
+    t0 = time.monotonic()
+    force(loss)
+    rpc = time.monotonic() - t0
+    step = max(min(times) - rpc, 1e-9)
+    print(f"  step={step*1e3:.0f}ms (raw {min(times)*1e3:.0f}ms, rpc~{rpc*1e3:.0f}ms)"
+          f"  {batch/step:,.0f} triplets/s", flush=True)
+    results[f"stage2_{name}"] = {"step_ms": round(step * 1e3, 1),
+                                 "triplets_per_sec": round(batch / step, 1),
+                                 "batch": batch, "bank_rows": bank_rows}
+
+
+TOWERS = {
+    "clip_vit_b32_224": ("clip", {"clip_model_name": "ViT-B/32"}, 1024, 8192),
+    "clip_rn50x4_288": ("clip", {"clip_model_name": "RN50x4"}, 128, 1024),
+    "clip_vit_b16_224": ("clip", {"clip_model_name": "ViT-B/16"}, 256, 2048),
+    "blip_vit_b_384": ("blip", {"blip_size": "base"}, 64, 512),
+    "eva_vit_g_224": ("blip2", {"blip2_size": "pretrain"}, 32, 256),
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--towers", default=",".join(TOWERS))
+    p.add_argument("--train", action="store_true",
+                   help="also run the stage-2 recipe-scale steps")
+    p.add_argument("--json", default="")
+    args = p.parse_args()
+
+    print("devices:", jax.devices(), flush=True)
+    results = {}
+    for name in args.towers.split(","):
+        if not name:
+            continue
+        bn, kw, bs, bl = TOWERS[name]
+        try:
+            bench_tower(name, bn, kw, bs, bl, results)
+        except Exception as exc:
+            print(f"  FAILED: {type(exc).__name__}: {str(exc)[:200]}",
+                  flush=True)
+            results[name] = {"error": str(exc)[:200]}
+    if args.train:
+        for spec in (
+            ("clip_rn50x4", "clip", {"clip_model_name": "RN50x4"}, 256, 60000),
+            ("blip2_cirr", "blip2", {"blip2_size": "pretrain"}, 32, 60000),
+        ):
+            try:
+                bench_stage2(spec[0], spec[1], spec[2], spec[3], spec[4],
+                             results)
+            except Exception as exc:
+                print(f"  FAILED: {type(exc).__name__}: {str(exc)[:200]}",
+                      flush=True)
+                results[f"stage2_{spec[0]}"] = {"error": str(exc)[:200]}
+    print(json.dumps(results, indent=1))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
