@@ -44,14 +44,21 @@ class LayerNorm(nn.Module):
 class MultiHeadAttention(nn.Module):
     """Self/cross attention with a fused qkv projection for self-attention
     (keeps the OpenAI-CLIP `in_proj_weight` checkpoint layout convertible).
-    """
+
+    Maskless self-attention (the ViT towers) routes through the fused Pallas
+    kernel on TPU when the sequence is long enough to benefit
+    (`ops/attention_kernels.py`); `fused='xla'` pins the einsum path,
+    `fused='pallas'` forces the kernel (tests)."""
 
     num_heads: int
     dtype: Dtype = jnp.float32
     out_features: Optional[int] = None
+    fused: str = "auto"
 
     @nn.compact
     def __call__(self, x, kv=None, mask=None):
+        from spn4cir_tpu.ops import attention_kernels as _ak
+
         d = x.shape[-1]
         out_d = self.out_features or d
         head_dim = d // self.num_heads
@@ -68,12 +75,24 @@ class MultiHeadAttention(nn.Module):
 
         q, k, v = map(split_heads, (q, k, v))
         scale = head_dim ** -0.5
-        logits = jnp.einsum("...qhd,...khd->...hqk", q * scale, k,
-                            preferred_element_type=jnp.float32)
-        if mask is not None:
-            logits = logits + mask.astype(jnp.float32)
-        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("...hqk,...khd->...qhd", weights, v)
+
+        if (kv is None and mask is None and x.ndim == 3
+                and _ak.should_fuse(x.shape[1], self.fused)):
+            b, s = x.shape[0], x.shape[1]
+
+            def flat(t):  # (B, S, H, Dh) -> (B*H, S, Dh)
+                return t.transpose(0, 2, 1, 3).reshape(
+                    b * self.num_heads, s, head_dim)
+
+            o = _ak.fused_attention_pallas(flat(q * scale), flat(k), flat(v))
+            out = o.reshape(b, self.num_heads, s, head_dim).transpose(0, 2, 1, 3)
+        else:
+            logits = jnp.einsum("...qhd,...khd->...hqk", q * scale, k,
+                                preferred_element_type=jnp.float32)
+            if mask is not None:
+                logits = logits + mask.astype(jnp.float32)
+            weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("...hqk,...khd->...qhd", weights, v)
         out = out.reshape(*out.shape[:-2], d)
         return nn.Dense(out_d, dtype=self.dtype, name="out")(out)
 
@@ -99,10 +118,12 @@ class ResidualAttentionBlock(nn.Module):
     act: Callable = quick_gelu
     mlp_mult: float = 4.0
     ln_eps: float = 1e-5
+    fused: str = "auto"
 
     @nn.compact
     def __call__(self, x, mask=None):
-        x = x + MultiHeadAttention(self.num_heads, dtype=self.dtype, name="attn")(
+        x = x + MultiHeadAttention(self.num_heads, dtype=self.dtype,
+                                   fused=self.fused, name="attn")(
             LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_1")(x), mask=mask
         )
         x = x + MLP(self.mlp_mult, self.act, dtype=self.dtype, name="mlp")(
@@ -120,12 +141,14 @@ class _ScanBlock(nn.Module):
     act: Callable = quick_gelu
     mlp_mult: float = 4.0
     ln_eps: float = 1e-5
+    fused: str = "auto"
 
     @nn.compact
     def __call__(self, x, mask=None):
         y = ResidualAttentionBlock(self.num_heads, dtype=self.dtype,
                                    act=self.act, mlp_mult=self.mlp_mult,
-                                   ln_eps=self.ln_eps, name="block")(x, mask)
+                                   ln_eps=self.ln_eps, fused=self.fused,
+                                   name="block")(x, mask)
         return y, None
 
 
@@ -141,6 +164,7 @@ class Transformer(nn.Module):
     mlp_mult: float = 4.0
     ln_eps: float = 1e-5
     remat: bool = False
+    fused: str = "auto"
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -154,7 +178,8 @@ class Transformer(nn.Module):
             length=self.num_layers,
             in_axes=(nn.broadcast,),
         )(num_heads=self.num_heads, dtype=self.dtype, act=self.act,
-          mlp_mult=self.mlp_mult, ln_eps=self.ln_eps, name="blocks")
+          mlp_mult=self.mlp_mult, ln_eps=self.ln_eps, fused=self.fused,
+          name="blocks")
         y, _ = scanned(x, mask)
         return y
 

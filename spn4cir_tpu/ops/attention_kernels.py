@@ -1,0 +1,223 @@
+"""Fused Pallas multi-head self-attention for the ViT encoder towers.
+
+The XLA path in `models/layers.py:MultiHeadAttention` materializes the
+(B, H, S, S) logits + softmax-weights tensors in HBM; at BLIP@384's 577
+tokens that is ~1 GB per 64-image batch (f32 logits), and the softmax
+read-modify-write traffic — not the MXU matmuls — bounds the tower's MFU
+(BENCHMARKS.md: BLIP@384 was the only tower under the 30% target).
+
+This kernel computes one (batch, head) attention entirely in VMEM:
+
+    grid = (B*H,);  per step: S×S logits -> masked softmax -> P @ V
+
+so the score matrix never touches HBM. Both our sequence lengths (577 for
+BLIP@384, 257 for EVA-g@224) fit the full S×S block in VMEM (f32 640×640 =
+1.6 MB; the VMEM bound is S ≲ 1.4k — beyond that a flash-style online-
+softmax sweep like `ops/bank_kernels.py` would be needed, which no tower
+here requires).
+
+The backward pass is a second single-sweep kernel that recomputes P from
+(q, k) in VMEM (cheaper than saving it) and emits dq/dk/dv via four MXU
+matmuls — the standard softmax-attention VJP:
+
+    dV = Pᵀ dO;  dP = dO Vᵀ;  dS = P ⊙ (dP - rowsum(dP ⊙ P));
+    dQ = dS K;   dK = dSᵀ Q
+
+Numerics match the XLA path: logits and softmax accumulate in f32, the
+P @ V / dQ / dK / dV matmuls run in the input dtype (bf16 on TPU) with f32
+MXU accumulation. Scale (head_dim**-0.5) is folded into q by the caller,
+exactly where the XLA path applies it.
+
+Reference behavior being accelerated: the per-tower attention of
+`clip4cir/clip/model.py:171-203`, `blip4cir/vit.py` and LAVIS' EVA ViT —
+all plain softmax self-attention without masks or dropout.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+# auto-dispatch engages the kernel only when the (padded) score matrix is
+# big enough for the saved HBM traffic to beat the pad/copy overhead.
+# Hardware-measured (v5e): S=197 (ViT-B/16) is break-even on the op and a
+# net loss at tower level (head split/merge transposes stop fusing);
+# S=257 (EVA-g) is +9% and S=577 (BLIP@384) +14% end-to-end.
+MIN_FUSED_SEQ = 256
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return _cdiv(x, m) * m
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, s_actual: int):
+    q = q_ref[0]
+    k = k_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(col_ids < s_actual, logits, -jnp.inf)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(q.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _run_forward(q, k, v, *, s_actual: int):
+    bh, sp, dp = q.shape
+    spec = pl.BlockSpec((1, sp, dp), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, s_actual=s_actual),
+        grid=(bh,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((bh, sp, dp), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=_interpret(),
+    )(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Backward: recompute P in VMEM, emit dq/dk/dv
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                *, s_actual: int):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(col_ids < s_actual, logits, -jnp.inf)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)          # (Sq, Sk) f32
+
+    pb = p.astype(q.dtype)
+    dv_ref[0] = jax.lax.dot_general(
+        pb, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)             # (Sq, Sk) f32
+    ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+    dsb = ds.astype(q.dtype)
+    dq_ref[0] = jax.lax.dot_general(
+        dsb, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[0] = jax.lax.dot_general(
+        dsb, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+def _run_backward(q, k, v, do, *, s_actual: int):
+    bh, sp, dp = q.shape
+    spec = pl.BlockSpec((1, sp, dp), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((bh, sp, dp), q.dtype)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, s_actual=s_actual),
+        grid=(bh,),
+        in_specs=[spec] * 4,
+        out_specs=[spec] * 3,
+        out_shape=[shape] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=_interpret(),
+    )(q, k, v, do)
+
+
+# ---------------------------------------------------------------------------
+# Public op with custom VJP — q is pre-scaled by the caller
+# ---------------------------------------------------------------------------
+
+def _pad_qkv(t, sp, dp):
+    bh, s, d = t.shape
+    return jnp.pad(t, ((0, 0), (0, sp - s), (0, dp - d)))
+
+
+@jax.custom_vjp
+def fused_attention_pallas(q, k, v):
+    """softmax(q @ kᵀ) @ v per leading (batch·head) slice.
+
+    q, k, v: (BH, S, D); q already scaled by head_dim**-0.5. Sequence and
+    head dims are zero-padded to lane multiples inside; padded key columns
+    are masked to -inf so results are exact."""
+    out, _ = _fwd_vjp(q, k, v)
+    return out
+
+
+def _fwd_vjp(q, k, v):
+    bh, s, d = q.shape
+    sp = _round_up(s, LANES)
+    dp = _round_up(d, LANES)
+    out = _run_forward(_pad_qkv(q, sp, dp), _pad_qkv(k, sp, dp),
+                       _pad_qkv(v, sp, dp), s_actual=s)
+    return out[:, :s, :d], (q, k, v)
+
+
+def _bwd_vjp(residuals, g):
+    q, k, v = residuals
+    bh, s, d = q.shape
+    sp = _round_up(s, LANES)
+    dp = _round_up(d, LANES)
+    dq, dk, dv = _run_backward(
+        _pad_qkv(q, sp, dp), _pad_qkv(k, sp, dp), _pad_qkv(v, sp, dp),
+        _pad_qkv(g.astype(q.dtype), sp, dp), s_actual=s)
+    return dq[:, :s, :d], dk[:, :s, :d], dv[:, :s, :d]
+
+
+fused_attention_pallas.defvjp(_fwd_vjp, _bwd_vjp)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+def should_fuse(seq_len: int, impl: str = "auto") -> bool:
+    """Dispatch policy shared with models/layers.py: the kernel wins only on
+    TPU and only when the score matrix is large enough that the saved HBM
+    softmax traffic beats the lane-padding overhead."""
+    if impl == "pallas":
+        return True
+    if impl != "auto":
+        return False
+    return jax.default_backend() == "tpu" and seq_len >= MIN_FUSED_SEQ
+
+
+def fused_attention(q, k, v, impl: str = "auto"):
+    """(BH, S, D) self-attention with caller-prescaled q.
+
+    impl='auto' uses the Pallas kernel on TPU for sequences long enough to
+    benefit (MIN_FUSED_SEQ), the plain XLA einsum path otherwise."""
+    if should_fuse(q.shape[1], impl):
+        return fused_attention_pallas(q, k, v)
+    logits = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jax.lax.dot_general(
+        weights, v, (((2,), (1,)), ((0,), (0,))))

@@ -37,20 +37,23 @@ def ref_modules():
     torch.Tensor.cuda = lambda self, *a, **k: self
     sys.path.insert(0, REF_DIR)
     names = ["clip", "data_utils", "utils", "models", "validate"]
-    saved = {n: sys.modules.get(n) for n in names}
-    for n in names:
-        sys.modules.pop(n, None)  # clip4cir's flat modules may be cached
+    # pop submodules too: clip4cir's parity test leaves ITS vendored
+    # "clip.model" cached, which would otherwise bind to tgcir's fresh
+    # "clip" package and shadow tgcir's own model submodule
+    saved = {n: m for n, m in sys.modules.items()
+             if any(n == base or n.startswith(base + ".") for base in names)}
+    for n in saved:
+        sys.modules.pop(n, None)
     try:
         mods = {n: importlib.import_module(n) for n in names}
         yield mods
     finally:
         torch.Tensor.cuda = orig_cuda
         sys.path.remove(REF_DIR)
-        for n in names:
-            if saved[n] is None:
+        for n in list(sys.modules):
+            if any(n == base or n.startswith(base + ".") for base in names):
                 sys.modules.pop(n, None)
-            else:
-                sys.modules[n] = saved[n]
+        sys.modules.update(saved)
 
 
 @pytest.fixture(scope="module")
