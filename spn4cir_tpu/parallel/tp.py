@@ -1,0 +1,98 @@
+"""Tensor parallelism for the encoder towers (Megatron-style, GSPMD-driven).
+
+SURVEY.md §2.7: the reference has no TP (largest model ~1.4B params,
+single-GPU); the TPU-native plan is "shard ViT/Q-Former MLP + attention
+heads over an ICI mesh axis — needed for EVA-ViT-g at large batch". This
+module implements that the idiomatic XLA way: annotate *parameter*
+shardings on a 'model' mesh axis and let the SPMD partitioner derive the
+computation sharding and insert the collectives (one all-reduce after the
+attention out-projection, one after the MLP down-projection per block —
+the classic Megatron pattern, here produced by the compiler rather than
+hand-written NCCL as in megatron/torch stacks).
+
+Column-parallel (output dim sharded): qkv and MLP up-projection kernels +
+biases. Row-parallel (input dim sharded): attention out and MLP
+down-projection kernels; their biases stay replicated (added after the
+all-reduce). Everything else — LayerNorms, embeddings, patch conv, heads —
+is replicated. Works on any tower built from `models/layers.py` blocks
+(CLIP ViT/text, BLIP ViT, EVA ViT-g): nn.scan stacks params with a leading
+layer axis, which stays unsharded.
+
+Dims that don't divide the model-axis size fall back to replicated — the
+result is always correct; only the balance changes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXIS_DATA = "data"
+AXIS_MODEL = "model"
+
+# Dense param names from models/layers.py blocks. Column-parallel shards the
+# kernel's OUTPUT dim (and its bias); row-parallel shards the INPUT dim.
+_COLUMN = {("attn", "qkv", "kernel"), ("attn", "qkv", "bias"),
+           ("mlp", "fc", "kernel"), ("mlp", "fc", "bias")}
+_ROW = {("attn", "out", "kernel"), ("mlp", "proj", "kernel")}
+
+
+def make_tp_mesh(data: Optional[int] = None, model: int = 1,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """(data, model) mesh. Defaults: all devices on the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        assert n % model == 0, (n, model)
+        data = n // model
+    assert data * model == n, (data, model, n)
+    return Mesh(np.asarray(devices).reshape(data, model),
+                (AXIS_DATA, AXIS_MODEL))
+
+
+def _spec_for(path, shape, model_size: int) -> P:
+    names = tuple(getattr(k, "key", getattr(k, "name", None)) for k in path)
+    tail = names[-3:]
+    if tail in _COLUMN and shape[-1] % model_size == 0:
+        return P(*([None] * (len(shape) - 1)), AXIS_MODEL)
+    if tail in _ROW and len(shape) >= 2 and shape[-2] % model_size == 0:
+        return P(*([None] * (len(shape) - 2)), AXIS_MODEL, None)
+    return P()
+
+
+def tp_param_specs(params, mesh: Mesh):
+    """PartitionSpec pytree for a param tree (see module docstring)."""
+    model_size = mesh.shape[AXIS_MODEL]
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: _spec_for(path, x.shape, model_size), params)
+
+
+def tp_param_shardings(params, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec), tp_param_specs(params, mesh),
+        is_leaf=lambda x: isinstance(x, P))
+
+
+def shard_params_tp(params, mesh: Mesh):
+    """Place a param tree on the mesh with TP shardings."""
+    return jax.tree_util.tree_map(
+        lambda x, sh: jax.device_put(x, sh), params,
+        tp_param_shardings(params, mesh))
+
+
+def make_tp_encode(encode_fn, params, mesh: Mesh):
+    """jit `encode_fn(params, images)` with TP params + data-sharded batch.
+
+    Returns (jitted_fn, sharded_params). The batch dim must divide the
+    'data' axis size. Collectives are inserted by the SPMD partitioner."""
+    sharded = shard_params_tp(params, mesh)
+    fn = jax.jit(
+        encode_fn,
+        in_shardings=(tp_param_shardings(params, mesh),
+                      NamedSharding(mesh, P(AXIS_DATA))),
+        out_shardings=NamedSharding(mesh, P(AXIS_DATA)),
+    )
+    return fn, sharded
