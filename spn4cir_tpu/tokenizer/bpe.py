@@ -111,6 +111,7 @@ class ClipTokenizer:
         self.vocab_size = len(vocab)
         self.sot_id = self.encoder[SOT_TOKEN]
         self.eot_id = self.encoder[EOT_TOKEN]
+        self._native = None  # lazily resolved: NativeBpe | False
 
     # -- BPE core ----------------------------------------------------------
     def _merge_word(self, token: str) -> str:
@@ -144,6 +145,21 @@ class ClipTokenizer:
         return merged
 
     def encode(self, text: str) -> List[int]:
+        # native (C++) ASCII fast path — ~10x cheaper; returns None for any
+        # input outside its contract, in which case the Python path (the
+        # parity ground truth) runs. See native/bpe.cpp.
+        if self._native is not False:
+            if self._native is None:
+                from spn4cir_tpu.tokenizer import native_bpe
+
+                self._native = native_bpe.get_native(self) or False
+            if self._native is not False:
+                ids = self._native.encode(text)
+                if ids is not None:
+                    return ids
+        return self._encode_py(text)
+
+    def _encode_py(self, text: str) -> List[int]:
         ids: List[int] = []
         for chunk in _SPLIT_PATTERN.findall(_clean(text)):
             mapped = "".join(self._byte_encoder[b] for b in chunk.encode("utf-8"))

@@ -1,0 +1,134 @@
+"""ctypes binding for the native CLIP-BPE fast path (native/bpe.cpp).
+
+Built on first use with g++ (same convention as the native image loader);
+`SPN4CIR_NATIVE=0` opts out. `NativeBpe.encode` returns None whenever the
+input leaves the ASCII fast-path contract (bytes >= 0x80, HTML entities,
+literal special tokens, unknown symbols) — the caller then uses the Python
+tokenizer, so results are always byte-identical to `tokenizer/bpe.py`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), os.pardir, "native", "bpe.cpp")
+_SO = os.path.join(os.path.dirname(__file__), os.pardir, "native", "_bpe.so")
+_BUILD_LOCK = threading.Lock()
+
+_lib = None
+_build_error: Optional[str] = None
+
+
+def _build() -> Optional[str]:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           _SRC, "-o", _SO]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=180)
+    except (OSError, subprocess.TimeoutExpired) as exc:  # pragma: no cover
+        return f"build failed: {exc}"
+    if proc.returncode != 0:  # pragma: no cover
+        return f"build failed: {proc.stderr[-2000:]}"
+    return None
+
+
+def _load():
+    global _lib, _build_error
+    if _lib is not None or _build_error is not None:
+        return
+    with _BUILD_LOCK:
+        if _lib is not None or _build_error is not None:
+            return
+        if os.environ.get("SPN4CIR_NATIVE", "1") in ("0", "false"):
+            _build_error = "disabled via SPN4CIR_NATIVE=0"
+            return
+        if not os.path.exists(_SO) or (os.path.getmtime(_SO)
+                                       < os.path.getmtime(_SRC)):
+            err = _build()
+            if err:
+                _build_error = err
+                return
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError as exc:  # pragma: no cover
+            _build_error = str(exc)
+            return
+        lib.bpe_create.restype = ctypes.c_void_p
+        lib.bpe_create.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        lib.bpe_destroy.argtypes = [ctypes.c_void_p]
+        lib.bpe_encode.restype = ctypes.c_int
+        lib.bpe_encode.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                   ctypes.POINTER(ctypes.c_int32),
+                                   ctypes.c_int]
+        _lib = lib
+
+
+def native_available() -> bool:
+    _load()
+    return _lib is not None
+
+
+def _ascii(s: str) -> bool:
+    try:
+        s.encode("ascii")
+        return True
+    except UnicodeEncodeError:
+        return False
+
+
+class NativeBpe:
+    def __init__(self, tokenizer):
+        _load()
+        if _lib is None:
+            raise RuntimeError(_build_error or "native bpe unavailable")
+        # only pure-ASCII vocab/merge entries can ever apply on the ASCII
+        # fast path (printable ASCII is identity under the byte table)
+        enc = "".join(f"{tok}\t{i}\n" for tok, i in tokenizer.encoder.items()
+                      if _ascii(tok))
+        ranks = "".join(f"{a}\t{b}\t{r}\n"
+                        for (a, b), r in tokenizer._rank.items()
+                        if _ascii(a) and _ascii(b))
+        self._h = _lib.bpe_create(enc.encode(), ranks.encode())
+        self._buf = np.empty(512, np.int32)
+
+    def __del__(self):  # pragma: no cover
+        if _lib is not None and getattr(self, "_h", None):
+            _lib.bpe_destroy(self._h)
+
+    def encode(self, text: str) -> Optional[List[int]]:
+        """BPE ids, or None when the text needs the Python fallback."""
+        try:
+            raw = text.encode("utf-8")
+        except UnicodeEncodeError:  # pragma: no cover
+            return None
+        while True:
+            n = _lib.bpe_encode(
+                self._h, raw,
+                self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(self._buf))
+            if n < 0:
+                return None
+            if n <= len(self._buf):
+                return self._buf[:n].tolist()
+            self._buf = np.empty(n, np.int32)
+
+
+_instances: dict = {}
+_instances_lock = threading.Lock()
+
+
+def get_native(tokenizer) -> Optional[NativeBpe]:
+    """Per-tokenizer singleton; None when the toolchain is unavailable."""
+    if not native_available():
+        return None
+    key = id(tokenizer)
+    with _instances_lock:
+        inst = _instances.get(key)
+        if inst is None:
+            inst = _instances[key] = NativeBpe(tokenizer)
+        return inst

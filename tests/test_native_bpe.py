@@ -1,0 +1,89 @@
+"""Native (C++) BPE fast path vs the Python tokenizer — exact parity."""
+
+import random
+import string
+
+import numpy as np
+import pytest
+
+from spn4cir_tpu.tokenizer import native_bpe
+from spn4cir_tpu.tokenizer.bpe import get_tokenizer, tokenize
+
+pytestmark = pytest.mark.skipif(not native_bpe.native_available(),
+                                reason="no native toolchain")
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return get_tokenizer()
+
+
+@pytest.fixture(scope="module")
+def native(tok):
+    nb = native_bpe.get_native(tok)
+    assert nb is not None
+    return nb
+
+
+CAPTIONS = [
+    "is shorter and has a floral pattern",
+    "The dress is  BLUE   with   white dots!!",
+    "it's got 3 buttons, isn't it? they're #1 (no. 42)",
+    "a-line; v-neck... 100% cotton's 'look'",
+    "I'll we've you're can't don'T O'Brien's",
+    "",
+    "   ",
+    "word",
+    "x",
+    "9",
+    "don't---stop; 'tis ok",
+    "semi--colons;;; and 'quotes' \"here\"",
+    "tabs\tand\nnewlines\r\nmixed   spaces",
+]
+
+
+def test_known_captions_match_python(tok, native, ):
+    for cap in CAPTIONS:
+        got = native.encode(cap)
+        assert got is not None, cap
+        assert got == tok._encode_py(cap), cap
+
+
+def test_fuzz_ascii_matches_python(tok, native):
+    rnd = random.Random(0)
+    alphabet = string.ascii_letters + string.digits + string.punctuation + "  '"
+    # exclude the fallback triggers from the fuzz alphabet
+    alphabet = alphabet.replace("&", "")
+    for _ in range(400):
+        n = rnd.randint(0, 40)
+        s = "".join(rnd.choice(alphabet) for _ in range(n))
+        if "<|" in s:
+            continue
+        got = native.encode(s)
+        assert got is not None, repr(s)
+        assert got == tok._encode_py(s), repr(s)
+
+
+def test_fallback_cases(tok, native):
+    for s in ["café au lait", "&amp; escaped", "<|startoftext|> hi",
+              "emoji 🙂 here"]:
+        assert native.encode(s) is None, s
+        # and the public encode still produces the Python result
+        assert tok.encode(s) == tok._encode_py(s)
+
+
+def test_tokenize_array_uses_fast_path(tok):
+    caps = ["make it blue with short sleeves", "café"]  # fast + fallback
+    arr = tokenize(caps)
+    assert arr.shape == (2, 77) and arr.dtype == np.int32
+    want0 = [tok.sot_id] + tok._encode_py(caps[0]) + [tok.eot_id]
+    assert list(arr[0][: len(want0)]) == want0
+    want1 = [tok.sot_id] + tok._encode_py(caps[1]) + [tok.eot_id]
+    assert list(arr[1][: len(want1)]) == want1
+
+
+def test_long_text_total_count(tok, native):
+    s = "very " * 700 + "long caption"
+    got = native.encode(s)
+    assert got == tok._encode_py(s)
+    assert len(got) > 512  # exercised the grow-and-retry path
