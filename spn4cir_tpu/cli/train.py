@@ -205,8 +205,14 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
                 neg_type=args.neg_type,
                 log_fn=lambda step, loss: logger.log(step, epoch=epoch, loss=loss))
         else:
+            # only backbones whose stage2_loss takes a dropout rng get one —
+            # clip/tgcir warn-and-ignore --dropout (see cli/common.py)
+            import inspect
+
+            takes_dropout = ("dropout_rng"
+                             in inspect.signature(backbone.stage2_loss).parameters)
             drop_rng = (jax.random.PRNGKey(args.seed * 1000 + epoch)
-                        if args.dropout else None)
+                        if args.dropout and takes_dropout else None)
             state, mean_loss = train_epoch(
                 backbone, state, bank,
                 iter_train_bank(train_ds, args.batch_size, epoch_seed=args.seed + epoch),

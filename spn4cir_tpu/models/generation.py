@@ -185,16 +185,20 @@ def suppress_eos(logits, eos_id: int, cur_len, min_length: int):
 
 def top_p_filter(logits, top_p: float):
     """Nucleus filtering (HF TopPLogitsWarper, min_tokens_to_keep=1): keep the
-    smallest set of tokens whose cumulative probability exceeds top_p."""
-    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    # tokens whose cumulative mass *before* them already reached top_p are
-    # cut; they form the tail, so the boundary is the largest cut logit
-    cutoff_mask = (cum - probs) >= top_p
-    thresh = jnp.max(jnp.where(cutoff_mask, sorted_logits, -jnp.inf), axis=-1,
-                     keepdims=True)
-    return jnp.where(logits <= thresh, NEG_INF, logits)
+    smallest set of tokens whose cumulative probability exceeds top_p.
+
+    Positional (sorted-index scatter) like HF, NOT a value threshold: with
+    tied logits straddling the nucleus boundary a value threshold would also
+    cut the kept copies — possibly every token — whereas HF cuts by sorted
+    position and always keeps the top token."""
+    idx = jnp.argsort(logits, axis=-1)  # ascending, ties positional
+    sorted_logits = jnp.take_along_axis(logits, idx, axis=-1)
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    remove_sorted = cum <= (1.0 - top_p)          # the low-probability tail
+    remove_sorted = remove_sorted.at[..., -1].set(False)  # min_tokens_to_keep
+    inv = jnp.argsort(idx, axis=-1)
+    remove = jnp.take_along_axis(remove_sorted, inv, axis=-1)
+    return jnp.where(remove, NEG_INF, logits)
 
 
 # ---------------------------------------------------------------------------

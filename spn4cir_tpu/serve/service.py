@@ -46,6 +46,9 @@ class RetrievalService:
         self._encode_refer = jax.jit(
             lambda imgs: backbone.index_features(params, imgs)["refer"])
         self._lock = threading.Lock()  # jit dispatch is not thread-safe-free
+        # serializes gallery mutations (read->build->swap); queries only
+        # snapshot self.index/self._name2gid and never take it
+        self._mutate_lock = threading.Lock()
 
     # -- gallery management --------------------------------------------------
     def refresh_index(self, index: GalleryIndex) -> None:
@@ -61,22 +64,27 @@ class RetrievalService:
         in place (names must be new). Returns the new gallery size."""
         if self.preprocess is None and not isinstance(images, np.ndarray):
             raise RuntimeError("service built without a preprocess pipeline")
-        dup = [n for n in names if n in self._name2gid]
-        if dup:
-            raise KeyError(f"gallery already contains {dup[:3]}...")
         if not isinstance(images, np.ndarray):
             images = np.stack([self.preprocess(im) for im in images])
         feats = self.backbone.index_features(self.params,
                                              jnp.asarray(images))
-        new_index = GalleryIndex(
-            target=jnp.concatenate(
-                [self.index.target, feats["target"].astype(
-                    self.index.target.dtype)], axis=0),
-            refer=np.concatenate(
-                [self.index.refer, np.asarray(feats["refer"])], axis=0),
-            names=list(self.index.names) + list(names),
-        )
-        self.refresh_index(new_index)
+        # one mutation at a time: concurrent add_images must not build from
+        # the same base snapshot (lost update), and the three index-attribute
+        # reads must come from ONE snapshot (no torn index)
+        with self._mutate_lock:
+            index = self.index
+            dup = [n for n in names if n in self._name2gid]
+            if dup:
+                raise KeyError(f"gallery already contains {dup[:3]}...")
+            new_index = GalleryIndex(
+                target=jnp.concatenate(
+                    [index.target,
+                     feats["target"].astype(index.target.dtype)], axis=0),
+                refer=np.concatenate(
+                    [index.refer, np.asarray(feats["refer"])], axis=0),
+                names=list(index.names) + list(names),
+            )
+            self.refresh_index(new_index)
         return len(new_index.names)
 
     # -- query paths --------------------------------------------------------
@@ -199,6 +207,7 @@ class BatchingRetrievalService(RetrievalService):
 
         self.max_batch = max_batch
         self.max_delay_s = max_delay_s
+        self._batches_dispatched = 0
         self._queue: "queue.Queue" = queue.Queue()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
@@ -250,7 +259,6 @@ class BatchingRetrievalService(RetrievalService):
         by_index = {}
         for item in batch:
             by_index.setdefault(id(item[0]), []).append(item)
-        self._batches_dispatched = getattr(self, "_batches_dispatched", 0)
         for group in by_index.values():
             index = group[0][0]
             gids = np.asarray([item[1] for item in group])

@@ -94,31 +94,41 @@ class NativeBpe:
                         for (a, b), r in tokenizer._rank.items()
                         if _ascii(a) and _ascii(b))
         self._h = _lib.bpe_create(enc.encode(), ranks.encode())
-        self._buf = np.empty(512, np.int32)
 
     def __del__(self):  # pragma: no cover
         if _lib is not None and getattr(self, "_h", None):
             _lib.bpe_destroy(self._h)
 
     def encode(self, text: str) -> Optional[List[int]]:
-        """BPE ids, or None when the text needs the Python fallback."""
+        """BPE ids, or None when the text needs the Python fallback.
+
+        Thread-safe: the output buffer is per-call (the C side's word cache
+        has its own mutex)."""
+        if "\x00" in text:
+            # a C string would silently truncate at the NUL; Python path
+            # tokenizes the full text
+            return None
         try:
             raw = text.encode("utf-8")
         except UnicodeEncodeError:  # pragma: no cover
             return None
+        buf = np.empty(512, np.int32)
         while True:
             n = _lib.bpe_encode(
                 self._h, raw,
-                self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                len(self._buf))
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(buf))
             if n < 0:
                 return None
-            if n <= len(self._buf):
-                return self._buf[:n].tolist()
-            self._buf = np.empty(n, np.int32)
+            if n <= len(buf):
+                return buf[:n].tolist()
+            buf = np.empty(n, np.int32)
 
 
-_instances: dict = {}
+# weak keys: a collected tokenizer must not leave a stale entry behind for
+# a new object reusing its id()
+import weakref  # noqa: E402
+
+_instances: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 _instances_lock = threading.Lock()
 
 
@@ -126,9 +136,8 @@ def get_native(tokenizer) -> Optional[NativeBpe]:
     """Per-tokenizer singleton; None when the toolchain is unavailable."""
     if not native_available():
         return None
-    key = id(tokenizer)
     with _instances_lock:
-        inst = _instances.get(key)
+        inst = _instances.get(tokenizer)
         if inst is None:
-            inst = _instances[key] = NativeBpe(tokenizer)
+            inst = _instances[tokenizer] = NativeBpe(tokenizer)
         return inst

@@ -159,6 +159,22 @@ def test_top_p_filter_numpy_oracle():
                 assert row_out[tok] <= -1e8
 
 
+def test_top_p_filter_ties_keep_top_token():
+    """Tied logits straddling the nucleus boundary must not eliminate all
+    tokens (HF min_tokens_to_keep=1 guarantee; a value-threshold filter
+    fails this)."""
+    # 10 identical top logits, top_p cuts inside the tie
+    logits = jnp.concatenate([jnp.full((1, 10), 5.0),
+                              jnp.full((1, 20), -5.0)], axis=-1)
+    out = np.asarray(top_p_filter(logits, 0.5))
+    kept = out[0] > -1e8
+    assert kept.any(), "all tokens eliminated"
+    assert kept[:10].any() and not kept[10:].any()
+    # degenerate: everything tied — top token must survive
+    out2 = np.asarray(top_p_filter(jnp.zeros((1, 8)), 0.3))
+    assert (out2[0] > -1e8).sum() >= 1
+
+
 def test_nucleus_sampling_respects_filter(lm_setup):
     _, cfg, params, enc = lm_setup
     got = np.asarray(generate(

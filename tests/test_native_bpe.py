@@ -66,7 +66,7 @@ def test_fuzz_ascii_matches_python(tok, native):
 
 def test_fallback_cases(tok, native):
     for s in ["café au lait", "&amp; escaped", "<|startoftext|> hi",
-              "emoji 🙂 here"]:
+              "emoji 🙂 here", "nul\x00byte"]:
         assert native.encode(s) is None, s
         # and the public encode still produces the Python result
         assert tok.encode(s) == tok._encode_py(s)
