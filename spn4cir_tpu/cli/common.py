@@ -65,6 +65,9 @@ def base_parser(default_model: str = "RN50x4", default_tau: float = 0.02,
     p.add_argument("--mesh_data", type=int, default=0,
                    help="data-axis size (0 = all devices)")
     p.add_argument("--mesh_bank", type=int, default=1, help="bank-axis size")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="tensor-parallel axis for gallery/bank indexing "
+                        "(Megatron-style tower sharding, parallel/tp.py)")
     p.add_argument("--loss_impl", default="auto",
                    choices=["auto", "pallas", "xla"])
     # ablation flags (ref clip4cir/train_negtype.py / train_negplus.py)

@@ -27,15 +27,25 @@ def validate_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
     preprocess = make_transform(backbone, args)
     params = load_or_init_params(backbone, args, key)
 
+    mesh = None
+    if getattr(args, "mesh_model", 1) > 1 or args.mesh_data > 1:
+        from spn4cir_tpu.parallel.tp import make_tp_mesh
+
+        mesh = make_tp_mesh(data=args.mesh_data or None,
+                            model=args.mesh_model)
+        print(f"indexing mesh: data={mesh.shape['data']} "
+              f"model={mesh.shape['model']}")
+
     if args.dataset == "cirr":
         results = cirr_val_retrieval(backbone, params, args.data_path,
-                                     preprocess, batch_size=32)
+                                     preprocess, batch_size=32, mesh=mesh)
     else:
         per_type = {}
         for dt in args.dress_types:
             per_type[dt] = fiq_val_retrieval(backbone, params, args.data_path,
                                              dt, preprocess, batch_size=32,
-                                             fiq_val_type=args.fiq_val_type)
+                                             fiq_val_type=args.fiq_val_type,
+                                             mesh=mesh)
         results = {f"{dt}_{k}": v for dt, m in per_type.items()
                    for k, v in m.items()}
         results.update(fiq_average(list(per_type.values())))

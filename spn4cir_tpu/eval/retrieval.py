@@ -20,6 +20,7 @@ once.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional
 
 import jax
@@ -55,10 +56,29 @@ def extract_index_features(
     """Gallery encode; with `mesh`, images shard over the 'data' axis and
     each device encodes its slice (multi-chip indexing, SURVEY.md §7
     decision 5 — mirrors the reference's single-GPU scan at
-    clip4cir/utils.py:24). batch_size must divide the data-axis size."""
+    clip4cir/utils.py:24). batch_size must divide the data-axis size.
+
+    A mesh with a 'model' axis (parallel/tp.py:make_tp_mesh) additionally
+    tensor-shards the tower params Megatron-style — data parallel × tensor
+    parallel indexing for the big towers (EVA-g)."""
     from spn4cir_tpu.data.prefetch import prefetch
 
-    if mesh is not None:
+    if mesh is not None and "model" in mesh.axis_names and \
+            mesh.shape["model"] > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from spn4cir_tpu.parallel.tp import (shard_params_tp,
+                                             tp_param_shardings)
+
+        tp_params = shard_params_tp(params, mesh)
+        jitted = jax.jit(
+            lambda p, imgs: backbone.index_features(p, imgs),
+            in_shardings=(tp_param_shardings(params, mesh),
+                          NamedSharding(mesh, P("data"))),
+            out_shardings=NamedSharding(mesh, P()),
+        )
+        encode = functools.partial(jitted, tp_params)
+    elif mesh is not None:
         from spn4cir_tpu.parallel.mesh import batch_sharding, replicated
 
         encode = jax.jit(
@@ -137,6 +157,7 @@ def fiq_val_retrieval(
     batch_size: int = 32,
     index: Optional[GalleryIndex] = None,
     fiq_val_type: int = 0,
+    mesh=None,
 ) -> Dict[str, float]:
     # fiq_val_type selects the gallery image list (0=image_splits, 1=VAL-set
     # only); the relative query set is unaffected (ref validate.py:102-108).
@@ -144,7 +165,8 @@ def fiq_val_retrieval(
                          [dress_type], fiq_val_type=fiq_val_type)
     relative = CIRDataset("fiq", "val", "relative", preprocess, data_path, [dress_type])
     if index is None:
-        index = extract_index_features(backbone, params, classic, batch_size)
+        index = extract_index_features(backbone, params, classic, batch_size,
+                                       mesh=mesh)
     preds = generate_val_predictions(backbone, params, relative, index, batch_size)
     scores = query_scores(backbone, preds, index)
     # FIQ reference exclusion is per-backbone in the published eval (only
@@ -161,11 +183,13 @@ def cirr_val_retrieval(
     preprocess,
     batch_size: int = 32,
     index: Optional[GalleryIndex] = None,
+    mesh=None,
 ) -> Dict[str, float]:
     classic = CIRDataset("cirr", "val", "classic", preprocess, data_path)
     relative = CIRDataset("cirr", "val", "relative", preprocess, data_path)
     if index is None:
-        index = extract_index_features(backbone, params, classic, batch_size)
+        index = extract_index_features(backbone, params, classic, batch_size,
+                                       mesh=mesh)
     preds = generate_val_predictions(backbone, params, relative, index, batch_size)
     scores = query_scores(backbone, preds, index)
     return M.cirr_metrics(scores, jnp.asarray(preds["target_gid"]),

@@ -95,3 +95,23 @@ def test_tp_eva_tower():
     want = mod.apply(params, images)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_tp_gallery_indexing_matches_plain(clip_bb, tmp_path_factory):
+    """extract_index_features on a (data, model) mesh == single-device."""
+    from spn4cir_tpu.data.datasets import CIRDataset
+    from spn4cir_tpu.data.transforms import ImageTransform
+    from spn4cir_tpu.eval.retrieval import extract_index_features
+    from tests.fixtures import make_fiq
+
+    bb, params = clip_bb
+    root = make_fiq(str(tmp_path_factory.mktemp("fiq_tp")))
+    tf = ImageTransform("targetpad", bb.input_dim)
+    ds = CIRDataset("fiq", "val", "classic", tf, root, ["dress"])
+    plain = extract_index_features(bb, params, ds, 4, num_workers=0)
+    mesh = make_tp_mesh(data=2, model=4)
+    tp = extract_index_features(bb, params, ds, 4, num_workers=0, mesh=mesh)
+    assert tp.names == plain.names
+    np.testing.assert_allclose(np.asarray(tp.target),
+                               np.asarray(plain.target), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(tp.refer, plain.refer, rtol=2e-5, atol=2e-5)
