@@ -85,9 +85,11 @@ def base_parser(default_model: str = "RN50x4", default_tau: float = 0.02,
                    choices=["constant", "cosine", "linear"])
     p.add_argument("--warmup_steps", type=int, default=0)
     p.add_argument("--bank_dtype", default="float32",
-                   choices=["float32", "bfloat16"],
+                   choices=["float32", "bfloat16", "int8"],
                    help="device dtype of the target bank (bf16 halves the "
-                        "bank-loss HBM traffic; logits still accumulate f32)")
+                        "bank-loss HBM traffic; int8 per-row-absmax "
+                        "quantization halves it again — full-bank loss on "
+                        "2D banks only; logits still accumulate f32)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize() before any "
                         "backend use (or set SPN4CIR_DIST_* env vars)")

@@ -128,6 +128,22 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
             bank = Bank(refer=bank.refer,
                         target=bank.target.astype(jnp.bfloat16),
                         refer_key=bank.refer_key)
+        elif args.bank_dtype == "int8":
+            from spn4cir_tpu.bank.bank import Bank
+            from spn4cir_tpu.ops.bank_kernels import quantize_bank
+
+            if getattr(bank.target, "ndim", 2) != 2:
+                raise SystemExit("--bank_dtype int8 supports 2D target banks"
+                                 " (blip2 fusion banks are 3D)")
+            if args.mesh_bank > 1 or args.mesh_data > 1:
+                raise SystemExit("--bank_dtype int8 is single-chip (no bank/"
+                                 "data sharding)")
+            if args.neg_num > 0 and not args.unlabeled:
+                raise SystemExit("--bank_dtype int8 needs the full-bank loss"
+                                 " (no sampled negatives)")
+            bank = Bank(refer=bank.refer,
+                        target=quantize_bank(jnp.asarray(bank.target)),
+                        refer_key=bank.refer_key)
         print(f"bank: {bank.num_images} images, refer {bank.refer.shape}, "
               f"target {bank.target.shape} {bank.target.dtype} -> {bank_path}")
 

@@ -23,6 +23,7 @@ gradient.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -277,15 +278,253 @@ bank_infonce_pallas.defvjp(_fwd_for_vjp, _bwd_for_vjp)
 
 
 # --------------------------------------------------------------------------
+# int8-quantized bank (per-row absmax scales)
+# --------------------------------------------------------------------------
+#
+# For CIRR-scale banks (60k rows) the bank read is the loss's HBM traffic;
+# int8 halves it again vs bf16. Dequantization happens AFTER the block
+# matmul — logits = (Q @ i8ᵀ) · s — so the MXU consumes the narrow data and
+# the per-row scale applies to the (TB, TM) logits block as a (1, TM)
+# broadcast (no reshape, Mosaic-friendly). The bank is a frozen feature
+# cache (zero grad), exactly like the unquantized kernel.
+
+class QuantBank(NamedTuple):
+    """Per-row absmax-quantized feature bank: values int8, scales f32 (M,)."""
+
+    values: jnp.ndarray  # (M, D) int8
+    scales: jnp.ndarray  # (M,) f32 — row absmax / 127
+
+    @property
+    def shape(self):
+        return self.values.shape
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    def dequantize(self) -> jnp.ndarray:
+        return self.values.astype(jnp.float32) * self.scales[:, None]
+
+
+def quantize_bank(bank) -> QuantBank:
+    bank = jnp.asarray(bank, jnp.float32)
+    absmax = jnp.max(jnp.abs(bank), axis=-1)
+    scales = jnp.maximum(absmax, 1e-12) / 127.0
+    vals = jnp.clip(jnp.round(bank / scales[:, None]), -127, 127).astype(jnp.int8)
+    return QuantBank(vals, scales)
+
+
+def _q8_fwd_kernel(labels_ref, q_ref, bank_ref, scales_ref, tau_ref,
+                   mx_ref, se_ref, pos_ref, el_ref, *, m_actual, block_m):
+    m_idx = pl.program_id(1)
+    tau = tau_ref[0]
+    q = q_ref[:].astype(jnp.float32)
+    b = bank_ref[:].astype(jnp.float32)
+    s = scales_ref[:]  # (1, TM)
+    logits = jax.lax.dot_general(
+        q, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * s / tau
+
+    col0 = m_idx * block_m
+    col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    valid = col_ids < m_actual
+    logits = jnp.where(valid, logits, -jnp.inf)
+
+    blk_max = jnp.max(logits, axis=1, keepdims=True)
+    blk_se = jnp.sum(jnp.exp(logits - blk_max), axis=1, keepdims=True)
+    lab = labels_ref[:, :1]
+    blk_pos = jnp.sum(jnp.where(col_ids == lab,
+                                jnp.where(valid, logits, 0.0), 0.0),
+                      axis=1, keepdims=True)
+    blk_el = jnp.sum(jnp.where(valid, jnp.exp(logits - blk_max) * logits, 0.0),
+                     axis=1, keepdims=True)
+
+    @pl.when(m_idx == 0)
+    def _init():
+        mx_ref[:] = jnp.broadcast_to(blk_max, mx_ref.shape)
+        se_ref[:] = jnp.broadcast_to(blk_se, se_ref.shape)
+        pos_ref[:] = jnp.broadcast_to(blk_pos, pos_ref.shape)
+        el_ref[:] = jnp.broadcast_to(blk_el, el_ref.shape)
+
+    @pl.when(m_idx > 0)
+    def _update():
+        run_max = mx_ref[:, :1]
+        new_max = jnp.maximum(run_max, blk_max)
+        old_s = jnp.exp(run_max - new_max)
+        blk_s = jnp.exp(blk_max - new_max)
+        mx_ref[:] = jnp.broadcast_to(new_max, mx_ref.shape)
+        se_ref[:] = jnp.broadcast_to(se_ref[:, :1] * old_s + blk_se * blk_s,
+                                     se_ref.shape)
+        el_ref[:] = jnp.broadcast_to(el_ref[:, :1] * old_s + blk_el * blk_s,
+                                     el_ref.shape)
+        pos_ref[:] = jnp.broadcast_to(pos_ref[:, :1] + blk_pos, pos_ref.shape)
+
+
+def _q8_bwd_kernel(labels_ref, q_ref, bank_ref, scales_ref, tau_ref,
+                   mx_ref, se_ref, g_ref, dq_ref, *, m_actual, block_m):
+    m_idx = pl.program_id(1)
+    tau = tau_ref[0]
+    q = q_ref[:].astype(jnp.float32)
+    b = bank_ref[:].astype(jnp.float32)
+    s = scales_ref[:]  # (1, TM)
+    logits = jax.lax.dot_general(
+        q, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * s / tau
+
+    col0 = m_idx * block_m
+    col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    valid = col_ids < m_actual
+
+    p = jnp.where(valid, jnp.exp(logits - mx_ref[:, :1]) / se_ref[:, :1], 0.0)
+    p = p - jnp.where(col_ids == labels_ref[:, :1], 1.0, 0.0)
+    # dQ = P̃ @ (i8 · s_row) = (P̃ · s over columns) @ i8
+    contrib = jax.lax.dot_general(
+        p * g_ref[:, :1] * s, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(m_idx == 0)
+    def _init():
+        dq_ref[:] = contrib
+
+    @pl.when(m_idx > 0)
+    def _update():
+        dq_ref[:] = dq_ref[:] + contrib
+
+
+def _q8_prep(query, qbank, labels, block_b, block_m):
+    b_actual, d = query.shape
+    m_actual = qbank.values.shape[0]
+    bp = _round_up(b_actual, block_b)
+    mp = _round_up(m_actual, block_m)
+    q = jnp.pad(query, ((0, bp - b_actual), (0, 0)))
+    vals = jnp.pad(qbank.values, ((0, mp - m_actual), (0, 0)))
+    scales = jnp.pad(qbank.scales.astype(jnp.float32),
+                     (0, mp - m_actual))[None]  # (1, Mp)
+    lab = jnp.pad(labels.astype(jnp.int32), (0, bp - b_actual),
+                  constant_values=-1)
+    lab = jnp.broadcast_to(lab[:, None], (bp, LANES))
+    return q, vals, scales, lab, b_actual, m_actual, bp, mp, d
+
+
+def _q8_run_forward(query, qbank, labels, tau, *, block_b, block_m):
+    q, vals, scales, lab, b_actual, m_actual, bp, mp, d = _q8_prep(
+        query, qbank, labels, block_b, block_m)
+    tau_arr = jnp.asarray(tau, jnp.float32).reshape(1)
+    grid = (bp // block_b, mp // block_m)
+    kernel = functools.partial(_q8_fwd_kernel, m_actual=m_actual,
+                               block_m=block_m)
+    stat_shape = jax.ShapeDtypeStruct((bp, LANES), jnp.float32)
+    stat_spec = pl.BlockSpec((block_b, LANES), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0, grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_m), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i, j: (0,), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[stat_spec] * 4,
+    )
+    mx, se, pos, el = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=[stat_shape] * 4,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(lab, q, vals, scales, tau_arr)
+    return (mx[:b_actual, 0], se[:b_actual, 0], pos[:b_actual, 0],
+            el[:b_actual, 0])
+
+
+def _q8_run_backward(query, qbank, labels, tau, mx, se, g, *, block_b, block_m):
+    q, vals, scales, lab, b_actual, m_actual, bp, mp, d = _q8_prep(
+        query, qbank, labels, block_b, block_m)
+    tau_arr = jnp.asarray(tau, jnp.float32).reshape(1)
+
+    def pad_stat(x, fill):
+        x = jnp.pad(x, (0, bp - b_actual), constant_values=fill)
+        return jnp.broadcast_to(x[:, None], (bp, LANES))
+
+    grid = (bp // block_b, mp // block_m)
+    kernel = functools.partial(_q8_bwd_kernel, m_actual=m_actual,
+                               block_m=block_m)
+    stat_spec = pl.BlockSpec((block_b, LANES), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0, grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_m), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i, j: (0,), memory_space=pltpu.SMEM),
+            stat_spec, stat_spec, stat_spec,
+        ],
+        out_specs=[pl.BlockSpec((block_b, d), lambda i, j: (i, 0),
+                                memory_space=pltpu.VMEM)],
+    )
+    (dq,) = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((bp, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(lab, q, vals, scales, tau_arr, pad_stat(mx, 0.0), pad_stat(se, 1.0),
+      pad_stat(g, 0.0))
+    return dq[:b_actual]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def bank_infonce_q8_pallas(query, qbank, labels, tau,
+                           block_b: int = DEFAULT_BLOCK_B,
+                           block_m: int = DEFAULT_BLOCK_M):
+    """Full-bank InfoNCE over an int8 QuantBank (see module section above)."""
+    loss, _ = _q8_fwd_for_vjp(query, qbank, labels, tau, block_b, block_m)
+    return loss
+
+
+def _q8_fwd_for_vjp(query, qbank, labels, tau, block_b, block_m):
+    bb = min(block_b, _round_up(query.shape[0], 8))
+    mx, se, pos, el = _q8_run_forward(query, qbank, labels, tau,
+                                      block_b=bb, block_m=block_m)
+    loss = jnp.mean(jnp.log(se) + mx - pos)
+    return loss, (query, qbank, labels, jnp.asarray(tau, jnp.float32),
+                  mx, se, pos, el)
+
+
+def _q8_bwd_for_vjp(block_b, block_m, residuals, g):
+    query, qbank, labels, tau, mx, se, pos, el = residuals
+    b = query.shape[0]
+    bb = min(block_b, _round_up(b, 8))
+    g_rows = jnp.full((b,), g / (b * tau), jnp.float32)
+    dq = _q8_run_backward(query, qbank, labels, tau, mx, se, g_rows,
+                          block_b=bb, block_m=block_m)
+    dtau = g * jnp.mean((pos - el / se) / tau)
+    return (dq.astype(query.dtype),
+            QuantBank(jnp.zeros_like(qbank.values),
+                      jnp.zeros_like(qbank.scales)),
+            None, dtau.astype(jnp.float32))
+
+
+bank_infonce_q8_pallas.defvjp(_q8_fwd_for_vjp, _q8_bwd_for_vjp)
+
+
+# --------------------------------------------------------------------------
 # Dispatch
 # --------------------------------------------------------------------------
 
 def bank_infonce(query, bank, labels, tau, impl: str = "auto"):
-    """Dispatch between the Pallas kernel (TPU) and the XLA reference impl."""
+    """Dispatch between the Pallas kernel (TPU) and the XLA reference impl.
+    `bank` may be a dense (M, D) array or an int8 `QuantBank`."""
     from spn4cir_tpu.ops import infonce as _ref
 
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if isinstance(bank, QuantBank):
+        if impl == "pallas":
+            return bank_infonce_q8_pallas(query, bank, labels, tau)
+        return _ref.bank_infonce(query, bank.dequantize(), labels, tau)
     if impl == "pallas":
         return bank_infonce_pallas(query, bank, labels, tau)
     return _ref.bank_infonce(query, bank, labels, tau)

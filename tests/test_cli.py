@@ -41,6 +41,25 @@ def test_train_cli_fiq(fiq_root, tmp_path, monkeypatch):
     assert os.path.exists(tmp_path / "out" / "fiq_bank.npz")
 
 
+def test_train_cli_int8_bank(fiq_root, tmp_path, monkeypatch):
+    """--bank_dtype int8: quantized full-bank stage-2 end-to-end."""
+    monkeypatch.chdir(tmp_path)
+    best = train_main("clip", [
+        "--dataset", "fiq",
+        "--data_path", fiq_root,
+        "--dress_types", "dress",
+        "--clip-model-name", "test-tiny",
+        "--num-epochs", "1",
+        "--batch-size", "4",
+        "--learning-rate", "1e-3",
+        "--bank_dtype", "int8",
+        "--loss_impl", "xla",
+        "--output_path", str(tmp_path / "out_q8"),
+    ])
+    assert best > 0
+    assert os.path.exists(tmp_path / "out_q8" / "best.msgpack")
+
+
 def test_train_cli_clip_dropout_ignored(fiq_root, tmp_path, monkeypatch):
     """--dropout on a CLIP backbone warns and is ignored — it must not feed
     a dropout_rng into a stage2_loss that has no such parameter."""
