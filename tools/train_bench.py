@@ -27,6 +27,8 @@ def main():
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--bank", type=int, default=60000)
     p.add_argument("--impl", default="pallas", choices=["pallas", "xla"])
+    p.add_argument("--bank_dtype", default="float32",
+                   choices=["float32", "bfloat16", "int8"])
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--repeats", type=int, default=5)
     args = p.parse_args()
@@ -48,6 +50,12 @@ def main():
         refer = jax.random.normal(k1, (batch, d))
         bank = jax.random.normal(k2, (bank_rows, d))
         bank = bank / jnp.linalg.norm(bank, axis=1, keepdims=True)
+        if args.bank_dtype == "int8":
+            from spn4cir_tpu.ops.bank_kernels import quantize_bank
+
+            bank = quantize_bank(bank)
+        elif args.bank_dtype == "bfloat16":
+            bank = bank.astype(jnp.bfloat16)
         text = jax.random.randint(k3, (batch, 77), 0, 49000)
         labels = jax.random.randint(k1, (batch,), 0, bank_rows)
         return refer, bank, text.astype(jnp.int32), labels
@@ -80,7 +88,8 @@ def main():
     print(json.dumps({
         "metric": "stage2_train_step_seconds",
         "config": {"model": args.clip_model_name, "batch": args.batch,
-                   "bank": args.bank, "impl": args.impl},
+                   "bank": args.bank, "impl": args.impl,
+                   "bank_dtype": args.bank_dtype},
         "value": round(t, 4),
         "triplets_per_sec": round(args.batch / t, 1),
     }))
