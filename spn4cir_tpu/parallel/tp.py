@@ -39,6 +39,17 @@ _COLUMN = {("attn", "qkv", "kernel"), ("attn", "qkv", "bias"),
            ("mlp", "fc", "kernel"), ("mlp", "fc", "bias")}
 _ROW = {("attn", "out", "kernel"), ("mlp", "proj", "kernel")}
 
+# BERT-family naming (models/med.py _BertAttention/_BertLayer, used by MED
+# and the Q-Former): separate query/key/value projections + "intermediate"
+# FFN-up are column-parallel; every "output" kernel — the attention
+# out-projection AND the FFN down-projection — is row-parallel (input dim =
+# the sharded heads / intermediate width). Matched on the 2-name tail after
+# the 3-name rules above.
+_COLUMN2 = {(n, p) for n in ("query", "key", "value", "intermediate",
+                             "intermediate_query")  # Q-Former split FFN
+            for p in ("kernel", "bias")}
+_ROW2 = {("output", "kernel"), ("output_query", "kernel")}
+
 
 def make_tp_mesh(data: Optional[int] = None, model: int = 1,
                  devices: Optional[Sequence] = None) -> Mesh:
@@ -55,10 +66,12 @@ def make_tp_mesh(data: Optional[int] = None, model: int = 1,
 
 def _spec_for(path, shape, model_size: int) -> P:
     names = tuple(getattr(k, "key", getattr(k, "name", None)) for k in path)
-    tail = names[-3:]
-    if tail in _COLUMN and shape[-1] % model_size == 0:
+    tail3, tail2 = names[-3:], names[-2:]
+    column = tail3 in _COLUMN or tail2 in _COLUMN2
+    row = tail3 in _ROW or tail2 in _ROW2
+    if column and shape[-1] % model_size == 0:
         return P(*([None] * (len(shape) - 1)), AXIS_MODEL)
-    if tail in _ROW and len(shape) >= 2 and shape[-2] % model_size == 0:
+    if row and len(shape) >= 2 and shape[-2] % model_size == 0:
         return P(*([None] * (len(shape) - 2)), AXIS_MODEL, None)
     return P()
 

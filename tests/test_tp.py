@@ -115,3 +115,27 @@ def test_tp_gallery_indexing_matches_plain(clip_bb, tmp_path_factory):
     np.testing.assert_allclose(np.asarray(tp.target),
                                np.asarray(plain.target), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(tp.refer, plain.refer, rtol=2e-5, atol=2e-5)
+
+
+def test_tp_med_bert_matches_single_device(rng):
+    """BERT-family naming (MED encoder, Q-Former FFN) shards correctly."""
+    from spn4cir_tpu.models.med import MedBert, MedConfig
+
+    cfg = MedConfig.tiny(100)
+    mod = MedBert(cfg)
+    ids = jnp.asarray(rng.randint(0, 100, (4, 12)), jnp.int32)
+    mask = jnp.ones((4, 12), jnp.int32)
+    params = mod.init(jax.random.PRNGKey(0), ids, mask)
+    want = mod.apply(params, ids, mask)
+
+    mesh = make_tp_mesh(data=2, model=4)
+    specs = tp_param_specs(params, mesh)
+    flat = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda s: s != jax.sharding.PartitionSpec(),
+                               specs, is_leaf=lambda x: isinstance(
+                                   x, jax.sharding.PartitionSpec)))
+    assert any(flat), "no MED params were sharded"
+    sharded = shard_params_tp(params, mesh)
+    got = jax.jit(mod.apply)(sharded, ids, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
