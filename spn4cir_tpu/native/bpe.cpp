@@ -208,7 +208,7 @@ int bpe_encode(void* h, const char* text, int32_t* out, int max_ids) {
 
   int total = (int)ids.size();
   int write = total < max_ids ? total : max_ids;
-  memcpy(out, ids.data(), (size_t)write * sizeof(int32_t));
+  if (write > 0) memcpy(out, ids.data(), (size_t)write * sizeof(int32_t));
   return total;
 }
 

@@ -34,26 +34,38 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF_DIR),
 from tests.fixtures import make_cirr, make_fiq  # noqa: E402
 
 
+def _module_stub(name):
+    """A sys.modules-insertable stub with a real __spec__ — a bare
+    ModuleType has __spec__=None, which makes importlib.util.find_spec
+    (e.g. transformers' ftfy availability probe) raise ValueError in any
+    LATER test that imports transformers for the first time."""
+    import importlib.machinery
+
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return mod
+
+
 def _stub_torchvision():
     if "pkg_resources" not in sys.modules:
         # clip/clip.py:6 does `from pkg_resources import packaging` and then
         # uses packaging.version
         import packaging
         import packaging.version
-        pr = types.ModuleType("pkg_resources")
+        pr = _module_stub("pkg_resources")
         pr.packaging = packaging
         sys.modules["pkg_resources"] = pr
     if "ftfy" not in sys.modules:
         # the vendored SimpleTokenizer calls ftfy.fix_text in basic_clean;
         # identity is behavior-preserving for clean ASCII fixture captions
-        ftfy = types.ModuleType("ftfy")
+        ftfy = _module_stub("ftfy")
         ftfy.fix_text = lambda s: s
         sys.modules["ftfy"] = ftfy
     if "torchvision" in sys.modules:
         return
-    tv = types.ModuleType("torchvision")
-    tfm = types.ModuleType("torchvision.transforms")
-    ftm = types.ModuleType("torchvision.transforms.functional")
+    tv = _module_stub("torchvision")
+    tfm = _module_stub("torchvision.transforms")
+    ftm = _module_stub("torchvision.transforms.functional")
     for name in ("CenterCrop", "Compose", "InterpolationMode", "Normalize",
                  "Resize", "ToTensor", "RandomHorizontalFlip"):
         # permissive constructors: reference models BUILD these at init time

@@ -1,0 +1,67 @@
+"""Host input-pipeline throughput: native C++ loader vs the PIL path.
+
+The TPU's encode rate sets the input-pipeline budget (e.g. RN50x4@288
+consumes 2,719 img/s/chip); this measures how many images/sec one host
+core decodes + preprocesses (JPEG decode -> targetpad -> bicubic resize ->
+center-crop -> normalize) on each path.
+
+Usage: python tools/loader_bench.py [--n 512] [--dim 288] [--threads 0]
+"""
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+from PIL import Image
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=512)
+    p.add_argument("--dim", type=int, default=288)
+    p.add_argument("--size", type=int, default=400, help="source JPEG px")
+    p.add_argument("--threads", type=int, default=0, help="0 = native default")
+    args = p.parse_args()
+
+    from spn4cir_tpu.data.transforms import ImageTransform
+    from spn4cir_tpu.native import NativeLoader, native_available
+
+    rng = np.random.RandomState(0)
+    tmp = tempfile.mkdtemp(prefix="loader_bench_")
+    paths = []
+    for i in range(args.n):
+        arr = rng.randint(0, 256, (args.size, int(args.size * 1.3), 3),
+                          dtype=np.uint8)
+        path = os.path.join(tmp, f"img{i}.jpg")
+        Image.fromarray(arr).save(path, quality=90)
+        paths.append(path)
+
+    tf = ImageTransform("targetpad", args.dim)
+
+    t0 = time.monotonic()
+    pil = np.stack([tf(Image.open(p)) for p in paths])
+    t_pil = time.monotonic() - t0
+    print(f"PIL path:    {args.n / t_pil:,.0f} img/s  ({t_pil*1e3/args.n:.2f} ms/img)")
+
+    if not native_available():
+        print("native loader unavailable")
+        return
+    kw = {"num_threads": args.threads} if args.threads else {}
+    loader = NativeLoader("targetpad", args.dim, **kw)
+    loader.decode_batch(paths[:8])  # warm thread pool
+    t0 = time.monotonic()
+    native = loader.decode_batch(paths)
+    t_nat = time.monotonic() - t0
+    print(f"native path: {args.n / t_nat:,.0f} img/s  ({t_nat*1e3/args.n:.2f} ms/img)"
+          f"  -> {t_pil / t_nat:.1f}x PIL")
+    err = np.abs(native - pil).max()
+    print(f"max abs diff vs PIL: {err:.4f}")
+
+
+if __name__ == "__main__":
+    main()
