@@ -53,6 +53,13 @@ class Bank:
     def num_images(self) -> int:
         return self.target.shape[0]
 
+    @staticmethod
+    def cache_file(path: str) -> str:
+        """np.savez_compressed appends '.npz' to extensionless paths; the
+        exists-check and load must use the SAME resolved name or the cache
+        never hits and the whole train set re-encodes every run."""
+        return path if path.endswith(".npz") else path + ".npz"
+
     def gather_refer(self, batch: dict) -> np.ndarray:
         """Per-batch host gather of refer rows (fed to the jitted step);
         accepts an iter_train_bank batch dict and picks the right key."""
@@ -61,6 +68,7 @@ class Bank:
         return self.refer[ids]
 
     def save(self, path: str) -> None:
+        path = Bank.cache_file(path)
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         np.savez_compressed(path, refer=self.refer,
                             target=np.asarray(self.target),
@@ -68,7 +76,7 @@ class Bank:
 
     @classmethod
     def load(cls, path: str, device_target: bool = True) -> "Bank":
-        data = np.load(path)
+        data = np.load(cls.cache_file(path))
         target = data["target"]
         key = str(data["refer_key"]) if "refer_key" in data else "image"
         return cls(refer=data["refer"],
@@ -94,7 +102,7 @@ def extract_banks(
     Caching parity with `clip4cir/models.py:66`: loads `cache_path` unless
     missing or `reload`.
     """
-    if cache_path and os.path.exists(cache_path) and not reload:
+    if cache_path and os.path.exists(Bank.cache_file(cache_path)) and not reload:
         return Bank.load(cache_path)
 
     refer_buf = None
@@ -139,7 +147,7 @@ def extract_fusion_banks(
         the refer and target image of each triplet with that triplet's
         caption (ref extract_refer_bank_features, the --plus path).
     """
-    if cache_path and os.path.exists(cache_path) and not reload:
+    if cache_path and os.path.exists(Bank.cache_file(cache_path)) and not reload:
         return Bank.load(cache_path)
 
     refer_buf = None
@@ -182,8 +190,8 @@ def extract_unlabeled_features(encode_fn, batches, num_images: int,
                                reload: bool = False) -> np.ndarray:
     """Encode the unlabeled pool -> normalized (U, D) features (negplus,
     ref clip4cir/models_negplus.py:100-117). Cached like the main banks."""
-    if cache_path and os.path.exists(cache_path) and not reload:
-        return np.load(cache_path)["unlabeled"]
+    if cache_path and os.path.exists(Bank.cache_file(cache_path)) and not reload:
+        return np.load(Bank.cache_file(cache_path))["unlabeled"]
     buf = None
     for ids, images in batches:
         feats = jax.device_get(encode_fn(images))

@@ -344,15 +344,15 @@ def _decode_batch(dataset: CIRDataset, paths: Sequence[str],
     return np.stack([dataset.load_image(p) for p in paths])
 
 
-def iter_gallery(dataset: CIRDataset, batch_size: int, num_workers: int = 4
-                 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """Yield (ids (B,), images (B,H,W,3)) over the gallery; the final batch is
-    padded by repeating the last image with id -1 (mirrors keep-all eval,
-    SURVEY.md §7 'ragged shapes')."""
-    paths, n = dataset.gallery_paths, len(dataset.gallery_paths)
+def _iter_image_paths(dataset: CIRDataset, paths: Sequence[str],
+                      batch_size: int, num_workers: int
+                      ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Shared (ids, images) scan over a path list; the final batch is padded
+    by repeating the last image with id -1 (keep-all eval with fixed jit
+    shapes, SURVEY.md §7 'ragged shapes')."""
     pool = ThreadPoolExecutor(num_workers) if num_workers else None
     try:
-        for start in range(0, n, batch_size):
+        for start in range(0, len(paths), batch_size):
             chunk = paths[start : start + batch_size]
             ids = np.arange(start, start + len(chunk))
             pad = batch_size - len(chunk)
@@ -363,27 +363,22 @@ def iter_gallery(dataset: CIRDataset, batch_size: int, num_workers: int = 4
     finally:
         if pool:
             pool.shutdown()
+
+
+def iter_gallery(dataset: CIRDataset, batch_size: int, num_workers: int = 4
+                 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """(ids, images) over the gallery."""
+    yield from _iter_image_paths(dataset, dataset.gallery_paths, batch_size,
+                                 num_workers)
 
 
 def iter_unique_images(dataset: CIRDataset, batch_size: int, num_workers: int = 4
                        ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """Yield (image_ids, images) over the deduplicated unique train images —
-    the bank-extraction scan (SURVEY.md §7: one pass replaces the reference's
+    """(image_ids, images) over the deduplicated unique train images — the
+    bank-extraction scan (SURVEY.md §7: one pass replaces the reference's
     three)."""
-    paths, n = dataset.imagepaths, len(dataset.imagepaths)
-    pool = ThreadPoolExecutor(num_workers) if num_workers else None
-    try:
-        for start in range(0, n, batch_size):
-            chunk = paths[start : start + batch_size]
-            ids = np.arange(start, start + len(chunk))
-            pad = batch_size - len(chunk)
-            if pad:
-                chunk = list(chunk) + [chunk[-1]] * pad
-                ids = np.concatenate([ids, np.full(pad, -1, np.int64)])
-            yield ids, _decode_batch(dataset, chunk, pool)
-    finally:
-        if pool:
-            pool.shutdown()
+    yield from _iter_image_paths(dataset, dataset.imagepaths, batch_size,
+                                 num_workers)
 
 
 def iter_train_bank(dataset: CIRDataset, batch_size: int, *,
@@ -413,12 +408,20 @@ def iter_train_bank(dataset: CIRDataset, batch_size: int, *,
         }
 
 
-def iter_relative_eval(dataset: CIRDataset, batch_size: int) -> Iterator[dict]:
+def iter_relative_eval(dataset: CIRDataset, batch_size: int,
+                       gallery_names: Optional[Sequence[str]] = None
+                       ) -> Iterator[dict]:
     """Validation/test query batches: reference/target names resolved to
     gallery ids on host (replacing the reference's name_to_feat string dict,
     `clip4cir/validate.py:64`). Yields captions + refer_gid/target_gid (+
-    member_gids & pairid for CIRR)."""
-    name2gid = {n: i for i, n in enumerate(dataset.gallery_names)}
+    member_gids & pairid for CIRR).
+
+    `gallery_names` must be the name list of the index the gids will be
+    used against — e.g. the VAL-subset gallery under --fiq_val_type 1 —
+    defaulting to this dataset's own gallery list."""
+    if gallery_names is None:
+        gallery_names = dataset.gallery_names
+    name2gid = {n: i for i, n in enumerate(gallery_names)}
     n = len(dataset.triplets)
     for start in range(0, n, batch_size):
         rows = dataset.triplets[start : start + batch_size]
@@ -485,19 +488,7 @@ def iter_train_images(dataset: CIRDataset, batch_size: int, *,
 
 def iter_unlabeled(dataset: CIRDataset, batch_size: int, num_workers: int = 4
                    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """Yield (ids, images) over the unlabeled negative pool (ids are
-    positions in `unlabeled_imagepaths`; padded tail ids are -1)."""
-    paths = dataset.unlabeled_imagepaths
-    pool = ThreadPoolExecutor(num_workers) if num_workers else None
-    try:
-        for start in range(0, len(paths), batch_size):
-            chunk = paths[start : start + batch_size]
-            ids = np.arange(start, start + len(chunk))
-            pad = batch_size - len(chunk)
-            if pad:
-                chunk = list(chunk) + [chunk[-1]] * pad
-                ids = np.concatenate([ids, np.full(pad, -1, np.int64)])
-            yield ids, _decode_batch(dataset, chunk, pool)
-    finally:
-        if pool:
-            pool.shutdown()
+    """(ids, images) over the unlabeled negative pool (ids are positions in
+    `unlabeled_imagepaths`; padded tail ids are -1)."""
+    yield from _iter_image_paths(dataset, dataset.unlabeled_imagepaths,
+                                 batch_size, num_workers)

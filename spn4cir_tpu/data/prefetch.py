@@ -16,24 +16,50 @@ _SENTINEL = object()
 
 def prefetch(iterator: Iterable, depth: int = 2) -> Iterator:
     """Run `iterator` in a daemon thread, buffering up to `depth` items.
-    Exceptions propagate to the consumer at the failing position."""
+    Exceptions propagate to the consumer at the failing position.
+
+    Abandoning the generator (break / exception in the consumer) stops the
+    worker: puts are bounded-timeout against a stop flag, and the wrapped
+    iterator is closed so its own `finally` cleanup (e.g. thread-pool
+    shutdown in iter_gallery) runs instead of leaking with the thread
+    parked forever on a full queue."""
     q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
+        it = iter(iterator)
         try:
-            for item in iterator:
-                q.put(item)
-        except BaseException as exc:  # propagate into the consumer
-            q.put(exc)
-            return
-        q.put(_SENTINEL)
+            try:
+                for item in it:
+                    if not put(item):
+                        return
+            except BaseException as exc:  # propagate into the consumer
+                put(exc)
+                return
+            put(_SENTINEL)
+        finally:
+            close = getattr(it, "close", None)
+            if close is not None:
+                close()
 
     thread = threading.Thread(target=worker, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

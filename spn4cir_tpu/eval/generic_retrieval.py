@@ -36,8 +36,13 @@ def list_images(source: str) -> List[str]:
 def encode_paths(backbone: CIRBackbone, params, paths: Sequence[str],
                  transform: Optional[ImageTransform] = None,
                  batch_size: int = 32) -> np.ndarray:
+    from spn4cir_tpu.eval.retrieval import _backbone_jit
+
     tf = transform or ImageTransform("clip", backbone.input_dim)
-    encode = jax.jit(lambda imgs: backbone.gallery_features(params, imgs))
+    jitted = _backbone_jit(
+        backbone, "gallery_features",
+        lambda: jax.jit(lambda p, imgs: backbone.gallery_features(p, imgs)))
+    encode = lambda imgs: jitted(params, imgs)  # noqa: E731
     feats = []
     for start in range(0, len(paths), batch_size):
         chunk = paths[start : start + batch_size]
@@ -51,9 +56,17 @@ def encode_paths(backbone: CIRBackbone, params, paths: Sequence[str],
 
 
 def i2i_topk(query_feats: np.ndarray, gallery_feats: np.ndarray, k: int = 10,
-             exclude_self: bool = True) -> np.ndarray:
+             exclude_self: Optional[bool] = None) -> np.ndarray:
+    """exclude_self=None (default) auto-detects self-retrieval by array
+    identity; a square score matrix alone is NOT evidence of it (a disjoint
+    gallery that merely matches the query count must keep its diagonal)."""
+    if exclude_self is None:
+        exclude_self = query_feats is gallery_feats
     scores = query_feats @ gallery_feats.T
-    if exclude_self and scores.shape[0] == scores.shape[1]:
+    if exclude_self:
+        if scores.shape[0] != scores.shape[1]:
+            raise ValueError(
+                "exclude_self=True requires the query set to BE the gallery")
         np.fill_diagonal(scores, -np.inf)
     k = min(k, scores.shape[1])
     idx = np.argpartition(-scores, kth=k - 1, axis=1)[:, :k]

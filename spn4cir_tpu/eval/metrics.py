@@ -21,7 +21,6 @@ from typing import Optional, Dict, Sequence
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-jnp.inf)
 
 
 def target_ranks(

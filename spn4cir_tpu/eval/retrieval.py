@@ -45,6 +45,23 @@ class GalleryIndex:
         return jnp.asarray(self.refer[np.asarray(gids)])
 
 
+def _backbone_jit(backbone, key: str, make):
+    """Per-backbone cache of jitted callables. A fresh `jax.jit(lambda ...)`
+    per eval call never hits jax's own cache (keyed on callable identity),
+    so every per-epoch validation would retrace + recompile the towers and
+    accumulate live executables."""
+    cache = getattr(backbone, "_jit_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            backbone._jit_cache = cache
+        except AttributeError:  # pragma: no cover — frozen/slots backbone
+            return make()
+    if key not in cache:
+        cache[key] = make()
+    return cache[key]
+
+
 def extract_index_features(
     backbone: CIRBackbone,
     params,
@@ -87,7 +104,10 @@ def extract_index_features(
             out_shardings=replicated(mesh),
         )
     else:
-        encode = jax.jit(lambda imgs: backbone.index_features(params, imgs))
+        jitted = _backbone_jit(
+            backbone, "index_features",
+            lambda: jax.jit(lambda p, imgs: backbone.index_features(p, imgs)))
+        encode = functools.partial(jitted, params)
     names = dataset.gallery_names
     bufs: Dict[str, np.ndarray] = {}
     for ids, images in prefetch(iter_gallery(dataset, batch_size, num_workers),
@@ -115,10 +135,13 @@ def generate_val_predictions(
     """Queries -> fused features + id arrays. Reference features come from
     the gallery index (quirk §8.8). Returns query_feats, refer_gid,
     target_gid (+ member_gids, pairid for CIRR)."""
-    fuse = jax.jit(
-        lambda refer, text_ids: backbone.fuse(params, refer, text_ids))
+    jitted_fuse = _backbone_jit(
+        backbone, "fuse",
+        lambda: jax.jit(lambda p, r, t: backbone.fuse(p, r, t)))
+    fuse = functools.partial(jitted_fuse, params)
     chunks, refer, target, members, pairids = [], [], [], [], []
-    for batch in iter_relative_eval(dataset, batch_size):
+    for batch in iter_relative_eval(dataset, batch_size,
+                                    gallery_names=index.names):
         text_ids = jnp.asarray(backbone.tokenize(batch["captions"]))
         pad = batch_size - len(batch["captions"])
         ref_feats = index.refer_rows(batch["refer_gid"])

@@ -23,22 +23,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 from spn4cir_tpu.parallel.mesh import AXIS_BANK, AXIS_DATA
 
 
-def _local_bank_infonce(query, bank_shard, labels, tau, m_actual):
-    """Per-shard body run under shard_map: query (B_loc, D) [data-sharded],
-    bank_shard (M_loc, D) [bank-sharded], labels (B_loc,) global image-ids.
-    Rows at global index >= m_actual are padding and masked to -inf."""
-    m_local = bank_shard.shape[0]
-    shard = jax.lax.axis_index(AXIS_BANK)
-    offset = shard * m_local
-
-    logits = jnp.dot(query.astype(jnp.float32), bank_shard.astype(jnp.float32).T,
-                     preferred_element_type=jnp.float32) / tau  # (B_loc, M_loc)
-    col_ids = offset + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    logits = jnp.where(col_ids < m_actual, logits, -jnp.inf)
-
+def _combine_masked_logits(logits, labels, offset, m_local):
+    """Shared stable-softmax combine over the 'bank' axis for a (B_loc,
+    M_loc) masked-logits block, then the global-batch mean over 'data'.
+    The max shift is purely numerical — treating it as a constant leaves
+    the logsumexp gradient (softmax) exact, and pmax has no diff rule."""
     local_max = jnp.max(logits, axis=1)
-    # the max shift is purely numerical — treating it as a constant leaves
-    # the logsumexp gradient (softmax) exact, and pmax has no diff rule
     gmax = jax.lax.pmax(jax.lax.stop_gradient(local_max), AXIS_BANK)
     sumexp = jnp.sum(jnp.exp(logits - gmax[:, None]), axis=1)
     gsumexp = jax.lax.psum(sumexp, AXIS_BANK)
@@ -54,6 +44,21 @@ def _local_bank_infonce(query, bank_shard, labels, tau, m_actual):
     total = jax.lax.psum(jnp.sum(per_row), AXIS_DATA)
     count = jax.lax.psum(per_row.shape[0] * jnp.ones((), jnp.float32), AXIS_DATA)
     return total / count
+
+
+def _local_bank_infonce(query, bank_shard, labels, tau, m_actual):
+    """Per-shard body run under shard_map: query (B_loc, D) [data-sharded],
+    bank_shard (M_loc, D) [bank-sharded], labels (B_loc,) global image-ids.
+    Rows at global index >= m_actual are padding and masked to -inf."""
+    m_local = bank_shard.shape[0]
+    shard = jax.lax.axis_index(AXIS_BANK)
+    offset = shard * m_local
+
+    logits = jnp.dot(query.astype(jnp.float32), bank_shard.astype(jnp.float32).T,
+                     preferred_element_type=jnp.float32) / tau  # (B_loc, M_loc)
+    col_ids = offset + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(col_ids < m_actual, logits, -jnp.inf)
+    return _combine_masked_logits(logits, labels, offset, m_local)
 
 
 def pad_bank_rows(bank: jnp.ndarray, parts: int) -> jnp.ndarray:
@@ -104,22 +109,7 @@ def _local_max_query_infonce(feats, bank_shard, labels, tau, m_actual):
     logits = jnp.max(sims, axis=-1) / tau
     col_ids = offset + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     logits = jnp.where(col_ids < m_actual, logits, -jnp.inf)
-
-    local_max = jnp.max(logits, axis=1)
-    gmax = jax.lax.pmax(jax.lax.stop_gradient(local_max), AXIS_BANK)
-    sumexp = jnp.sum(jnp.exp(logits - gmax[:, None]), axis=1)
-    gsumexp = jax.lax.psum(sumexp, AXIS_BANK)
-
-    local_label = labels - offset
-    in_range = (local_label >= 0) & (local_label < m_local)
-    safe = jnp.clip(local_label, 0, m_local - 1)
-    pos_here = jnp.take_along_axis(logits, safe[:, None], axis=1)[:, 0]
-    gpos = jax.lax.psum(jnp.where(in_range, pos_here, 0.0), AXIS_BANK)
-
-    per_row = jnp.log(gsumexp) + gmax - gpos
-    total = jax.lax.psum(jnp.sum(per_row), AXIS_DATA)
-    count = jax.lax.psum(per_row.shape[0] * jnp.ones((), jnp.float32), AXIS_DATA)
-    return total / count
+    return _combine_masked_logits(logits, labels, offset, m_local)
 
 
 def sharded_max_query_infonce(

@@ -32,14 +32,24 @@ def make_sharded_stage2_step(backbone: CIRBackbone, mesh: Mesh, tau=None,
     backbones whose query/target features are flat (B, D)/(M, D) vectors.
     `target_bank` rows must be padded to the bank-axis size
     (`pad_bank_rows`); `m_actual` is the true row count."""
-    tau = tau if tau is not None else backbone.tau
+
+    def live_tau(params):
+        # a learnable temperature (blip4cir's params['params']['tau'],
+        # quirk SURVEY.md §8.10) must stay live — reading the static
+        # backbone.tau would freeze it and drop its gradient
+        if tau is not None:
+            return tau
+        inner = params.get("params") if isinstance(params, dict) else None
+        if isinstance(inner, dict) and "tau" in inner:
+            return inner["tau"]
+        return backbone.tau
 
     def step(state: TrainState, target_bank: jnp.ndarray,
              batch: Dict[str, jnp.ndarray]):
         def loss_fn(params):
             query = backbone.fuse(params, batch["refer_feats"], batch["text_ids"])
             return sharded_bank_infonce(
-                query, target_bank, batch["labels"], tau, mesh,
+                query, target_bank, batch["labels"], live_tau(params), mesh,
                 m_actual=m_actual if m_actual is not None else target_bank.shape[0])
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

@@ -99,3 +99,23 @@ def test_fiq_average():
     avg = M.fiq_average(per)
     assert avg["avg_recall_at10"] == 35.0
     assert avg["mean_recall"] == 45.0
+
+
+def test_fiq_val_type1_retrieval_end_to_end(tmp_path_factory):
+    """--fiq_val_type 1 (VAL-subset gallery): query gids must be resolved
+    against the INDEX's name list, not the relative dataset's full gallery
+    (they differ in size and order under type 1)."""
+    import jax
+
+    from spn4cir_tpu.data.transforms import ImageTransform
+    from spn4cir_tpu.eval.retrieval import fiq_val_retrieval
+    from spn4cir_tpu.models.api import build_backbone
+    from tests.fixtures import make_fiq
+
+    root = make_fiq(str(tmp_path_factory.mktemp("fiq_t1")))
+    bb = build_backbone("clip", clip_model_name="test-tiny")
+    params = bb.init_params(jax.random.PRNGKey(0))
+    tf = ImageTransform("targetpad", bb.input_dim)
+    got = fiq_val_retrieval(bb, params, root, "dress", tf, fiq_val_type=1)
+    assert 0.0 <= got["recall_at10"] <= 100.0
+    assert got["recall_at50"] == 100.0  # tiny gallery: everything in top-50

@@ -135,3 +135,35 @@ def test_sharded_gallery_indexing(rng, tmp_path):
     plain = extract_index_features(bb, params, ds, batch_size=4, num_workers=0)
     np.testing.assert_allclose(np.asarray(sharded.target),
                                np.asarray(plain.target), atol=1e-5)
+
+
+def test_sharded_step_trains_blip4cir_tau():
+    """The sharded stage-2 step must read blip4cir's LIVE learnable tau from
+    params (quirk SURVEY.md §8.10) — not freeze the static init value."""
+    import numpy as np
+
+    from spn4cir_tpu.models.api import build_backbone
+    from spn4cir_tpu.parallel.train import make_sharded_stage2_step
+    from spn4cir_tpu.train.stage2 import create_train_state
+
+    bb = build_backbone("blip", blip_size="test-tiny", tau=0.05)
+    params = bb.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh(data=2, bank=2, devices=jax.devices()[:4])
+    rng = np.random.RandomState(0)
+    b, m = 4, 9
+    refer = jnp.asarray(rng.randn(b, *bb.bank_spec().refer_shape).astype(np.float32))
+    bank = rng.randn(m, bb.embed_dim).astype(np.float32)
+    bank = jnp.asarray(bank / np.linalg.norm(bank, axis=-1, keepdims=True))
+    text = jnp.asarray(bb.tokenize([f"caption {i}" for i in range(b)]))
+    labels = jnp.asarray(rng.randint(0, m, b))
+
+    state = replicate(create_train_state(bb, params, 1e-2), mesh)
+    batch = shard_batch({"refer_feats": refer, "text_ids": text,
+                         "labels": labels}, mesh)
+    bank_p = put_bank(pad_bank_rows(bank, 2), mesh)
+    step = make_sharded_stage2_step(bb, mesh, m_actual=m)
+    new_state, loss = step(state, bank_p, batch)
+    tau0 = float(state.params["params"]["tau"])
+    tau1 = float(new_state.params["params"]["tau"])
+    assert np.isfinite(float(loss))
+    assert tau1 != tau0, "learnable tau did not receive a gradient"
