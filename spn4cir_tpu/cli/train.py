@@ -55,7 +55,8 @@ def run_validation(backbone, params, args, preprocess) -> tuple[float, dict]:
     results = {}
     for dt in args.dress_types:
         m = fiq_val_retrieval(backbone, params, args.data_path, dt, preprocess,
-                              batch_size=32)
+                              batch_size=32,
+                              fiq_val_type=getattr(args, "fiq_val_type", 0))
         per_type.append(m)
         results[dt] = m
     avg = fiq_average(per_type)
@@ -156,15 +157,31 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
                               args.warmup_steps)
     else:
         lr = args.learning_rate
-    state = create_train_state(backbone, params, lr)
     best_score = 0.0
     neg_num = args.neg_num if (args.neg_num > 0 and not args.unlabeled) else None
     neg_rng = np.random.RandomState(args.seed)
+
+    if args.wo_bank:
+        state = create_stage1_state(backbone, params, lr)
+    else:
+        state = create_train_state(backbone, params, lr)
 
     # --- multi-chip mesh (pjit/shard_map path) ---
     mesh = None
     sharded_step = None
     if not args.wo_bank and (args.mesh_data > 1 or args.mesh_bank > 1):
+        # the sharded step implements the flat-feature full-bank loss only —
+        # refuse configurations it would silently misrepresent
+        if backbone_name == "blip2":
+            raise SystemExit("--mesh_data/--mesh_bank: the blip2 max-over-"
+                             "query loss is not wired into the sharded step;"
+                             " train blip2 single-chip (its sharded loss "
+                             "exists in parallel/loss.py — see ROUND notes)")
+        if neg_num:
+            raise SystemExit("--neg_num (sampled negatives) is not supported"
+                             " with a mesh; the sharded loss is full-bank")
+        if args.dropout:
+            raise SystemExit("--dropout is not supported with a mesh")
         if jax.process_count() > 1:
             # multi-host: data axis spans slices over DCN, bank stays on ICI
             from spn4cir_tpu.parallel.mesh import make_hybrid_mesh
@@ -177,9 +194,6 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
         state = replicate(state, mesh)
         sharded_step = make_sharded_stage2_step(backbone, mesh, m_actual=m_actual)
         print(f"mesh: data={mesh.shape['data']} bank={mesh.shape['bank']}")
-
-    if args.wo_bank:
-        state = create_stage1_state(backbone, params, lr)
 
     # --- preemption resume (fixes the reference's no-resume gap, SURVEY §5) ---
     ckpt_mgr = None

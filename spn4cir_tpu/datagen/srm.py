@@ -110,7 +110,11 @@ def extract_all_features(encode_fn, batches) -> np.ndarray:
             bufs["data"] = np.zeros((int(max(ids)) + 1, out.shape[-1]), out.dtype)
         grow = int(max(ids)) + 1
         if grow > bufs["data"].shape[0]:
-            bufs["data"] = np.resize(bufs["data"], (grow, out.shape[-1]))
+            # np.resize would FILL new rows with repeated copies of existing
+            # data; never-written rows must be zeros, not phantom duplicates
+            bigger = np.zeros((grow, out.shape[-1]), bufs["data"].dtype)
+            bigger[: bufs["data"].shape[0]] = bufs["data"]
+            bufs["data"] = bigger
         valid = ids >= 0
         bufs["data"][ids[valid]] = out[valid]
     return bufs["data"]

@@ -79,10 +79,19 @@ def preprocess_batch(
 def encode_with_fused_preprocess(backbone, params, images_u8, *,
                                  kind: str = "targetpad",
                                  target_ratio: float = 1.25):
-    """One jit: device preprocess fused into the gallery encoder."""
-    @jax.jit
-    def run(p, raw):
-        x = preprocess_batch(raw, backbone.input_dim, kind, target_ratio)
-        return backbone.gallery_features(p, x)
+    """One jit: device preprocess fused into the gallery encoder. The jitted
+    graph is cached per (backbone, kind, ratio) — a fresh jax.jit per call
+    would retrace + recompile the whole tower every batch."""
+    cache = getattr(backbone, "_jit_cache", None)
+    if cache is None:
+        cache = backbone._jit_cache = {}
+    key = ("fused_preprocess", kind, target_ratio)
+    run = cache.get(key)
+    if run is None:
+        @jax.jit
+        def run(p, raw):
+            x = preprocess_batch(raw, backbone.input_dim, kind, target_ratio)
+            return backbone.gallery_features(p, x)
 
+        cache[key] = run
     return run(params, images_u8)

@@ -15,7 +15,6 @@ Query forms:
 from __future__ import annotations
 
 import base64
-import functools
 import io
 import json
 import threading
@@ -211,8 +210,6 @@ class BatchingRetrievalService(RetrievalService):
         self._queue: "queue.Queue" = queue.Queue()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
-        self._fuse_batch = jax.jit(
-            lambda refer, text: self.backbone.fuse(self.params, refer, text))
 
     def query_by_name(self, reference_name: str, caption: str,
                       k: Optional[int] = None) -> List[dict]:
@@ -266,7 +263,7 @@ class BatchingRetrievalService(RetrievalService):
             refer = index.refer_rows(gids)
             with self._lock:
                 text = jnp.asarray(self.backbone.tokenize(captions))
-                queries = self._fuse_batch(refer, text)
+                queries = self._fuse(refer, text)
                 scores = np.array(self.backbone.score_queries(queries,
                                                               index.target))
             self._batches_dispatched += 1

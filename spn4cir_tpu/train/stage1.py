@@ -16,15 +16,23 @@ import jax.numpy as jnp
 import optax
 
 from spn4cir_tpu.models.api import CIRBackbone
-from spn4cir_tpu.train.stage2 import TrainState
+from spn4cir_tpu.train.stage2 import (TrainState, masked_with_frozen_zero,
+                                      trainable_mask)
 
 
 def create_stage1_state(backbone: CIRBackbone, params, learning_rate: float,
                         *, weight_decay: float = 1e-2, b1: float = 0.9,
                         b2: float = 0.999, eps: float = 1e-7) -> TrainState:
-    """All params train in stage 1 (no freeze mask)."""
-    tx = optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
-                     weight_decay=weight_decay)
+    """All WEIGHTS train in stage 1 (no freeze mask), but like torch AdamW
+    (which skips grad-None params) the optimizer must not touch BatchNorm
+    batch_stats or CLIP's loss-unused logit_scale — decaying either
+    corrupts the checkpoint. BN runs with its stored running stats (the
+    reference's train-mode momentum refresh of those statistics is
+    deliberately not replicated; the affine scale/bias do train)."""
+    tx = masked_with_frozen_zero(
+        optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
+                    weight_decay=weight_decay),
+        trainable_mask(params, lambda path: True))
     return TrainState.create(apply_fn=None, params=params, tx=tx)
 
 

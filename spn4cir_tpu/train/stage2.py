@@ -39,8 +39,16 @@ class TrainState(train_state.TrainState):
 
 
 def trainable_mask(params, filter_fn: Callable) -> Any:
+    """Besides the backbone's stage-2 freeze filter, two generic exclusions
+    (matching torch AdamW, which skips params whose grad is None):
+      - non-'params' collections (BatchNorm batch_stats) are statistics,
+        not weights — gradient-updating or decaying them is nonsense;
+      - CLIP's logit_scale never appears in a CIR loss, so its grad is
+        exactly zero and unmasked weight decay would exponentially shrink
+        the stored checkpoint value every step."""
     flat = traverse_util.flatten_dict(params)
-    mask = {k: bool(filter_fn(k)) for k in flat}
+    mask = {k: (k[0] == "params" and "logit_scale" not in k
+                and bool(filter_fn(k))) for k in flat}
     return traverse_util.unflatten_dict(mask)
 
 
@@ -58,7 +66,16 @@ def make_optimizer(
     side, ref clip4cir/models.py:31-33 + train.py:79-85)."""
     opt = optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
                       weight_decay=weight_decay)
-    return optax.masked(opt, trainable_mask(params, filter_fn))
+    return masked_with_frozen_zero(opt, trainable_mask(params, filter_fn))
+
+
+def masked_with_frozen_zero(opt, mask) -> optax.GradientTransformation:
+    """optax.masked PASSES THROUGH masked-out updates unchanged (so a stray
+    nonzero gradient on a frozen leaf would be applied raw); explicitly zero
+    the complement so frozen leaves can never move."""
+    inv = jax.tree_util.tree_map(lambda m: not m, mask)
+    return optax.chain(optax.masked(optax.set_to_zero(), inv),
+                       optax.masked(opt, mask))
 
 
 def create_train_state(backbone: CIRBackbone, params, learning_rate,

@@ -144,3 +144,47 @@ def test_use_cc_dataset(tmp_path):
                     plus=True, use_cc=True)
     assert len(ds) == len(base) + 1
     assert ds.triplets[-1]["captions"] == ["cc style caption"]
+
+
+def test_optimizer_never_touches_stats_or_logit_scale():
+    """torch AdamW skips grad-None params; our masked optimizers must
+    likewise leave BatchNorm batch_stats and CLIP's loss-unused logit_scale
+    untouched (unmasked weight decay would shrink them every step)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spn4cir_tpu.models.clip import CLIP, CLIPConfig
+    from spn4cir_tpu.train.stage1 import create_stage1_state
+    from spn4cir_tpu.train.stage2 import create_train_state
+
+    cfg = CLIPConfig(16, 64, (1, 1, 1, 1), 8, None, context_length=77,
+                     transformer_width=16, transformer_heads=2,
+                     transformer_layers=1)
+    model = CLIP(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)),
+                           jnp.zeros((1, 77), jnp.int32))
+    assert "batch_stats" in variables  # ResNet tower
+
+    class FakeBackbone:
+        trainable_filter = staticmethod(lambda path: True)
+        optimizer_kwargs = staticmethod(lambda: {})
+
+    for make in (lambda: create_stage1_state(FakeBackbone(), variables, 1e-2),
+                 lambda: create_train_state(FakeBackbone(), variables, 1e-2)):
+        state = make()
+        # grads: ones on everything — stats/logit_scale must still not move
+        grads = jax.tree_util.tree_map(jnp.ones_like, variables)
+        new_state = state.apply_gradients(grads=grads)
+        np.testing.assert_array_equal(
+            np.asarray(new_state.params["params"]["logit_scale"]),
+            np.asarray(variables["params"]["logit_scale"]))
+        old_bs = jax.tree_util.tree_leaves(variables["batch_stats"])
+        new_bs = jax.tree_util.tree_leaves(new_state.params["batch_stats"])
+        for a, b in zip(old_bs, new_bs):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # and ordinary weights DID move
+        assert not np.allclose(
+            np.asarray(new_state.params["params"]["text"]["token_embedding"]),
+            np.asarray(variables["params"]["text"]["token_embedding"]))
