@@ -170,13 +170,8 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
     mesh = None
     sharded_step = None
     if not args.wo_bank and (args.mesh_data > 1 or args.mesh_bank > 1):
-        # the sharded step implements the flat-feature full-bank loss only —
-        # refuse configurations it would silently misrepresent
-        if backbone_name == "blip2":
-            raise SystemExit("--mesh_data/--mesh_bank: the blip2 max-over-"
-                             "query loss is not wired into the sharded step;"
-                             " train blip2 single-chip (its sharded loss "
-                             "exists in parallel/loss.py — see ROUND notes)")
+        # the sharded step covers the full-bank losses (flat and blip2
+        # max-over-query) — refuse configurations it would misrepresent
         if neg_num:
             raise SystemExit("--neg_num (sampled negatives) is not supported"
                              " with a mesh; the sharded loss is full-bank")

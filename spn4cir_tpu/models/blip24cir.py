@@ -277,21 +277,29 @@ class Blip2CIR(CIRBackbone):
         return fused, target
 
     # ---- losses ----
+    def stage2_query_feats(self, params, refer_feats, text_ids,
+                           dropout_rng: Optional[jnp.ndarray] = None):
+        """The TRAINING fusion path (`forward_stage2`'s Qformer_query text
+        re-read over cached fusion hidden states) — distinct from `fuse`,
+        which is the inference path. Factored out so the sharded trainer
+        (parallel/train.py) can pair it with the bank-sharded loss."""
+        ids, mask = text_ids[:, 0, :], text_ids[:, 1, :]
+        if dropout_rng is not None and self.q_cfg.dropout_rate:
+            return self.model.apply(params, refer_feats, ids, mask,
+                                    method="fusion_feats_q",
+                                    deterministic=False,
+                                    rngs={"dropout": dropout_rng})
+        return self.model.apply(params, refer_feats, ids, mask,
+                                method="fusion_feats_q")
+
     def stage2_loss(self, params, refer_feats, text_ids, target_bank, labels,
                     *, neg_idx: Optional[jnp.ndarray] = None, impl: str = "auto",
                     dropout_rng: Optional[jnp.ndarray] = None):
         """refer_feats here are cached fusion hidden states (B, 32, 768);
         target_bank is (M, 32, 256). Loss = max-over-query InfoNCE
         (ref forward_stage2 :254-266, loop -> einsum)."""
-        ids, mask = text_ids[:, 0, :], text_ids[:, 1, :]
-        if dropout_rng is not None and self.q_cfg.dropout_rate:
-            feats = self.model.apply(params, refer_feats, ids, mask,
-                                     method="fusion_feats_q",
-                                     deterministic=False,
-                                     rngs={"dropout": dropout_rng})
-        else:
-            feats = self.model.apply(params, refer_feats, ids, mask,
-                                     method="fusion_feats_q")
+        feats = self.stage2_query_feats(params, refer_feats, text_ids,
+                                        dropout_rng)
         tau = params["params"]["tau"]
         if neg_idx is not None:
             negs = jnp.take(target_bank, neg_idx.reshape(-1), axis=0).reshape(

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from spn4cir_tpu.models.api import CIRBackbone
-from spn4cir_tpu.parallel.loss import sharded_bank_infonce
+from spn4cir_tpu.parallel.loss import (sharded_bank_infonce,
+                                       sharded_max_query_infonce)
 from spn4cir_tpu.parallel.mesh import (
     bank_sharding,
     batch_sharding,
@@ -28,10 +29,14 @@ from spn4cir_tpu.train.stage2 import TrainState
 
 def make_sharded_stage2_step(backbone: CIRBackbone, mesh: Mesh, tau=None,
                              m_actual: int | None = None):
-    """Build a jitted (state, target_bank, batch) -> (state, loss) step for
-    backbones whose query/target features are flat (B, D)/(M, D) vectors.
-    `target_bank` rows must be padded to the bank-axis size
-    (`pad_bank_rows`); `m_actual` is the true row count."""
+    """Build a jitted (state, target_bank, batch) -> (state, loss) step.
+
+    Flat backbones (clip/tgcir/blip: (B, D) query vs (M, D) bank) pair the
+    fusion path with `sharded_bank_infonce`; blip2 (which exposes
+    `stage2_query_feats` and a 3-D (M, Q, D) bank) pairs its training
+    fusion path with `sharded_max_query_infonce`. `target_bank` rows must
+    be padded to the bank-axis size (`pad_bank_rows`); `m_actual` is the
+    true row count."""
 
     def live_tau(params):
         # a learnable temperature (blip4cir's params['params']['tau'],
@@ -44,13 +49,23 @@ def make_sharded_stage2_step(backbone: CIRBackbone, mesh: Mesh, tau=None,
             return inner["tau"]
         return backbone.tau
 
+    max_query = (hasattr(backbone, "stage2_query_feats")
+                 and len(backbone.bank_spec().target_shape) == 2)
+
     def step(state: TrainState, target_bank: jnp.ndarray,
              batch: Dict[str, jnp.ndarray]):
         def loss_fn(params):
+            m = m_actual if m_actual is not None else target_bank.shape[0]
+            if max_query:
+                feats = backbone.stage2_query_feats(
+                    params, batch["refer_feats"], batch["text_ids"])
+                return sharded_max_query_infonce(
+                    feats, target_bank, batch["labels"], live_tau(params),
+                    mesh, m_actual=m)
             query = backbone.fuse(params, batch["refer_feats"], batch["text_ids"])
             return sharded_bank_infonce(
                 query, target_bank, batch["labels"], live_tau(params), mesh,
-                m_actual=m_actual if m_actual is not None else target_bank.shape[0])
+                m_actual=m)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads=grads), loss

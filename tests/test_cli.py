@@ -200,6 +200,20 @@ def test_train_cli_blip2(fiq_root, tmp_path, monkeypatch):
     assert os.path.exists(tmp_path / "out" / "fiq_bank.npz")
 
 
+def test_train_cli_blip2_mesh(fiq_root, tmp_path, monkeypatch):
+    """blip2 + mesh: the max-over-query loss runs bank-sharded
+    (sharded_max_query_infonce wired into the sharded step)."""
+    monkeypatch.chdir(tmp_path)
+    best = train_main("blip2", [
+        "--dataset", "fiq", "--data_path", fiq_root,
+        "--dress_types", "dress", "--clip-model-name", "test-tiny",
+        "--num-epochs", "1", "--batch-size", "4",
+        "--mesh_data", "4", "--mesh_bank", "2",
+        "--output_path", str(tmp_path / "out_mesh2"),
+    ])
+    assert best >= 0
+
+
 def test_train_cli_tgcir(fiq_root, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     best = train_main("tgcir", [

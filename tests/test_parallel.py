@@ -167,3 +167,37 @@ def test_sharded_step_trains_blip4cir_tau():
     tau1 = float(new_state.params["params"]["tau"])
     assert np.isfinite(float(loss))
     assert tau1 != tau0, "learnable tau did not receive a gradient"
+
+
+def test_sharded_step_blip2_matches_single_chip():
+    """The blip2 sharded step (max-over-query loss over a bank-sharded
+    (M, Q, D) bank) must equal the single-chip stage2_loss."""
+    import numpy as np
+
+    from spn4cir_tpu.models.api import build_backbone
+    from spn4cir_tpu.parallel.train import make_sharded_stage2_step
+    from spn4cir_tpu.train.stage2 import create_train_state
+
+    bb = build_backbone("blip2", blip2_size="test-tiny")
+    params = bb.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh(data=2, bank=2, devices=jax.devices()[:4])
+    rng = np.random.RandomState(0)
+    b, m = 4, 7
+    spec = bb.bank_spec()
+    refer = jnp.asarray(rng.randn(b, *spec.refer_shape).astype(np.float32))
+    bank = rng.randn(m, *spec.target_shape).astype(np.float32)
+    bank = jnp.asarray(bank / np.linalg.norm(bank, axis=-1, keepdims=True))
+    text = jnp.asarray(bb.tokenize([f"caption {i}" for i in range(b)]))
+    labels = jnp.asarray(rng.randint(0, m, b))
+
+    want = float(bb.stage2_loss(params, refer, text, bank, labels,
+                                impl="xla"))
+
+    state = replicate(create_train_state(bb, params, 1e-3), mesh)
+    batch = shard_batch({"refer_feats": refer, "text_ids": text,
+                         "labels": labels}, mesh)
+    bank_p = put_bank(pad_bank_rows(bank, 2), mesh)
+    step = make_sharded_stage2_step(bb, mesh, m_actual=m)
+    new_state, loss = step(state, bank_p, batch)
+    assert abs(float(loss) - want) < 1e-5, (float(loss), want)
+    assert int(new_state.step) == 1
