@@ -29,6 +29,22 @@ from spn4cir_tpu.eval.retrieval import GalleryIndex
 from spn4cir_tpu.models.api import CIRBackbone
 
 
+def _mask_rows(scores: jnp.ndarray, gids: jnp.ndarray) -> jnp.ndarray:
+    """Set scores[i, gids[i]] = -inf; gid -1 masks nothing for that row."""
+    rows = jnp.arange(scores.shape[0])
+    safe = jnp.clip(gids, 0, scores.shape[1] - 1)
+    masked = scores.at[rows, safe].set(-jnp.inf)
+    return jnp.where((gids >= 0)[:, None], masked, scores)
+
+
+def _round_up_k(k: int) -> int:
+    """Bucket k so the jitted top-k specializes on a few sizes only."""
+    n = 16
+    while n < k:
+        n *= 2
+    return n
+
+
 class RetrievalService:
     """Composed-image-retrieval queries against a fixed gallery index."""
 
@@ -44,6 +60,12 @@ class RetrievalService:
             lambda refer, text: backbone.fuse(params, refer, text))
         self._encode_refer = jax.jit(
             lambda imgs: backbone.index_features(params, imgs)["refer"])
+        # mask + top-k on device: only (B, k) values/ids cross to the host
+        # instead of the full (B, M) score matrix (2 MB/batch at 16k)
+        self._topk = jax.jit(
+            lambda scores, gids, k: jax.lax.top_k(
+                _mask_rows(scores, gids), k),
+            static_argnums=(2,))
         self._lock = threading.Lock()  # jit dispatch is not thread-safe-free
         # serializes gallery mutations (read->build->swap); queries only
         # snapshot self.index/self._name2gid and never take it
@@ -110,16 +132,16 @@ class RetrievalService:
     def _run(self, index: GalleryIndex, refer, caption: str, k: Optional[int],
              exclude_gid: Optional[int]) -> List[dict]:
         k = min(k or self.default_k, len(index.names))
+        kk = min(_round_up_k(k), len(index.names))
         with self._lock:
             text = jnp.asarray(self.backbone.tokenize([caption]))
             query = self._fuse(refer, text)
-            scores = self.backbone.score_queries(query, index.target)[0]
-        scores = np.array(scores)  # copy: jax array views are read-only
-        if exclude_gid is not None:
-            scores[exclude_gid] = -np.inf
-        top = np.argsort(-scores)[:k]
-        return [{"name": index.names[int(i)],
-                 "score": float(scores[int(i)])} for i in top]
+            scores = self.backbone.score_queries(query, index.target)
+            gid = -1 if exclude_gid is None else exclude_gid
+            vals, idx = self._topk(scores, jnp.asarray([gid]), kk)
+        vals, idx = np.asarray(vals[0]), np.asarray(idx[0])
+        return [{"name": index.names[int(i)], "score": float(v)}
+                for i, v in zip(idx[:k], vals[:k])]
 
 
 # ---------------------------------------------------------------------------
@@ -261,17 +283,19 @@ class BatchingRetrievalService(RetrievalService):
             gids = np.asarray([item[1] for item in group])
             captions = [item[2] for item in group]
             refer = index.refer_rows(gids)
+            kmax = min(_round_up_k(max(
+                min(item[3] or self.default_k, len(index.names))
+                for item in group)), len(index.names))
             with self._lock:
                 text = jnp.asarray(self.backbone.tokenize(captions))
                 queries = self._fuse(refer, text)
-                scores = np.array(self.backbone.score_queries(queries,
-                                                              index.target))
+                scores = self.backbone.score_queries(queries, index.target)
+                vals, idx = self._topk(scores, jnp.asarray(gids), kmax)
+            vals, idx = np.asarray(vals), np.asarray(idx)
             self._batches_dispatched += 1
             for row, (_, gid, _, k, event, slot) in enumerate(group):
-                s = scores[row].copy()
-                s[gid] = -np.inf
                 kk = min(k or self.default_k, len(index.names))
-                top = np.argsort(-s)[:kk]
-                slot["results"] = [{"name": index.names[int(i)],
-                                    "score": float(s[int(i)])} for i in top]
+                slot["results"] = [
+                    {"name": index.names[int(i)], "score": float(v)}
+                    for i, v in zip(idx[row, :kk], vals[row, :kk])]
                 event.set()
