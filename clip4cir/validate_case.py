@@ -34,5 +34,6 @@ if __name__ == "__main__":
         cases = dump_cases(bb, params, relative, index, out)
         hits = sum(c["rank"] < 10 for c in cases)
         print(json.dumps({"dress_type": dt, "queries": len(cases),
-                          "recall_at10": 100.0 * hits / len(cases),
+                          "recall_at10": (100.0 * hits / len(cases)
+                                          if cases else 0.0),
                           "out": out}))

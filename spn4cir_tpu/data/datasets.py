@@ -268,7 +268,8 @@ class CIRDataset:
             if native_available():
                 tf = self.preprocess
                 self._native = NativeLoader(tf.kind, tf.dim, tf.target_ratio,
-                                            tf.mean, tf.std)
+                                            tf.mean, tf.std,
+                                            fallback=self.load_image)
         except Exception:
             self._native = None
         return self._native

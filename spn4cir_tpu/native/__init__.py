@@ -28,10 +28,13 @@ _build_error: Optional[str] = None
 
 
 def _build() -> Optional[str]:
-    """Compile loader.cpp -> _loader.so; returns an error string or None."""
+    """Compile loader.cpp -> _loader.so; returns an error string or None.
+    Builds to a per-process temp name + atomic rename so concurrent
+    processes can't CDLL a partially written .so."""
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        _SRC, "-o", _SO, "-ljpeg", "-lpng", "-lpthread",
+        _SRC, "-o", tmp, "-ljpeg", "-lpng", "-lpthread",
     ]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=180)
@@ -39,6 +42,7 @@ def _build() -> Optional[str]:
         return f"build failed: {exc}"
     if proc.returncode != 0:  # pragma: no cover
         return f"build failed: {proc.stderr[-2000:]}"
+    os.replace(tmp, _SO)
     return None
 
 
@@ -69,7 +73,7 @@ def _load():
             ctypes.POINTER(ctypes.c_char_p),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int8),
         ]
         _lib = lib
 
@@ -93,10 +97,15 @@ class NativeLoader:
     def __init__(self, kind: str, dim: int, target_ratio: float = 1.25,
                  mean: Sequence[float] = (0.48145466, 0.4578275, 0.40821073),
                  std: Sequence[float] = (0.26862954, 0.26130258, 0.27577711),
-                 num_threads: int = 0):
+                 num_threads: int = 0, fallback=None):
+        """`fallback(path) -> (dim, dim, 3) float32` handles images the C++
+        decoder declines for parity reasons (status 2: palette-mode PNGs,
+        which Pillow resizes NEAREST and pads with palette[0]) or fails on
+        (status 1). Without a fallback those images raise IOError."""
         _load()
         if _lib is None:
             raise RuntimeError(f"native loader unavailable: {_build_error}")
+        self.fallback = fallback
         self.kind = _KINDS[kind]
         self.dim = dim
         self.target_ratio = float(target_ratio)
@@ -113,11 +122,18 @@ class NativeLoader:
     def decode_batch(self, paths: Sequence[str]) -> np.ndarray:
         n = len(paths)
         out = np.empty((n, self.dim, self.dim, 3), np.float32)
+        status = np.zeros(n, np.int8)
         arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
         failures = _lib.loader_decode_batch(
             self._pool, arr, n, self.kind, self.dim,
             ctypes.c_float(self.target_ratio), self._mean, self._std,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
         if failures:
-            raise IOError(f"native loader failed on {failures}/{n} images")
+            bad = np.nonzero(status)[0]
+            if self.fallback is None:
+                raise IOError(f"native loader failed on {failures}/{n} images"
+                              f" (first: {paths[int(bad[0])]!r})")
+            for i in bad:
+                out[int(i)] = self.fallback(paths[int(i)])
         return out

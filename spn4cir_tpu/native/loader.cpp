@@ -21,9 +21,13 @@
 //   int   loader_decode_batch(void*, const char** paths, int n,
 //                             int kind, int dim, float target_ratio,
 //                             const float* mean, const float* std,
-//                             float* out /* n*dim*dim*3 */);
-//   returns 0 on success; on per-image failure the image slot is zeroed and
-//   the return value is the count of failed items (never crashes the batch).
+//                             float* out /* n*dim*dim*3 */,
+//                             int8_t* status /* n, nullable */);
+//   returns the count of not-OK items; per-image status: 0 ok, 1 decode
+//   failed, 2 needs the Python/PIL path (palette-mode PNG: Pillow resizes
+//   mode-P images with NEAREST and pads with palette[0], which this decoder
+//   does not replicate — the caller falls back per image). Failed/fallback
+//   slots are zeroed; the batch never crashes.
 
 #include <atomic>
 #include <cmath>
@@ -88,7 +92,7 @@ bool decode_jpeg(FILE* fp, ImageU8* out) {
   return true;
 }
 
-bool decode_png(FILE* fp, ImageU8* out) {
+bool decode_png(FILE* fp, ImageU8* out, bool* needs_fallback) {
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
   if (!png) return false;
@@ -108,16 +112,22 @@ bool decode_png(FILE* fp, ImageU8* out) {
   int bit_depth, color_type;
   png_get_IHDR(png, info, &w, &h, &bit_depth, &color_type, nullptr, nullptr,
                nullptr);
+  if (color_type == PNG_COLOR_TYPE_PALETTE) {
+    // Pillow keeps mode-P through resize (forcing NEAREST) and pads with
+    // palette index 0; converting to RGB here would silently change the
+    // pixels vs the PIL/reference path — let Python handle these images
+    if (needs_fallback) *needs_fallback = true;
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
   // normalize everything to 8-bit RGB
   if (bit_depth == 16) png_set_strip_16(png);
-  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
   if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
     png_set_expand_gray_1_2_4_to_8(png);
   if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
   if (color_type == PNG_COLOR_TYPE_GRAY ||
       color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
     png_set_gray_to_rgb(png);
-  if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
   png_set_strip_alpha(png);
   png_read_update_info(png, info);
 
@@ -132,7 +142,7 @@ bool decode_png(FILE* fp, ImageU8* out) {
   return true;
 }
 
-bool decode_file(const char* path, ImageU8* out) {
+bool decode_file(const char* path, ImageU8* out, bool* needs_fallback) {
   FILE* fp = fopen(path, "rb");
   if (!fp) return false;
   uint8_t magic[8] = {0};
@@ -142,7 +152,7 @@ bool decode_file(const char* path, ImageU8* out) {
   if (got >= 3 && magic[0] == 0xFF && magic[1] == 0xD8 && magic[2] == 0xFF) {
     ok = decode_jpeg(fp, out);
   } else if (got >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
-    ok = decode_png(fp, out);
+    ok = decode_png(fp, out, needs_fallback);
   }
   fclose(fp);
   return ok && out->w > 0 && out->h > 0;
@@ -258,9 +268,10 @@ void resize_bicubic(const ImageU8& in, int out_w, int out_h,
 enum PadKind { KIND_CLIP = 0, KIND_SQUAREPAD = 1, KIND_TARGETPAD = 2 };
 
 bool preprocess_one(const char* path, int kind, int dim, float target_ratio,
-                    const float* mean, const float* stdv, float* out) {
+                    const float* mean, const float* stdv, float* out,
+                    bool* needs_fallback) {
   ImageU8 img;
-  if (!decode_file(path, &img)) return false;
+  if (!decode_file(path, &img, needs_fallback)) return false;
 
   ImageU8 padded;
   const ImageU8* cur = &img;
@@ -386,7 +397,7 @@ void loader_destroy(void* pool) { delete static_cast<Pool*>(pool); }
 
 int loader_decode_batch(void* pool_ptr, const char** paths, int n, int kind,
                         int dim, float target_ratio, const float* mean,
-                        const float* stdv, float* out) {
+                        const float* stdv, float* out, int8_t* status) {
   Pool* pool = static_cast<Pool*>(pool_ptr);
   std::atomic<int> failures{0};
   Latch latch(n);
@@ -394,10 +405,16 @@ int loader_decode_batch(void* pool_ptr, const char** paths, int n, int kind,
   for (int i = 0; i < n; ++i) {
     const char* path = paths[i];
     float* slot = out + stride * i;
-    pool->submit([&, path, slot] {
-      if (!preprocess_one(path, kind, dim, target_ratio, mean, stdv, slot)) {
+    int8_t* st = status ? status + i : nullptr;
+    pool->submit([&, path, slot, st] {
+      bool fb = false;
+      if (!preprocess_one(path, kind, dim, target_ratio, mean, stdv, slot,
+                          &fb)) {
         std::memset(slot, 0, stride * sizeof(float));
         failures.fetch_add(1);
+        if (st) *st = fb ? 2 : 1;
+      } else if (st) {
+        *st = 0;
       }
       latch.done();
     });

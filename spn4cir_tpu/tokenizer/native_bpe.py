@@ -26,14 +26,18 @@ _build_error: Optional[str] = None
 
 
 def _build() -> Optional[str]:
+    # build to a per-process temp name + atomic rename: concurrent processes
+    # racing `g++ -o <same path>` could CDLL a partially written .so
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _SO]
+           _SRC, "-o", tmp]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=180)
     except (OSError, subprocess.TimeoutExpired) as exc:  # pragma: no cover
         return f"build failed: {exc}"
     if proc.returncode != 0:  # pragma: no cover
         return f"build failed: {proc.stderr[-2000:]}"
+    os.replace(tmp, _SO)
     return None
 
 

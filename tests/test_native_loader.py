@@ -74,3 +74,43 @@ def test_threaded_determinism(image_files):
     a = loader.decode_batch(paths * 4)
     b = loader.decode_batch(paths * 4)
     np.testing.assert_array_equal(a, b)
+
+
+def test_palette_png_falls_back_to_pil(tmp_path):
+    """Palette-mode PNGs diverge from PIL in any RGB-first decoder (Pillow
+    resizes mode-P with NEAREST and pads with palette[0]); the native loader
+    must route them through the Python fallback for exact parity."""
+    from spn4cir_tpu.native import NativeLoader, native_available
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    import numpy as np
+    from PIL import Image
+
+    from spn4cir_tpu.data.transforms import ImageTransform
+
+    rng = np.random.RandomState(0)
+    # non-square palette image so resize/pad paths actually differ
+    arr = rng.randint(0, 8, (40, 70), dtype=np.uint8)
+    pal_img = Image.fromarray(arr, mode="P")
+    palette = list(rng.randint(0, 256, 8 * 3))
+    pal_img.putpalette(palette)
+    p_path = str(tmp_path / "pal.png")
+    pal_img.save(p_path)
+    # plus a normal RGB image in the same batch
+    rgb = Image.fromarray(rng.randint(0, 256, (40, 70, 3), dtype=np.uint8))
+    r_path = str(tmp_path / "rgb.png")
+    rgb.save(r_path)
+
+    tf = ImageTransform("targetpad", 32)
+    loader = NativeLoader("targetpad", 32, fallback=lambda p: tf(Image.open(p)))
+    out = loader.decode_batch([p_path, r_path])
+    want_pal = tf(Image.open(p_path))
+    want_rgb = tf(Image.open(r_path))
+    np.testing.assert_allclose(out[0], want_pal, atol=1e-5)
+    np.testing.assert_allclose(out[1], want_rgb, atol=2e-2)  # bicubic tol
+
+    # without a fallback the batch must fail loudly, not silently diverge
+    bare = NativeLoader("targetpad", 32)
+    with pytest.raises(IOError):
+        bare.decode_batch([p_path])

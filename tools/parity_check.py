@@ -100,6 +100,18 @@ def dump_predictions(backbone_name: str, argv) -> str:
 
 
 def main():
+    import sys
+
+    # `parity_check.py dump <backbone> <train/validate flags...>` produces
+    # the ours.npz side of the ladder; the default invocation compares two
+    # dumps (PARITY.md runbook steps 2-3).
+    if len(sys.argv) > 1 and sys.argv[1] == "dump":
+        if len(sys.argv) < 3:
+            raise SystemExit("usage: parity_check.py dump <backbone> "
+                             "[--dataset ... --data_path ... --dump_out ...]")
+        out = dump_predictions(sys.argv[2], sys.argv[3:])
+        print(f"wrote {out}")
+        return
     p = argparse.ArgumentParser()
     p.add_argument("--ours", required=True)
     p.add_argument("--reference", required=True)

@@ -29,7 +29,8 @@ def main():
     p.add_argument("--impl", default="pallas", choices=["pallas", "xla"])
     p.add_argument("--bank_dtype", default="float32",
                    choices=["float32", "bfloat16", "int8"])
-    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--fp32", action="store_true",
+                   help="fp32 baseline (default bf16)")
     p.add_argument("--repeats", type=int, default=5)
     args = p.parse_args()
 
@@ -38,7 +39,7 @@ def main():
 
     backbone = build_backbone(
         "clip", clip_model_name=args.clip_model_name, tau=0.02,
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        dtype=jnp.float32 if args.fp32 else jnp.bfloat16)
     params = jax.jit(backbone.init_params)(jax.random.PRNGKey(0))
     state = create_train_state(backbone, params, 2e-5)
 

@@ -29,7 +29,9 @@ if __name__ == "__main__":
     p.add_argument("--refer", action="store_true")
     p.add_argument("--i2i_rank", type=int, default=-1)
     p.add_argument("--i2i_rank_max", type=int, default=-1)
-    p.add_argument("--srm", default="", help="srm.npz for the i2i rank window")
+    p.add_argument("--srm", default="",
+                   help="alias for --sims (an npz with an 'i2i' matrix, e.g."
+                        " srm_utils --sims_out)")
     p.add_argument("--sims", default="", help="sims npz with an 'i2i' matrix")
     p.add_argument("--use_llm", action="store_true")
     p.add_argument("--seed", type=int, default=42)
@@ -41,9 +43,15 @@ if __name__ == "__main__":
                     args.dress_types.split(",") if args.dataset == "fiq" else None)
     name2cap = load_it_list(args.it_list)
     i2i_ranks = None
-    if args.i2i_rank >= 0 and args.sims:
-        sims = np.load(args.sims)["i2i"]
-        i2i_ranks = np.argsort(-sims, axis=1)
+    sims_path = args.sims or args.srm
+    if args.i2i_rank >= 0 and sims_path:
+        data = np.load(sims_path)
+        if "i2i" not in data:
+            raise SystemExit(f"{sims_path} has no 'i2i' matrix — pass the "
+                             "srm_utils --sims_out file")
+        i2i_ranks = np.argsort(-data["i2i"], axis=1)
+    elif args.i2i_rank >= 0:
+        raise SystemExit("--i2i_rank needs --sims/--srm (an npz with 'i2i')")
     rewriter = None
     if args.use_llm:
         from spn4cir_tpu.datagen.llm_rewrite import load_hf_rewriter
