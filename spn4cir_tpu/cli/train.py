@@ -88,21 +88,46 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
                           extend_suffix=backbone.extend_suffix, seed=args.seed)
 
     # --- bank extraction (cached) ---
+    # --mesh_model tensor-shards the frozen tower Megatron-style for this
+    # encode-heavy phase (the EVA-g scan is blip2 training's dominant cost;
+    # SURVEY §2.7) with images data-sharded across the remaining devices
+    def tp_extract(fnc, n_batch_args):
+        if getattr(args, "mesh_model", 1) <= 1:
+            return jax.jit(lambda *a: fnc(params, *a))
+        import functools
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from spn4cir_tpu.parallel.tp import (make_tp_mesh, shard_params_tp,
+                                             tp_param_shardings)
+
+        tp_mesh = make_tp_mesh(model=args.mesh_model)
+        print(f"extraction mesh: data={tp_mesh.shape['data']} "
+              f"model={tp_mesh.shape['model']}")
+        jitted = jax.jit(
+            fnc,
+            in_shardings=(tp_param_shardings(params, tp_mesh),)
+            + (NamedSharding(tp_mesh, P("data")),) * n_batch_args,
+            out_shardings=NamedSharding(tp_mesh, P()))
+        return functools.partial(jitted, shard_params_tp(params, tp_mesh))
+
     bank = None
     if not args.wo_bank:
         bank_path = args.bank_path or os.path.join(
             output_path, f"{args.dataset}_bank.npz")
         if backbone_name == "blip2":
             # blip2 refer entries are caption-dependent fusion states
-            fn = jax.jit(lambda imgs, txt: backbone.fusion_bank_features(
-                params, imgs, txt))
+            fn = tp_extract(
+                lambda p, imgs, txt: backbone.fusion_bank_features(
+                    p, imgs, txt), 2)
             bank = extract_fusion_banks(
                 fn, iter_train_images(train_ds, args.batch_size),
                 len(train_ds.triplets), train_ds.num_unique_images,
                 backbone.tokenize, cache_path=bank_path,
                 reload=args.reload_bank, by_image=args.plus)
         else:
-            feats_fn = jax.jit(lambda imgs: backbone.bank_features(params, imgs))
+            feats_fn = tp_extract(
+                lambda p, imgs: backbone.bank_features(p, imgs), 1)
             bank = extract_banks(
                 feats_fn,
                 iter_unique_images(train_ds, args.batch_size),

@@ -214,6 +214,19 @@ def test_train_cli_blip2_mesh(fiq_root, tmp_path, monkeypatch):
     assert best >= 0
 
 
+def test_train_cli_mesh_model_extraction(fiq_root, tmp_path, monkeypatch):
+    """--mesh_model tensor-shards the frozen tower during bank extraction."""
+    monkeypatch.chdir(tmp_path)
+    best = train_main("clip", [
+        "--dataset", "fiq", "--data_path", fiq_root,
+        "--dress_types", "dress", "--clip-model-name", "test-tiny",
+        "--num-epochs", "1", "--batch-size", "4",
+        "--mesh_model", "4", "--loss_impl", "xla",
+        "--output_path", str(tmp_path / "out_tpx"),
+    ])
+    assert best > 0
+
+
 def test_train_cli_tgcir(fiq_root, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     best = train_main("tgcir", [

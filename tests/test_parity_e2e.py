@@ -46,6 +46,28 @@ def _module_stub(name):
     return mod
 
 
+
+
+def _force_inprocess_dataloaders(mods):
+    """The reference hardcodes num_workers=cpu_count()/8; forking DataLoader
+    workers from this multithreaded (JAX) test process intermittently
+    deadlocks the whole suite on the 1-core host. The oracle's numerics
+    don't depend on workers — force in-process loading."""
+    import torch.utils.data as _tud
+
+    orig = _tud.DataLoader
+
+    def dl0(*a, **k):
+        k["num_workers"] = 0
+        k.pop("prefetch_factor", None)
+        k.pop("persistent_workers", None)
+        return orig(*a, **k)
+
+    for mod in mods.values():
+        if getattr(mod, "DataLoader", None) is orig:
+            mod.DataLoader = dl0
+
+
 def _stub_torchvision():
     if "pkg_resources" not in sys.modules:
         # clip/clip.py:6 does `from pkg_resources import packaging` and then
@@ -91,6 +113,7 @@ def ref_modules():
     saved = {n: sys.modules.get(n) for n in names}
     try:
         mods = {n: importlib.import_module(n) for n in names}
+        _force_inprocess_dataloaders(mods)
         yield mods
     finally:
         sys.path.remove(REF_DIR)

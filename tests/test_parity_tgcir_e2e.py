@@ -46,6 +46,8 @@ def ref_modules():
         sys.modules.pop(n, None)
     try:
         mods = {n: importlib.import_module(n) for n in names}
+        from tests.test_parity_e2e import _force_inprocess_dataloaders
+        _force_inprocess_dataloaders(mods)
         yield mods
     finally:
         torch.Tensor.cuda = orig_cuda

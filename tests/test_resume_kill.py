@@ -58,24 +58,26 @@ def test_sigkill_mid_training_resumes_to_identical_params(tmp_path):
     # uninterrupted run
     _run(root, out_a)
 
-    # interrupted run: SIGKILL once the epoch-2 checkpoint lands (i.e. the
-    # process is inside epoch index 2, the final epoch)
+    # interrupted run: SIGKILL once the epoch-1 checkpoint lands — the
+    # process then still has ALL of epoch 2 (the final epoch) ahead, so the
+    # kill always strikes mid-training (waiting for the LAST checkpoint
+    # raced the process's exit and was flaky on the contended 1-core host)
     proc = _run(root, out_b, wait=False)
-    ckpt2 = os.path.join(out_b, "resume", "2")
+    ckpt1 = os.path.join(out_b, "resume", "1")
     deadline = time.time() + 600
     try:
-        while not os.path.isdir(ckpt2):
+        while not os.path.isdir(ckpt1):
             if proc.poll() is not None:
                 pytest.fail("training exited before the kill point:\n"
                             + proc.stdout.read()[-2000:])
             if time.time() > deadline:
-                pytest.fail("timed out waiting for the epoch-2 checkpoint")
-            time.sleep(0.25)
+                pytest.fail("timed out waiting for the epoch-1 checkpoint")
+            time.sleep(0.1)
         time.sleep(0.5)  # let the async orbax save commit
         os.kill(proc.pid, signal.SIGKILL)
     finally:
         proc.wait()
-    assert proc.returncode == -signal.SIGKILL
+    assert proc.returncode == -signal.SIGKILL, proc.returncode
 
     # restart: resumes from the last committed epoch and finishes
     text = _run(root, out_b)
