@@ -140,11 +140,19 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
                                       preprocess, args.data_path,
                                       args.dress_types,
                                       extend_suffix=backbone.extend_suffix)
-            enc = jax.jit(lambda imgs: backbone.gallery_features(params, imgs))
+            from spn4cir_tpu.bank.bank import Bank as _Bank
+
+            enc = tp_extract(
+                lambda p, imgs: backbone.gallery_features(p, imgs), 1)
+            # Derive from the RESOLVED cache name: an extensionless
+            # --bank_path would otherwise make .replace a no-op and both
+            # caches collide on the same <path>.npz.
+            unlabeled_cache = _Bank.cache_file(bank_path).replace(
+                ".npz", "_unlabeled.npz")
             extra = extract_unlabeled_features(
                 enc, iter_unlabeled(unlabeled_ds, args.batch_size),
                 len(unlabeled_ds.unlabeled_imagepaths),
-                cache_path=bank_path.replace(".npz", "_unlabeled.npz"),
+                cache_path=unlabeled_cache,
                 reload=args.reload_bank)
             bank = extend_target_bank(bank, extra,
                                       args.neg_num if args.neg_num > 0 else 0)

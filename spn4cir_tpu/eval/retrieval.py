@@ -87,14 +87,19 @@ def extract_index_features(
         from spn4cir_tpu.parallel.tp import (shard_params_tp,
                                              tp_param_shardings)
 
-        tp_params = shard_params_tp(params, mesh)
-        jitted = jax.jit(
-            lambda p, imgs: backbone.index_features(p, imgs),
-            in_shardings=(tp_param_shardings(params, mesh),
-                          NamedSharding(mesh, P("data"))),
-            out_shardings=NamedSharding(mesh, P()),
-        )
-        encode = functools.partial(jitted, tp_params)
+        # Cache the jitted fn per mesh shape (retracing every eval call
+        # recompiles the tower); params are re-sharded per call — a no-op
+        # placement when already laid out — because per-epoch validation
+        # passes freshly trained params.
+        jitted = _backbone_jit(
+            backbone, f"index_features_tp_{tuple(mesh.shape.items())}",
+            lambda: jax.jit(
+                lambda p, imgs: backbone.index_features(p, imgs),
+                in_shardings=(tp_param_shardings(params, mesh),
+                              NamedSharding(mesh, P("data"))),
+                out_shardings=NamedSharding(mesh, P()),
+            ))
+        encode = functools.partial(jitted, shard_params_tp(params, mesh))
     elif mesh is not None:
         from spn4cir_tpu.parallel.mesh import batch_sharding, replicated
 

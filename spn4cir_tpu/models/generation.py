@@ -183,6 +183,16 @@ def suppress_eos(logits, eos_id: int, cur_len, min_length: int):
                      NEG_INF, logits)
 
 
+def top_k_filter(logits, top_k: int):
+    """HF TopKLogitsWarper: keep only the top_k highest logits, NEG_INF the
+    rest. The threshold is the k-th highest VALUE (ties at the boundary all
+    survive — identical to HF's `logits < topk(...).values[..., -1:]`)."""
+    if top_k <= 0 or top_k >= logits.shape[-1]:
+        return logits
+    kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
 def top_p_filter(logits, top_p: float):
     """Nucleus filtering (HF TopPLogitsWarper, min_tokens_to_keep=1): keep the
     smallest set of tokens whose cumulative probability exceeds top_p.

@@ -1,0 +1,382 @@
+"""LLaMA decoder in flax: the language model behind the reference's LLaVA
+captioner and LLaMA-2 rewriter.
+
+Parity targets (checkpoint-convertible via
+`spn4cir_tpu.models.convert.convert_llama_state_dict`):
+  * the LLaVA-v1 language model — HF `LlamaForCausalLM` as subclassed by the
+    vendored `zscir/llava/model/language_model/llava_llama.py:34-46`
+    (LlavaLlamaModel = LlavaMetaModel + LlamaModel);
+  * the rewriter LM — LLaMA-2-7b-chat loaded through
+    `zscir/llama_generate.py:29-41`.
+
+Architecture (HF `modeling_llama`): RMSNorm (f32 accumulation) pre-norm,
+rotary position embeddings applied to q/k, optional grouped-query attention
+(LLaVA-v1 7B/13B use MHA: num_kv_heads == num_heads), SwiGLU MLP
+(down(silu(gate(x)) * up(x))), no biases anywhere, untied lm_head.
+
+TPU-native: layers are nn.scan-rolled (stacked params under 'layers'); the
+teacher-forced forward is one fused causal-attention program; incremental
+decoding (models/generation.py pattern) keeps a static-shape KV cache and
+runs the whole generation as a single `lax.scan` — see `llama_generate`.
+RoPE cos/sin tables are precomputed once per geometry and indexed inside the
+scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+NEG_INF = -1e9
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: Optional[int] = None  # None => MHA (LLaVA-v1 7B/13B)
+    intermediate_size: int = 11008
+    max_position_embeddings: int = 2048
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-6
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_kv_heads or self.num_heads
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @classmethod
+    def llama_7b(cls) -> "LlamaConfig":
+        return cls()
+
+    @classmethod
+    def llama2_7b_chat(cls) -> "LlamaConfig":
+        # LLaMA-2 ships rms_norm_eps=1e-5 and a 4k context
+        return cls(max_position_embeddings=4096, rms_eps=1e-5)
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 128, **kw) -> "LlamaConfig":
+        base = dict(vocab_size=vocab_size, hidden_size=32, num_layers=2,
+                    num_heads=4, intermediate_size=64,
+                    max_position_embeddings=128)
+        base.update(kw)
+        return cls(**base)
+
+
+# ---------------------------------------------------------------------------
+# RoPE (HF layout: [first-half, second-half] rotate_half, NOT interleaved)
+# ---------------------------------------------------------------------------
+
+
+def rope_tables(cfg: LlamaConfig, positions: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables for the given (…,) int positions -> (…, head_dim)."""
+    hd = cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta
+                      ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., hd/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+               ) -> jnp.ndarray:
+    """x: (..., S, H, head_dim); cos/sin: (S, head_dim) (broadcast over
+    leading dims and heads). HF apply_rotary_pos_emb semantics."""
+    half = x.shape[-1] // 2
+    rotated = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+    c = cos[..., :, None, :]
+    s = sin[..., :, None, :]
+    return x * c + rotated * s
+
+
+def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """HF LlamaRMSNorm: variance in f32, scale applied in input dtype."""
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return ((xf * jax.lax.rsqrt(var + eps)).astype(dt)) * scale.astype(dt)
+
+
+# ---------------------------------------------------------------------------
+# flax modules (teacher-forced full-sequence forward)
+# ---------------------------------------------------------------------------
+
+
+class _RMSNorm(nn.Module):
+    eps: float
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],),
+                           jnp.float32)
+        return rms_norm(x, scale, self.eps)
+
+
+def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    """(B, S, kvH, D) -> (B, S, kvH*n_rep, D), HF repeat_kv order."""
+    if n_rep == 1:
+        return x
+    b, s, h, d = x.shape
+    return jnp.broadcast_to(x[:, :, :, None, :], (b, s, h, n_rep, d)
+                            ).reshape(b, s, h * n_rep, d)
+
+
+class _LlamaAttention(nn.Module):
+    cfg: LlamaConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cos, sin, mask):
+        cfg = self.cfg
+        hd = cfg.head_dim
+        b, s, _ = x.shape
+        dense = lambda feats, name: nn.Dense(  # noqa: E731
+            feats, use_bias=False, dtype=self.dtype, name=name)
+        q = dense(cfg.num_heads * hd, "q")(x).reshape(b, s, cfg.num_heads, hd)
+        k = dense(cfg.kv_heads * hd, "k")(x).reshape(b, s, cfg.kv_heads, hd)
+        v = dense(cfg.kv_heads * hd, "v")(x).reshape(b, s, cfg.kv_heads, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        k = _repeat_kv(k, cfg.num_heads // cfg.kv_heads)
+        v = _repeat_kv(v, cfg.num_heads // cfg.kv_heads)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * (hd ** -0.5)
+        logits = logits + mask  # (1/B, 1, S, S) additive
+        w = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, s, -1)
+        return dense(cfg.hidden_size, "o")(ctx)
+
+
+class _LlamaLayer(nn.Module):
+    cfg: LlamaConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cos, sin, mask):
+        cfg = self.cfg
+        h = _RMSNorm(cfg.rms_eps, name="input_ln")(x)
+        x = x + _LlamaAttention(cfg, self.dtype, name="attn")(h, cos, sin, mask)
+        h = _RMSNorm(cfg.rms_eps, name="post_ln")(x)
+        gate = nn.Dense(cfg.intermediate_size, use_bias=False,
+                        dtype=self.dtype, name="gate")(h)
+        up = nn.Dense(cfg.intermediate_size, use_bias=False,
+                      dtype=self.dtype, name="up")(h)
+        down = nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
+                        name="down")(jax.nn.silu(gate) * up)
+        return x + down
+
+
+class _ScanLayer(nn.Module):
+    cfg: LlamaConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cos, sin, mask):
+        return _LlamaLayer(self.cfg, self.dtype, name="layer")(
+            x, cos, sin, mask), None
+
+
+class LlamaLM(nn.Module):
+    """Teacher-forced causal LM: ids or embeddings -> (B, S, vocab) logits.
+
+    `inputs_embeds` takes precedence over `input_ids` — the LLaVA path feeds
+    embeddings with image features spliced in (llava_arch.py:96-200)."""
+
+    cfg: LlamaConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids=None, inputs_embeds=None,
+                 attention_mask=None):
+        cfg = self.cfg
+        embed = self.param("embed_tokens", nn.initializers.normal(0.02),
+                           (cfg.vocab_size, cfg.hidden_size), jnp.float32)
+        if inputs_embeds is None:
+            inputs_embeds = embed[input_ids]
+        x = inputs_embeds.astype(self.dtype)
+        s = x.shape[1]
+        cos, sin = rope_tables(cfg, jnp.arange(s))
+        causal = jnp.where(
+            jnp.arange(s)[None, :] <= jnp.arange(s)[:, None], 0.0, NEG_INF)
+        mask = causal[None, None]
+        if attention_mask is not None:
+            pad = (1.0 - attention_mask.astype(jnp.float32)) * NEG_INF
+            mask = mask + pad[:, None, None, :]
+        scanned = nn.scan(
+            _ScanLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.num_layers,
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+        )(cfg=cfg, dtype=self.dtype, name="layers")
+        x, _ = scanned(x, cos, sin, mask)
+        x = _RMSNorm(cfg.rms_eps, name="norm")(x)
+        head = self.param("lm_head", nn.initializers.normal(0.02),
+                          (cfg.hidden_size, cfg.vocab_size), jnp.float32)
+        return x.astype(jnp.float32) @ head
+
+
+# ---------------------------------------------------------------------------
+# KV-cached incremental decoding (pure functions over the LlamaLM params)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class LlamaDecodeState:
+    """Static-shape KV cache: k/v (n_layers, B, L, kv_heads*head_dim)."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+
+jax.tree_util.register_pytree_node(
+    LlamaDecodeState,
+    lambda s: ((s.k, s.v), None),
+    lambda _, c: LlamaDecodeState(*c),
+)
+
+
+def init_llama_state(cfg: LlamaConfig, batch: int, max_length: int
+                     ) -> LlamaDecodeState:
+    z = jnp.zeros((cfg.num_layers, batch, max_length,
+                   cfg.kv_heads * cfg.head_dim), jnp.float32)
+    return LlamaDecodeState(z, z)
+
+
+def llama_decode_step(params: Dict[str, Any], cfg: LlamaConfig,
+                      state: LlamaDecodeState, x: jnp.ndarray,
+                      pos: jnp.ndarray
+                      ) -> Tuple[jnp.ndarray, LlamaDecodeState]:
+    """One incremental step: x (B, D) input embedding at position `pos`
+    (scalar int32) -> (logits (B, vocab), updated state)."""
+    hd = cfg.head_dim
+    n_rep = cfg.num_heads // cfg.kv_heads
+    batch = x.shape[0]
+    max_len = state.k.shape[2]
+    cos, sin = rope_tables(cfg, pos)  # (hd,)
+    half = hd // 2
+
+    def rope1(t):  # t: (B, H, hd) at a single position
+        rotated = jnp.concatenate([-t[..., half:], t[..., :half]], axis=-1)
+        return t * cos + rotated * sin
+
+    pos_ids = jnp.arange(max_len)
+    mask = jnp.where(pos_ids <= pos, 0.0, NEG_INF)[None, None, :]  # (1,1,L)
+
+    layer = params["layers"]["layer"]
+
+    def one_layer(x, xs):
+        lp, ck, cv = xs
+        h = rms_norm(x, lp["input_ln"]["scale"], cfg.rms_eps)
+        at = lp["attn"]
+        q = (h @ at["q"]["kernel"]).reshape(batch, cfg.num_heads, hd)
+        k = (h @ at["k"]["kernel"]).reshape(batch, cfg.kv_heads, hd)
+        v = h @ at["v"]["kernel"]
+        q = rope1(q)
+        k = rope1(k)
+        ck = jax.lax.dynamic_update_slice(
+            ck, k.reshape(batch, 1, -1), (0, pos, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v[:, None], (0, pos, 0))
+        kh = _repeat_kv(ck.reshape(batch, max_len, cfg.kv_heads, hd), n_rep)
+        vh = _repeat_kv(cv.reshape(batch, max_len, cfg.kv_heads, hd), n_rep)
+        logits = jnp.einsum("bhd,bkhd->bhk", q, kh,
+                            preferred_element_type=jnp.float32) * (hd ** -0.5)
+        logits = logits + mask
+        w = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum("bhk,bkhd->bhd", w, vh).reshape(batch, -1)
+        x = x + ctx @ at["o"]["kernel"]
+        h = rms_norm(x, lp["post_ln"]["scale"], cfg.rms_eps)
+        gate = h @ lp["gate"]["kernel"]
+        up = h @ lp["up"]["kernel"]
+        x = x + (jax.nn.silu(gate) * up) @ lp["down"]["kernel"]
+        return x, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(one_layer, x, (layer, state.k, state.v))
+    x = rms_norm(x, params["norm"]["scale"], cfg.rms_eps)
+    logits = x.astype(jnp.float32) @ params["lm_head"]
+    return logits, LlamaDecodeState(new_k, new_v)
+
+
+def llama_generate(params: Dict[str, Any], cfg: LlamaConfig,
+                   inputs_embeds: jnp.ndarray, *, eos_id: int, pad_id: int,
+                   max_new_tokens: int, do_sample: bool = False,
+                   temperature: float = 1.0, top_p: float = 1.0,
+                   top_k: int = 0,
+                   rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Generate continuations of an embedded prompt.
+
+    inputs_embeds: (B, P, D) — the prompt as embeddings (image features may
+    be spliced in; llava_arch.py:96-200). Returns (B, max_new_tokens) new
+    token ids, `pad_id` after EOS.
+
+    Sampling follows HF `generate` warper order (temperature -> top-k ->
+    top-p), matching both the captioner's T=0.01/top_p=0.01 setup
+    (zscir/captioner_llava.py:51-59) and the rewriter's do_sample/top_k=10
+    (zscir/llama_generate.py:55-63). The whole prompt is consumed by the
+    same `lax.scan` as the sampled tail — one compiled program per
+    (B, P, max_new_tokens) geometry. All rows share the same prompt length P
+    (the captioner's case: one shared prompt per batch; the rewriter batches
+    by equal length or runs B=1, matching the reference's per-prompt HF
+    pipeline calls)."""
+    from spn4cir_tpu.models.generation import top_k_filter, top_p_filter
+
+    batch, prompt_len, _ = inputs_embeds.shape
+    total = prompt_len + max_new_tokens
+    state = init_llama_state(cfg, batch, total)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    embed_table = params["embed_tokens"]
+    out = jnp.full((batch, max_new_tokens), pad_id, jnp.int32)
+    # pad the prompt embeddings out to `total` so the scan can dynamic-slice
+    pads = jnp.zeros((batch, max_new_tokens, inputs_embeds.shape[-1]),
+                     inputs_embeds.dtype)
+    embeds_buf = jnp.concatenate([inputs_embeds, pads], axis=1)
+
+    def step(carry, t):
+        out, state, last_tok, finished, rng = carry
+        in_prompt = t < prompt_len
+        x_prompt = jax.lax.dynamic_slice(
+            embeds_buf, (0, jnp.minimum(t, total - 1), 0),
+            (batch, 1, embeds_buf.shape[-1]))[:, 0]
+        x_gen = embed_table[last_tok]
+        x = jnp.where(in_prompt, x_prompt, x_gen)
+        logits, state = llama_decode_step(params, cfg, state, x, t)
+        if do_sample:
+            rng, sub = jax.random.split(rng)
+            filt = logits / jnp.maximum(temperature, 1e-6)
+            if top_k:
+                filt = top_k_filter(filt, top_k)
+            if top_p < 1.0:
+                filt = top_p_filter(filt, top_p)
+            nxt = jax.random.categorical(sub, filt)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        nxt = nxt.astype(jnp.int32)
+        # only emit once the full prompt is consumed
+        emitting = t >= (prompt_len - 1)
+        nxt = jnp.where(finished, pad_id, nxt)
+        newly_done = emitting & (nxt == eos_id)
+        out = jnp.where(
+            emitting,
+            jax.lax.dynamic_update_slice(
+                out, nxt[:, None],
+                (0, jnp.maximum(t - (prompt_len - 1), 0))),
+            out)
+        return (out, state, nxt, finished | newly_done, rng), None
+
+    init = (out, state, jnp.full((batch,), pad_id, jnp.int32),
+            jnp.zeros((batch,), bool), rng)
+    (out, _, _, _, _), _ = jax.lax.scan(step, init,
+                                        jnp.arange(total - 1))
+    return out

@@ -50,6 +50,9 @@ LANES = 128
 # net loss at tower level (head split/merge transposes stop fusing);
 # S=257 (EVA-g) is +9% and S=577 (BLIP@384) +14% end-to-end.
 MIN_FUSED_SEQ = 256
+# f32 S×S block must stay VMEM-resident (~16 MB/core): S=1408 → 7.9 MB for
+# the scores alone plus padded q/k/v/o; measured safe bound for this kernel.
+MAX_FUSED_SEQ = 1408
 
 
 def _interpret() -> bool:
@@ -202,6 +205,11 @@ def should_fuse(seq_len: int, impl: str = "auto") -> bool:
     """Dispatch policy shared with models/layers.py: the kernel wins only on
     TPU and only when the score matrix is large enough that the saved HBM
     softmax traffic beats the lane-padding overhead."""
+    if seq_len > MAX_FUSED_SEQ:
+        # Beyond this the S×S block (plus q/k/v) no longer fits VMEM and
+        # Mosaic fails allocation; route to the XLA einsum path even under
+        # impl='pallas' rather than crash.
+        return False
     if impl == "pallas":
         return True
     if impl != "auto":
