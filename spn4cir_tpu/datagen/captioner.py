@@ -104,6 +104,74 @@ def make_blip_captioner(params, *, blip_size: str = "base",
     return cap, transform, batched_fn
 
 
+def make_llava_captioner(params, *, tokenizer=None, tokenizer_path: str = "",
+                         llava_size: str = "7b", category: str = "image",
+                         word_num: int = 10, max_new_tokens: int = 64,
+                         batch_size: int = 8, dtype=None):
+    """The reference's CANONICAL captioning path — LLaVA-v1
+    (zscir/captioner_llava.py:147-205 captions every published dataset with
+    it) on the JAX CLIP-L tower + LLaMA decoder (models/llava.py).
+
+    `params`: a LLaVA torch checkpoint path (LlavaLlamaForCausalLM state
+    dict), a converted params tree, or None/"" for random-init smoke runs.
+    `tokenizer`: any HF-LLaMA-compatible tokenizer (encode/decode/
+    bos_token_id/eos_token_id) — or `tokenizer_path` to AutoTokenizer-load
+    one. Sampling matches the reference exactly: do_sample, T=0.01,
+    top_p=0.01 (captioner_llava.py:51-59).
+
+    Returns (captioner, transform, batched_fn) like make_blip_captioner."""
+    import jax
+    import jax.numpy as jnp
+
+    from spn4cir_tpu.data.transforms import ImageTransform
+    from spn4cir_tpu.models.llava import LlavaCaptioner, LlavaConfig
+
+    if tokenizer is None:
+        if tokenizer_path:
+            from transformers import AutoTokenizer
+            tokenizer = AutoTokenizer.from_pretrained(tokenizer_path)
+        elif llava_size == "tiny":
+            # smoke/test path without sentencepiece assets
+            from spn4cir_tpu.tokenizer.bytelevel import ByteTokenizer
+            tokenizer = ByteTokenizer()
+        else:
+            raise ValueError("make_llava_captioner needs tokenizer= or "
+                             "tokenizer_path= (the LLaMA sentencepiece "
+                             "assets; none ship with this environment)")
+
+    cfg = (LlavaConfig.tiny(vocab_size=max(
+               int(getattr(tokenizer, "vocab_size", 128)), 128))
+           if llava_size == "tiny" else LlavaConfig.v1_7b())
+    cap = LlavaCaptioner(cfg, tokenizer,
+                         dtype=dtype if dtype is not None else jnp.float32)
+    transform = ImageTransform("clip", cfg.vision.image_size)
+    if params is None or params == "":
+        params = cap.init_params(jax.random.PRNGKey(0))
+    elif isinstance(params, str):
+        from spn4cir_tpu.models.convert import (convert_llava_state_dict,
+                                                load_torch_state_dict)
+        params = convert_llava_state_dict(
+            load_torch_state_dict(params), cfg.llama.num_layers,
+            cfg.vision.effective_layers)
+
+    prompt = caption_prompt(category, word_num)
+
+    def batched_fn(images: List[np.ndarray], rng=None) -> List[str]:
+        out: List[str] = []
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        for lo in range(0, len(images), batch_size):
+            chunk = images[lo: lo + batch_size]
+            pad = batch_size - len(chunk)
+            batch = np.stack(list(chunk) + [chunk[-1]] * pad)
+            rng, sub = jax.random.split(rng)
+            caps = cap.caption(params, batch, prompt,
+                               max_new_tokens=max_new_tokens, rng=sub)
+            out.extend(caps[: len(chunk)])
+        return out
+
+    return cap, transform, batched_fn
+
+
 def caption_images_batched(names_and_images: Iterable, batched_fn,
                            batch_size: int = 32) -> List[dict]:
     """Batched it-list builder (device-efficient variant of caption_images;

@@ -246,6 +246,86 @@ PROMPTS_BOTH = [
 ]
 
 
+def make_jax_generate_fn(params, cfg, tokenizer, *, max_new_tokens: int = 25,
+                         top_k: int = 10, seed: int = 0):
+    """TPU-native LM execution for the rewriter: the JAX LLaMA decoder
+    (models/llama.py) with the reference's exact sampling semantics
+    (zscir/llama_generate.py:55-63: do_sample=True, top_k=10, HF-default
+    temperature/top_p of 1.0, eos doubles as pad). Returns a
+    `generate(prompt) -> continuation` callable for make_llm_rewriter.
+
+    One compiled KV-cached scan per exact prompt length (few-shot rewrite
+    prompts share most of their text, so lengths cluster tightly across a
+    datagen run and the jit cache stays small)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spn4cir_tpu.models.llama import llama_generate
+
+    eos = tokenizer.eos_token_id
+    rng_holder = {"rng": jax.random.PRNGKey(seed)}
+    jit_cache: dict = {}
+
+    def generate(prompt: str) -> str:
+        ids = tokenizer.encode(prompt)
+        key = (len(ids), max_new_tokens)
+        if key not in jit_cache:
+            jit_cache[key] = jax.jit(lambda p, e, r: llama_generate(
+                p, cfg, e, eos_id=eos, pad_id=eos,
+                max_new_tokens=max_new_tokens, do_sample=True,
+                temperature=1.0, top_p=1.0, top_k=top_k, rng=r))
+        embed = np.asarray(params["embed_tokens"])
+        embeds = jnp.asarray(embed[np.asarray(ids)])[None]
+        rng_holder["rng"], sub = jax.random.split(rng_holder["rng"])
+        out = np.asarray(jit_cache[key](params, embeds, sub))[0]
+        toks = []
+        for t in out.tolist():
+            if t == eos:
+                break
+            toks.append(t)
+        return tokenizer.decode(toks)
+
+    return generate
+
+
+def load_jax_rewriter(ckpt_path: str = "", tokenizer=None, *,
+                      data: str = "fiq", mod_type: int = 0,
+                      llm_type: int = 1, tiny: bool = False, seed: int = 0):
+    """End-to-end TPU-native rewriter: JAX LLaMA-2 decoder + the byte-exact
+    prompt contract. `ckpt_path` is an HF LlamaForCausalLM state dict
+    (torch); empty => random init (smoke runs). `tokenizer` defaults to the
+    byte-level stub when `tiny` (tests; real runs pass the HF LLaMA
+    tokenizer)."""
+    import jax
+
+    from spn4cir_tpu.models.llama import LlamaConfig, LlamaLM
+
+    if tokenizer is None:
+        if not tiny:
+            raise ValueError("load_jax_rewriter needs a tokenizer for "
+                             "non-tiny configs")
+        from spn4cir_tpu.tokenizer.bytelevel import ByteTokenizer
+        tokenizer = ByteTokenizer()
+    cfg = (LlamaConfig.tiny(vocab_size=max(
+               int(getattr(tokenizer, "vocab_size", 128)), 128))
+           if tiny else LlamaConfig.llama2_7b_chat())
+    if ckpt_path:
+        from spn4cir_tpu.models.convert import (convert_llama_state_dict,
+                                                load_torch_state_dict)
+        params = convert_llama_state_dict(load_torch_state_dict(ckpt_path),
+                                          cfg.num_layers)["params"]
+    else:
+        import jax.numpy as jnp
+        params = LlamaLM(cfg).init(
+            jax.random.PRNGKey(0),
+            input_ids=jnp.zeros((1, 4), jnp.int32))["params"]
+    gen = make_jax_generate_fn(params, cfg, tokenizer,
+                               max_new_tokens=max_new_tokens_for(data),
+                               seed=seed)
+    return make_llm_rewriter(gen, data, mod_type, llm_type)
+
+
 def load_hf_rewriter(model_name: str = "meta-llama/Llama-2-7b-chat-hf",
                      data: str = "fiq", mod_type: int = 0, llm_type: int = 1):
     """HF-pipeline rewriter matching the reference's sampling setup

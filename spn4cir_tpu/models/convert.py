@@ -697,3 +697,125 @@ def convert_tgcir_state_dict(sd: Dict[str, Any], num_vision_layers: int,
         "s_remain": _gate_mlp_from_torch(sd, "s_remain_map"),
     }
     return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# LLaMA / LLaVA (zscir captioner + rewriter LMs)
+# ---------------------------------------------------------------------------
+
+def convert_llama_state_dict(sd: Dict[str, Any], num_layers: int,
+                             prefix: str = "model.") -> Dict:
+    """HF LlamaForCausalLM state dict -> LlamaLM params.
+
+    Layout per HF modeling_llama (the LM inside the vendored LLaVA,
+    zscir/llava/model/language_model/llava_llama.py:34-46, and the rewriter
+    LM zscir/llama_generate.py:29-33): model.embed_tokens.weight,
+    model.layers.{i}.self_attn.{q,k,v,o}_proj.weight,
+    model.layers.{i}.{input,post_attention}_layernorm.weight,
+    model.layers.{i}.mlp.{gate,up,down}_proj.weight, model.norm.weight,
+    lm_head.weight. All Linears are bias-free; weights transpose to
+    kernels. `prefix` strips the enclosing module path ("model." for a bare
+    LlamaForCausalLM)."""
+
+    def stacked(key, transpose=True):
+        arrs = [_t(sd[f"{prefix}layers.{i}.{key}"]) for i in range(num_layers)]
+        out = np.stack(arrs)
+        return out.transpose(0, 2, 1) if transpose else out
+
+    return {"params": {
+        "embed_tokens": _t(sd[f"{prefix}embed_tokens.weight"]),
+        "layers": {"layer": {
+            "input_ln": {"scale": stacked("input_layernorm.weight", False)},
+            "attn": {
+                "q": {"kernel": stacked("self_attn.q_proj.weight")},
+                "k": {"kernel": stacked("self_attn.k_proj.weight")},
+                "v": {"kernel": stacked("self_attn.v_proj.weight")},
+                "o": {"kernel": stacked("self_attn.o_proj.weight")},
+            },
+            "post_ln": {
+                "scale": stacked("post_attention_layernorm.weight", False)},
+            "gate": {"kernel": stacked("mlp.gate_proj.weight")},
+            "up": {"kernel": stacked("mlp.up_proj.weight")},
+            "down": {"kernel": stacked("mlp.down_proj.weight")},
+        }},
+        "norm": {"scale": _t(sd[f"{prefix}norm.weight"])},
+        "lm_head": _t(sd["lm_head.weight"]).T,
+    }}
+
+
+def convert_hf_clip_vision(sd: Dict[str, Any], num_layers: int,
+                           prefix: str = "vision_model.") -> Dict:
+    """HF CLIPVisionModel state dict -> LlavaVisionTower params.
+
+    Only the first `num_layers` encoder blocks are converted — the LLaVA
+    feature tap (clip_encoder.py:29-37, hidden_states[-2]) never runs the
+    final block or post_layernorm, so the tower omits them entirely. HF's
+    separate q/k/v projections fuse into the qkv Dense our
+    MultiHeadAttention uses."""
+    p: Dict = {}
+
+    def stacked(key, transpose=False):
+        arrs = [_t(sd[f"{prefix}encoder.layers.{i}.{key}"])
+                for i in range(num_layers)]
+        out = np.stack(arrs)
+        return out.transpose(0, 2, 1) if transpose else out
+
+    emb = prefix + "embeddings."
+    _set(p, ("patch_embed", "kernel"),
+         _t(sd[emb + "patch_embedding.weight"]).transpose(2, 3, 1, 0))
+    _set(p, ("class_embedding",), _t(sd[emb + "class_embedding"]))
+    _set(p, ("positional_embedding",),
+         _t(sd[emb + "position_embedding.weight"]))
+    _set(p, ("ln_pre", "ln", "scale"), _t(sd[prefix + "pre_layrnorm.weight"]))
+    _set(p, ("ln_pre", "ln", "bias"), _t(sd[prefix + "pre_layrnorm.bias"]))
+    base = ("transformer", "blocks", "block")
+    _set(p, base + ("ln_1", "ln", "scale"), stacked("layer_norm1.weight"))
+    _set(p, base + ("ln_1", "ln", "bias"), stacked("layer_norm1.bias"))
+    _set(p, base + ("ln_2", "ln", "scale"), stacked("layer_norm2.weight"))
+    _set(p, base + ("ln_2", "ln", "bias"), stacked("layer_norm2.bias"))
+    qkv_w = np.concatenate([stacked("self_attn.q_proj.weight", True),
+                            stacked("self_attn.k_proj.weight", True),
+                            stacked("self_attn.v_proj.weight", True)], axis=2)
+    qkv_b = np.concatenate([stacked("self_attn.q_proj.bias"),
+                            stacked("self_attn.k_proj.bias"),
+                            stacked("self_attn.v_proj.bias")], axis=1)
+    _set(p, base + ("attn", "qkv", "kernel"), qkv_w)
+    _set(p, base + ("attn", "qkv", "bias"), qkv_b)
+    _set(p, base + ("attn", "out", "kernel"),
+         stacked("self_attn.out_proj.weight", True))
+    _set(p, base + ("attn", "out", "bias"), stacked("self_attn.out_proj.bias"))
+    _set(p, base + ("mlp", "fc", "kernel"), stacked("mlp.fc1.weight", True))
+    _set(p, base + ("mlp", "fc", "bias"), stacked("mlp.fc1.bias"))
+    _set(p, base + ("mlp", "proj", "kernel"), stacked("mlp.fc2.weight", True))
+    _set(p, base + ("mlp", "proj", "bias"), stacked("mlp.fc2.bias"))
+    return {"params": p}
+
+
+def convert_llava_state_dict(sd: Dict[str, Any], num_llama_layers: int,
+                             num_vision_layers: int) -> Dict:
+    """LlavaLlamaForCausalLM state dict -> LlavaModule params.
+
+    Key families (zscir/llava/model/llava_arch.py:26-33 +
+    llava_llama.py:34-46): the LLaMA trunk under 'model.', the projector at
+    'model.mm_projector.{weight,bias}', and the HF CLIPVisionModel at
+    'model.vision_tower.vision_tower.vision_model.'. Pass
+    `num_vision_layers = LlavaVisionConfig.effective_layers` so the unused
+    final block(s) are dropped at conversion time."""
+    llama = convert_llama_state_dict(sd, num_llama_layers, prefix="model.")
+    vt_prefix = None
+    for cand in ("model.vision_tower.vision_tower.vision_model.",
+                 "model.vision_tower.0.vision_tower.vision_model.",
+                 "vision_tower.vision_model.",
+                 "vision_model."):
+        if f"{cand}embeddings.class_embedding" in sd:
+            vt_prefix = cand
+            break
+    if vt_prefix is None:
+        raise KeyError("no CLIPVisionModel keys found in state dict")
+    vision = convert_hf_clip_vision(sd, num_vision_layers, prefix=vt_prefix)
+    return {"params": {
+        "vision_tower": vision["params"],
+        "mm_projector": {"kernel": _t(sd["model.mm_projector.weight"]).T,
+                         "bias": _t(sd["model.mm_projector.bias"])},
+        "language_model": llama["params"],
+    }}

@@ -247,10 +247,12 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def init_llama_state(cfg: LlamaConfig, batch: int, max_length: int
-                     ) -> LlamaDecodeState:
+def init_llama_state(cfg: LlamaConfig, batch: int, max_length: int,
+                     dtype=jnp.float32) -> LlamaDecodeState:
+    """dtype=bfloat16 halves KV-cache HBM at 7B scale (32 layers × 4096 —
+    the cache, not the weights, bounds batch size on a 16 GB chip)."""
     z = jnp.zeros((cfg.num_layers, batch, max_length,
-                   cfg.kv_heads * cfg.head_dim), jnp.float32)
+                   cfg.kv_heads * cfg.head_dim), dtype)
     return LlamaDecodeState(z, z)
 
 
@@ -286,8 +288,9 @@ def llama_decode_step(params: Dict[str, Any], cfg: LlamaConfig,
         q = rope1(q)
         k = rope1(k)
         ck = jax.lax.dynamic_update_slice(
-            ck, k.reshape(batch, 1, -1), (0, pos, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v[:, None], (0, pos, 0))
+            ck, k.reshape(batch, 1, -1).astype(ck.dtype), (0, pos, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v[:, None].astype(cv.dtype),
+                                          (0, pos, 0))
         kh = _repeat_kv(ck.reshape(batch, max_len, cfg.kv_heads, hd), n_rep)
         vh = _repeat_kv(cv.reshape(batch, max_len, cfg.kv_heads, hd), n_rep)
         logits = jnp.einsum("bhd,bkhd->bhk", q, kh,
@@ -312,7 +315,7 @@ def llama_generate(params: Dict[str, Any], cfg: LlamaConfig,
                    inputs_embeds: jnp.ndarray, *, eos_id: int, pad_id: int,
                    max_new_tokens: int, do_sample: bool = False,
                    temperature: float = 1.0, top_p: float = 1.0,
-                   top_k: int = 0,
+                   top_k: int = 0, cache_dtype=jnp.float32,
                    rng: Optional[jax.Array] = None) -> jnp.ndarray:
     """Generate continuations of an embedded prompt.
 
@@ -333,10 +336,10 @@ def llama_generate(params: Dict[str, Any], cfg: LlamaConfig,
 
     batch, prompt_len, _ = inputs_embeds.shape
     total = prompt_len + max_new_tokens
-    state = init_llama_state(cfg, batch, total)
+    state = init_llama_state(cfg, batch, total, dtype=cache_dtype)
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    embed_table = params["embed_tokens"]
+    embed_table = jnp.asarray(params["embed_tokens"])
     out = jnp.full((batch, max_new_tokens), pad_id, jnp.int32)
     # pad the prompt embeddings out to `total` so the scan can dynamic-slice
     pads = jnp.zeros((batch, max_new_tokens, inputs_embeds.shape[-1]),

@@ -1,0 +1,304 @@
+"""LLaVA captioner + LLaMA decoder parity and contract tests.
+
+Oracles: HF torch `LlamaForCausalLM` / `CLIPVisionModel` (the exact classes
+the reference's vendored LLaVA subclasses, zscir/llava/model/language_model/
+llava_llama.py:23-46 + multimodal_encoder/clip_encoder.py:4-52) with random
+tiny-geometry weights, and the vendored conversation/mm_utils modules for
+the prompt/splice contract (zscir/captioner_llava.py:32-62)."""
+
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from spn4cir_tpu.models.convert import (convert_hf_clip_vision,
+                                        convert_llama_state_dict,
+                                        convert_llava_state_dict)
+from spn4cir_tpu.models.llama import (LlamaConfig, LlamaLM,
+                                      init_llama_state, llama_decode_step,
+                                      llama_generate)
+from spn4cir_tpu.models.llava import (IMAGE_TOKEN_INDEX, LlavaCaptioner,
+                                      LlavaConfig, LlavaModule,
+                                      LlavaVisionConfig, LlavaVisionTower,
+                                      build_llava_v1_prompt,
+                                      splice_image_embeds,
+                                      tokenizer_image_token)
+from spn4cir_tpu.tokenizer.bytelevel import ByteTokenizer
+
+REF_CONV = "/root/reference/zscir/llava/conversation.py"
+
+
+def tiny_hf_llama(num_kv_heads=4, seed=0):
+    from transformers import LlamaConfig as HFCfg, LlamaForCausalLM
+
+    torch.manual_seed(seed)
+    hf = HFCfg(vocab_size=96, hidden_size=32, intermediate_size=64,
+               num_hidden_layers=2, num_attention_heads=4,
+               num_key_value_heads=num_kv_heads,
+               max_position_embeddings=128, rms_norm_eps=1e-6,
+               tie_word_embeddings=False, bos_token_id=1, eos_token_id=2,
+               pad_token_id=0)
+    return LlamaForCausalLM(hf).eval()
+
+
+def tiny_hf_vision(seed=0):
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    torch.manual_seed(seed)
+    cfg = CLIPVisionConfig(hidden_size=32, intermediate_size=128,
+                           num_hidden_layers=3, num_attention_heads=4,
+                           image_size=28, patch_size=14,
+                           hidden_act="quick_gelu")
+    return CLIPVisionModel(cfg).eval()
+
+
+# ---------------------------------------------------------------------------
+# LLaMA decoder parity (HF torch oracle)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("num_kv_heads", [4, 2])
+def test_llama_teacher_forced_parity(num_kv_heads):
+    tm = tiny_hf_llama(num_kv_heads)
+    cfg = LlamaConfig.tiny(vocab_size=96, num_kv_heads=num_kv_heads)
+    params = convert_llama_state_dict(tm.state_dict(), cfg.num_layers)
+    ids = np.random.RandomState(0).randint(0, 96, (2, 11))
+    with torch.no_grad():
+        ref = tm(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(LlamaLM(cfg).apply(params, input_ids=jnp.asarray(ids)))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_llama_cached_decode_matches_full_forward():
+    tm = tiny_hf_llama()
+    cfg = LlamaConfig.tiny(vocab_size=96)
+    params = convert_llama_state_dict(tm.state_dict(), cfg.num_layers)
+    ids = np.random.RandomState(1).randint(0, 96, (2, 9))
+    full = np.asarray(LlamaLM(cfg).apply(params, input_ids=jnp.asarray(ids)))
+    emb = params["params"]["embed_tokens"]
+    st = init_llama_state(cfg, 2, 9)
+    outs = []
+    for t in range(9):
+        lg, st = llama_decode_step(params["params"], cfg, st,
+                                   jnp.asarray(emb[ids[:, t]]), jnp.int32(t))
+        outs.append(np.asarray(lg))
+    np.testing.assert_allclose(np.stack(outs, 1), full, atol=1e-5)
+
+
+def test_llama_greedy_generate_matches_hf():
+    tm = tiny_hf_llama(seed=1)
+    cfg = LlamaConfig.tiny(vocab_size=96)
+    params = convert_llama_state_dict(tm.state_dict(), cfg.num_layers)
+    for seed in range(3):
+        ids = np.random.RandomState(seed).randint(3, 96, (2, 7))
+        with torch.no_grad():
+            hf_out = tm.generate(
+                inputs_embeds=tm.get_input_embeddings()(torch.tensor(ids)),
+                max_new_tokens=12, do_sample=False, eos_token_id=2,
+                pad_token_id=0).numpy()
+        embeds = jnp.asarray(params["params"]["embed_tokens"][ids])
+        got = np.asarray(llama_generate(params["params"], cfg, embeds,
+                                        eos_id=2, pad_id=0,
+                                        max_new_tokens=12))
+        n = min(hf_out.shape[1], got.shape[1])
+        assert np.array_equal(hf_out[:, :n], got[:, :n])
+
+
+def test_llama_low_temperature_sampling_is_greedy():
+    """The captioner's T=0.01/top_p=0.01 setup (captioner_llava.py:51-59)
+    must reduce to the greedy argmax stream, matching HF's behavior."""
+    tm = tiny_hf_llama(seed=2)
+    cfg = LlamaConfig.tiny(vocab_size=96)
+    params = convert_llama_state_dict(tm.state_dict(), cfg.num_layers)
+    ids = np.random.RandomState(5).randint(3, 96, (2, 6))
+    embeds = jnp.asarray(params["params"]["embed_tokens"][ids])
+    greedy = np.asarray(llama_generate(params["params"], cfg, embeds,
+                                       eos_id=2, pad_id=0, max_new_tokens=10))
+    sampled = np.asarray(llama_generate(
+        params["params"], cfg, embeds, eos_id=2, pad_id=0, max_new_tokens=10,
+        do_sample=True, temperature=0.01, top_p=0.01,
+        rng=jax.random.PRNGKey(7)))
+    assert np.array_equal(greedy, sampled)
+
+
+def test_top_k_filter_matches_hf_warper():
+    from transformers import TopKLogitsWarper
+
+    from spn4cir_tpu.models.generation import top_k_filter
+
+    logits = np.random.RandomState(0).randn(3, 50).astype(np.float32) * 3
+    ref = TopKLogitsWarper(top_k=10)(None, torch.tensor(logits)).numpy()
+    got = np.asarray(top_k_filter(jnp.asarray(logits), 10))
+    # HF uses -inf, we use NEG_INF; compare the kept set + kept values
+    assert np.array_equal(np.isfinite(ref) & (ref > -1e8),
+                          np.asarray(got) > -1e8)
+    keep = ref > -1e8
+    np.testing.assert_allclose(got[keep], ref[keep], rtol=1e-6)
+
+
+def test_rewriter_top_k_sampling_stays_in_top_k():
+    """do_sample + top_k=10 (zscir/llama_generate.py:55-63): every sampled
+    token must be among the 10 highest-probability next tokens."""
+    tm = tiny_hf_llama(seed=3)
+    cfg = LlamaConfig.tiny(vocab_size=96)
+    params = convert_llama_state_dict(tm.state_dict(), cfg.num_layers)
+    ids = np.random.RandomState(9).randint(3, 96, (1, 5))
+    embeds = jnp.asarray(params["params"]["embed_tokens"][ids])
+    out = np.asarray(llama_generate(
+        params["params"], cfg, embeds, eos_id=2, pad_id=0, max_new_tokens=6,
+        do_sample=True, top_k=10, rng=jax.random.PRNGKey(0)))[0]
+    # verify step-by-step with the torch oracle
+    cur = torch.tensor(ids)
+    emb_seq = tm.get_input_embeddings()(cur)
+    for tok in out.tolist():
+        if tok == 2:
+            break
+        with torch.no_grad():
+            logits = tm(inputs_embeds=emb_seq).logits[0, -1]
+        topk = set(torch.topk(logits, 10).indices.tolist())
+        assert tok in topk
+        emb_seq = torch.cat(
+            [emb_seq, tm.get_input_embeddings()(
+                torch.tensor([[tok]]))], dim=1)
+
+
+# ---------------------------------------------------------------------------
+# vision tower + full multimodal parity
+# ---------------------------------------------------------------------------
+
+
+def test_vision_tower_feature_tap_parity():
+    vt = tiny_hf_vision()
+    vcfg = LlavaVisionConfig.tiny()
+    params = convert_hf_clip_vision(vt.state_dict(), vcfg.effective_layers)
+    imgs = np.random.RandomState(0).randn(2, 28, 28, 3).astype(np.float32)
+    with torch.no_grad():
+        out = vt(torch.tensor(imgs).permute(0, 3, 1, 2),
+                 output_hidden_states=True)
+    ref = out.hidden_states[-2][:, 1:].numpy()  # clip_encoder.py:29-37
+    got = np.asarray(LlavaVisionTower(vcfg).apply(params, jnp.asarray(imgs)))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def _fake_llava_state_dict(lm, vt, proj):
+    sd = dict(lm.state_dict())
+    sd.update({f"model.vision_tower.vision_tower.{k}": v
+               for k, v in vt.state_dict().items()})
+    sd["model.mm_projector.weight"] = proj.weight.detach()
+    sd["model.mm_projector.bias"] = proj.bias.detach()
+    return sd
+
+
+def test_llava_multimodal_logits_parity():
+    vt = tiny_hf_vision()
+    lm = tiny_hf_llama()
+    torch.manual_seed(4)
+    proj = torch.nn.Linear(32, 32)
+    vcfg = LlavaVisionConfig.tiny()
+    cfg = LlavaConfig(llama=LlamaConfig.tiny(vocab_size=96), vision=vcfg)
+    params = convert_llava_state_dict(_fake_llava_state_dict(lm, vt, proj),
+                                      2, vcfg.effective_layers)
+    mod = LlavaModule(cfg)
+    imgs = np.random.RandomState(0).randn(2, 28, 28, 3).astype(np.float32)
+
+    ids = [1, 5, 7, IMAGE_TOKEN_INDEX, 9, 11]
+    feats = mod.apply(params, jnp.asarray(imgs),
+                      method=LlavaModule.encode_images)
+    embeds = splice_image_embeds(
+        params["params"]["language_model"]["embed_tokens"], ids, feats)
+    got = np.asarray(mod.apply(params, embeds, method=LlavaModule.lm_logits))
+
+    with torch.no_grad():
+        hs = vt(torch.tensor(imgs).permute(0, 3, 1, 2),
+                output_hidden_states=True).hidden_states[-2][:, 1:]
+        feats_t = proj(hs)
+        pre = lm.get_input_embeddings()(torch.tensor([[1, 5, 7]] * 2))
+        post = lm.get_input_embeddings()(torch.tensor([[9, 11]] * 2))
+        ref = lm(inputs_embeds=torch.cat([pre, feats_t, post], 1)
+                 ).logits.numpy()
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# prompt / splice / stop contract (vendored-module oracles)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CONV),
+                    reason="reference repo not mounted")
+def test_llava_v1_prompt_matches_reference_template():
+    spec = importlib.util.spec_from_file_location("ref_conversation", REF_CONV)
+    conv_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(conv_mod)
+    conv = conv_mod.conv_templates["llava_v1"].copy()
+    user_prompt = "please briefly describe the dress in 10 words"
+    inp = "<image>" + "\n" + f"user: {user_prompt}"
+    conv.append_message(conv.roles[0], inp)
+    conv.append_message(conv.roles[1], None)
+    ref_prompt = conv.get_prompt()
+    assert build_llava_v1_prompt(user_prompt) == ref_prompt
+    # stop string contract: sep_style TWO -> sep2
+    assert conv.sep2 == "</s>"
+
+
+def test_tokenizer_image_token_matches_reference_splice():
+    """Port of mm_utils.tokenizer_image_token (mm_utils.py:18-37) checked
+    against a hand-computed splice with a BOS-emitting tokenizer."""
+    tok = ByteTokenizer()
+    prompt = "ab<image>cd"
+    ids = tokenizer_image_token(prompt, tok.encode, tok.bos_token_id)
+    a, b, c, d = (ord(x) for x in "abcd")
+    assert ids == [tok.bos_token_id, a, b, IMAGE_TOKEN_INDEX, c, d]
+    # no image token at all
+    ids2 = tokenizer_image_token("ab", tok.encode, tok.bos_token_id)
+    assert ids2 == [tok.bos_token_id, a, b]
+
+
+def test_splice_image_embeds_layout():
+    table = np.arange(20, dtype=np.float32).reshape(10, 2)
+    feats = jnp.ones((3, 4, 2)) * 99.0
+    ids = [1, 2, IMAGE_TOKEN_INDEX, 3]
+    out = np.asarray(splice_image_embeds(table, ids, feats))
+    assert out.shape == (3, 2 + 4 + 1, 2)
+    np.testing.assert_array_equal(out[:, 0], np.tile(table[1], (3, 1)))
+    np.testing.assert_array_equal(out[:, 2:6], np.full((3, 4, 2), 99.0))
+    np.testing.assert_array_equal(out[:, 6], np.tile(table[3], (3, 1)))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end captioner + rewriter smoke (tiny geometry, random weights)
+# ---------------------------------------------------------------------------
+
+
+def test_llava_captioner_end_to_end_tiny():
+    tok = ByteTokenizer()
+    cfg = LlavaConfig.tiny(vocab_size=tok.vocab_size)
+    cap = LlavaCaptioner(cfg, tok)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    imgs = np.random.RandomState(0).rand(2, 28, 28, 3).astype(np.float32)
+    caps = cap.caption(params, jnp.asarray(imgs), "please briefly describe "
+                       "the image in 10 words", max_new_tokens=6)
+    assert len(caps) == 2
+    assert all(isinstance(c, str) for c in caps)
+    # determinism at T=0.01 with a fixed rng
+    caps2 = cap.caption(params, jnp.asarray(imgs), "please briefly describe "
+                        "the image in 10 words", max_new_tokens=6)
+    assert caps == caps2
+
+
+def test_jax_rewriter_end_to_end_tiny():
+    from spn4cir_tpu.datagen.llm_rewrite import (build_rewrite_prompt,
+                                                 load_jax_rewriter)
+
+    rw = load_jax_rewriter(tiny=True, data="fiq", seed=0)
+    out = rw("a red dress", "a blue gown")
+    assert isinstance(out, str) and out  # post_process fallback guarantees
+    # the prompt fed to the LM is the byte-exact reference contract
+    p = build_rewrite_prompt("a red dress", "a blue gown", "fiq", 0, 1)
+    assert "a blue gown instead of a red dress" in p

@@ -24,12 +24,19 @@ if __name__ == "__main__":
     p.add_argument("--dataset", required=True, choices=["fiq", "cirr"])
     p.add_argument("--data_path", default="")
     p.add_argument("--dress_types", default="dress,shirt,toptee")
-    p.add_argument("--mllm", default="stub", choices=["stub", "blip"],
-                   help="'blip' = JAX BLIP captioner (ViT + MED LM decoder, "
-                        "ref captioner_blip.py); 'stub' = model-free fallback")
+    p.add_argument("--mllm", default="stub", choices=["stub", "blip", "llava"],
+                   help="'llava' = JAX LLaVA-v1 (CLIP-L tower + LLaMA, ref "
+                        "captioner_llava.py — the canonical path); 'blip' = "
+                        "JAX BLIP captioner (ViT + MED LM decoder, ref "
+                        "captioner_blip.py); 'stub' = model-free fallback")
     p.add_argument("--ckpt", default="",
-                   help="BLIP caption checkpoint (torch .pth, LAVIS "
-                        "blip_caption schema) for --mllm blip")
+                   help="captioner checkpoint (torch; LAVIS blip_caption "
+                        "schema for --mllm blip, LlavaLlamaForCausalLM "
+                        "state dict for --mllm llava)")
+    p.add_argument("--tokenizer_path", default="",
+                   help="LLaMA tokenizer dir/file for --mllm llava")
+    p.add_argument("--llava_size", default="7b", choices=["7b", "tiny"])
+    p.add_argument("--max_new_tokens", type=int, default=64)
     p.add_argument("--blip_size", default="base")
     p.add_argument("--bert_vocab", default="", help="WordPiece vocab path "
                    "(or SPN4CIR_BERT_VOCAB)")
@@ -45,7 +52,34 @@ if __name__ == "__main__":
                     ImageTransform("targetpad", 224), data_path,
                     args.dress_types.split(",") if args.dataset == "fiq" else None)
 
-    if args.mllm == "blip":
+    if args.mllm == "llava":
+        from spn4cir_tpu.datagen.captioner import make_llava_captioner
+
+        # per-category prompt loop like the reference (captioner_llava.py:
+        # 173-190): fiq captions each dress type with its own prompt
+        it_list = []
+        if args.dataset == "fiq":
+            groups = [(dt, dt) for dt in args.dress_types.split(",")]
+        else:
+            groups = [(None, args.category)]
+        for dress_type, category in groups:
+            _, transform, batched_fn = make_llava_captioner(
+                args.ckpt, tokenizer_path=args.tokenizer_path,
+                llava_size=args.llava_size, category=category,
+                word_num=args.word_num, max_new_tokens=args.max_new_tokens,
+                batch_size=args.batch_size)
+
+            def images():
+                sub = (CIRDataset(args.dataset, "train", "relative",
+                                  ImageTransform("targetpad", 224), data_path,
+                                  [dress_type])
+                       if dress_type is not None else ds)
+                for name, path in zip(sub.imagenames, sub.imagepaths):
+                    yield name, transform(Image.open(path))
+
+            it_list.extend(caption_images_batched(
+                images(), batched_fn, batch_size=args.batch_size))
+    elif args.mllm == "blip":
         _, transform, batched_fn = make_blip_captioner(
             args.ckpt, blip_size=args.blip_size,
             bert_vocab_path=args.bert_vocab or None,

@@ -34,6 +34,17 @@ if __name__ == "__main__":
                         " srm_utils --sims_out)")
     p.add_argument("--sims", default="", help="sims npz with an 'i2i' matrix")
     p.add_argument("--use_llm", action="store_true")
+    p.add_argument("--llm_backend", default="jax",
+                   choices=["jax", "hf", "jax-tiny"],
+                   help="'jax' = TPU-native LLaMA decoder (needs "
+                        "--llm_ckpt + --llm_tokenizer); 'hf' = the "
+                        "reference's torch pipeline; 'jax-tiny' = "
+                        "random-init tiny JAX LM (smoke runs)")
+    p.add_argument("--llm_ckpt", default="",
+                   help="HF LlamaForCausalLM torch state dict for "
+                        "--llm_backend jax")
+    p.add_argument("--llm_tokenizer", default="",
+                   help="LLaMA tokenizer dir for --llm_backend jax")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args()
     data_path = args.data_path or ("fashionIQ_dataset" if args.dataset == "fiq"
@@ -54,8 +65,18 @@ if __name__ == "__main__":
         raise SystemExit("--i2i_rank needs --sims/--srm (an npz with 'i2i')")
     rewriter = None
     if args.use_llm:
-        from spn4cir_tpu.datagen.llm_rewrite import load_hf_rewriter
-        rewriter = load_hf_rewriter(data=args.dataset)
+        if args.llm_backend == "hf":
+            from spn4cir_tpu.datagen.llm_rewrite import load_hf_rewriter
+            rewriter = load_hf_rewriter(data=args.dataset)
+        else:
+            from spn4cir_tpu.datagen.llm_rewrite import load_jax_rewriter
+            tok = None
+            if args.llm_tokenizer:
+                from transformers import AutoTokenizer
+                tok = AutoTokenizer.from_pretrained(args.llm_tokenizer)
+            rewriter = load_jax_rewriter(
+                args.llm_ckpt, tok, data=args.dataset,
+                tiny=(args.llm_backend == "jax-tiny"), seed=args.seed)
     triplets = generate_extended_triplets(
         ds, name2cap, k=args.k, total_cap=args.K,
         prompt_ids=[int(x) for x in args.p_list.split(",")],
