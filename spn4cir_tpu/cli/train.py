@@ -166,12 +166,6 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
             from spn4cir_tpu.bank.bank import Bank
             from spn4cir_tpu.ops.bank_kernels import quantize_bank
 
-            if getattr(bank.target, "ndim", 2) != 2:
-                raise SystemExit("--bank_dtype int8 supports 2D target banks"
-                                 " (blip2 fusion banks are 3D)")
-            if args.mesh_bank > 1 or args.mesh_data > 1:
-                raise SystemExit("--bank_dtype int8 is single-chip (no bank/"
-                                 "data sharding)")
             if args.neg_num > 0 and not args.unlabeled:
                 raise SystemExit("--bank_dtype int8 needs the full-bank loss"
                                  " (no sampled negatives)")
@@ -202,6 +196,8 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
     # --- multi-chip mesh (pjit/shard_map path) ---
     mesh = None
     sharded_step = None
+    train_mesh_model = args.mesh_model if (args.mesh_data > 1
+                                           or args.mesh_bank > 1) else 1
     if not args.wo_bank and (args.mesh_data > 1 or args.mesh_bank > 1):
         # the sharded step covers the full-bank losses (flat and blip2
         # max-over-query) — refuse configurations it would misrepresent
@@ -214,14 +210,31 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
             # multi-host: data axis spans slices over DCN, bank stays on ICI
             from spn4cir_tpu.parallel.mesh import make_hybrid_mesh
 
+            if train_mesh_model > 1:
+                raise SystemExit("--mesh_model with --distributed is not "
+                                 "supported yet (TP stays intra-slice)")
             mesh = make_hybrid_mesh(bank=args.mesh_bank)
         else:
-            mesh = make_mesh(data=args.mesh_data or None, bank=args.mesh_bank)
+            # 3-axis (data, bank, model): TP on the live tower composes
+            # with the bank-sharded loss in ONE jitted step
+            mesh = make_mesh(data=args.mesh_data or None,
+                             bank=args.mesh_bank, model=train_mesh_model)
         m_actual = int(bank.target.shape[0])
         bank_padded = put_bank(pad_bank_rows(bank.target, args.mesh_bank), mesh)
-        state = replicate(state, mesh)
-        sharded_step = make_sharded_stage2_step(backbone, mesh, m_actual=m_actual)
-        print(f"mesh: data={mesh.shape['data']} bank={mesh.shape['bank']}")
+        if train_mesh_model > 1:
+            from spn4cir_tpu.parallel.train import tp_state_shardings
+
+            template = state
+            state = jax.device_put(state, tp_state_shardings(state, mesh))
+            sharded_step = make_sharded_stage2_step(
+                backbone, mesh, m_actual=m_actual, state_template=template)
+        else:
+            state = replicate(state, mesh)
+            sharded_step = make_sharded_stage2_step(backbone, mesh,
+                                                    m_actual=m_actual)
+        print(f"mesh: data={mesh.shape['data']} bank={mesh.shape['bank']}"
+              + (f" model={mesh.shape['model']}" if train_mesh_model > 1
+                 else ""))
 
     # --- preemption resume (fixes the reference's no-resume gap, SURVEY §5) ---
     ckpt_mgr = None

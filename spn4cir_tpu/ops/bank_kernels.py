@@ -289,28 +289,39 @@ bank_infonce_pallas.defvjp(_fwd_for_vjp, _bwd_for_vjp)
 # cache (zero grad), exactly like the unquantized kernel.
 
 class QuantBank(NamedTuple):
-    """Per-row absmax-quantized feature bank: values int8, scales f32 (M,)."""
+    """Per-row absmax-quantized feature bank: values int8, scales f32.
 
-    values: jnp.ndarray  # (M, D) int8
-    scales: jnp.ndarray  # (M,) f32 — row absmax / 127
+    2-D banks (flat backbones): values (M, D), scales (M,).
+    3-D fusion banks (blip2): values (M, Q, D), scales (M, Q) — one scale
+    per (target, query-token) feature row."""
+
+    values: jnp.ndarray  # (M, D) or (M, Q, D) int8
+    scales: jnp.ndarray  # (M,) or (M, Q) f32 — row absmax / 127
 
     @property
     def shape(self):
         return self.values.shape
 
     @property
+    def ndim(self):
+        return self.values.ndim
+
+    @property
     def dtype(self):
         return self.values.dtype
 
     def dequantize(self) -> jnp.ndarray:
-        return self.values.astype(jnp.float32) * self.scales[:, None]
+        return self.values.astype(jnp.float32) * self.scales[..., None]
 
 
 def quantize_bank(bank) -> QuantBank:
+    """Per-feature-row absmax int8 quantization (last axis is the feature
+    axis; every leading axis keeps its own scale)."""
     bank = jnp.asarray(bank, jnp.float32)
     absmax = jnp.max(jnp.abs(bank), axis=-1)
     scales = jnp.maximum(absmax, 1e-12) / 127.0
-    vals = jnp.clip(jnp.round(bank / scales[:, None]), -127, 127).astype(jnp.int8)
+    vals = jnp.clip(jnp.round(bank / scales[..., None]),
+                    -127, 127).astype(jnp.int8)
     return QuantBank(vals, scales)
 
 

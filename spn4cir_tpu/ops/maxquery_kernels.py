@@ -269,9 +269,20 @@ max_query_infonce_pallas.defvjp(_fwd_vjp, _bwd_vjp)
 
 
 def max_query_infonce(feats, bank, labels, tau, impl: str = "auto"):
-    """Dispatch between the Pallas kernel (TPU) and the XLA reference."""
+    """Dispatch between the Pallas kernel (TPU) and the XLA reference.
+    `bank` may be a dense (M, Q, D) array or an int8 3-D `QuantBank` —
+    dequantization happens AFTER the contraction ((B, M, Q) sims scaled by
+    the (M, Q) row scales), so the (M, Q, D) f32 bank is never
+    materialized and the HBM read stays int8."""
     from spn4cir_tpu.ops import infonce as _ref
+    from spn4cir_tpu.ops.bank_kernels import QuantBank
 
+    if isinstance(bank, QuantBank):
+        sims = jnp.einsum("bd,mqd->bmq", feats.astype(jnp.float32),
+                          bank.values.astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
+        logits = jnp.max(sims * bank.scales[None], axis=-1) / tau
+        return _ref.cross_entropy(logits, labels)
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":

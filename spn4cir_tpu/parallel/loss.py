@@ -48,26 +48,55 @@ def _combine_masked_logits(logits, labels, offset, m_local):
 
 def _local_bank_infonce(query, bank_shard, labels, tau, m_actual):
     """Per-shard body run under shard_map: query (B_loc, D) [data-sharded],
-    bank_shard (M_loc, D) [bank-sharded], labels (B_loc,) global image-ids.
-    Rows at global index >= m_actual are padding and masked to -inf."""
-    m_local = bank_shard.shape[0]
-    shard = jax.lax.axis_index(AXIS_BANK)
-    offset = shard * m_local
+    bank_shard (M_loc, D) dense or int8 QuantBank [bank-sharded], labels
+    (B_loc,) global image-ids. Rows at global index >= m_actual are padding
+    and masked to -inf. Quantized shards dequantize AFTER the matmul (the
+    (1, M_loc) scale row broadcasts over the logits block), so each device
+    reads only int8 from HBM — scales travel with their rows."""
+    from spn4cir_tpu.ops.bank_kernels import QuantBank
 
-    logits = jnp.dot(query.astype(jnp.float32), bank_shard.astype(jnp.float32).T,
-                     preferred_element_type=jnp.float32) / tau  # (B_loc, M_loc)
+    if isinstance(bank_shard, QuantBank):
+        m_local = bank_shard.values.shape[0]
+        shard = jax.lax.axis_index(AXIS_BANK)
+        offset = shard * m_local
+        logits = jnp.dot(query.astype(jnp.float32),
+                         bank_shard.values.astype(jnp.float32).T,
+                         preferred_element_type=jnp.float32
+                         ) * bank_shard.scales[None, :] / tau
+    else:
+        m_local = bank_shard.shape[0]
+        shard = jax.lax.axis_index(AXIS_BANK)
+        offset = shard * m_local
+        logits = jnp.dot(query.astype(jnp.float32),
+                         bank_shard.astype(jnp.float32).T,
+                         preferred_element_type=jnp.float32) / tau
     col_ids = offset + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     logits = jnp.where(col_ids < m_actual, logits, -jnp.inf)
     return _combine_masked_logits(logits, labels, offset, m_local)
 
 
-def pad_bank_rows(bank: jnp.ndarray, parts: int) -> jnp.ndarray:
+def pad_bank_rows(bank, parts: int):
     """Zero-pad bank rows to a multiple of `parts`; the sharded loss masks
-    pads by true row count, so the fill value is irrelevant."""
+    pads by true row count, so the fill value is irrelevant. Accepts dense
+    arrays and QuantBank (values and scales pad together)."""
+    from spn4cir_tpu.ops.bank_kernels import QuantBank
+
+    if isinstance(bank, QuantBank):
+        return QuantBank(pad_bank_rows(bank.values, parts),
+                         pad_bank_rows(bank.scales, parts))
     rem = (-bank.shape[0]) % parts
     if rem == 0:
         return bank
     return jnp.pad(bank, ((0, rem),) + ((0, 0),) * (bank.ndim - 1))
+
+
+def bank_in_spec(bank):
+    """shard_map in_spec for a dense or quantized bank argument."""
+    from spn4cir_tpu.ops.bank_kernels import QuantBank
+
+    if isinstance(bank, QuantBank):
+        return QuantBank(P(AXIS_BANK), P(AXIS_BANK))
+    return P(AXIS_BANK)
 
 
 def sharded_bank_infonce(
@@ -82,14 +111,15 @@ def sharded_bank_infonce(
     over 'data'. Differentiable in `query` (psum/pmax transpose under
     shard_map). `bank` rows must divide the 'bank' axis size — use
     `pad_bank_rows` and pass the true count as `m_actual`. The global batch
-    (query dim 0) must divide the 'data' axis size."""
+    (query dim 0) must divide the 'data' axis size. `bank` may be dense or
+    an int8 QuantBank (rows + scales shard together)."""
     m_actual = m_actual if m_actual is not None else bank.shape[0]
     assert bank.shape[0] % mesh.shape[AXIS_BANK] == 0, (
         bank.shape, mesh.shape, "pad with pad_bank_rows first")
     fn = jax.shard_map(
         functools.partial(_local_bank_infonce, tau=tau, m_actual=m_actual),
         mesh=mesh,
-        in_specs=(P(AXIS_DATA), P(AXIS_BANK), P(AXIS_DATA)),
+        in_specs=(P(AXIS_DATA), bank_in_spec(bank), P(AXIS_DATA)),
         out_specs=P(),
     )
     return fn(query, bank, labels)
@@ -97,8 +127,23 @@ def sharded_bank_infonce(
 
 def _local_max_query_infonce(feats, bank_shard, labels, tau, m_actual):
     """Bank-sharded blip2 loss body: feats (B_loc, D) [data-sharded],
-    bank_shard (M_loc, Q, D) [bank-sharded]. Same pmax/psum combine as
-    `_local_bank_infonce` with a per-target max over Q first."""
+    bank_shard (M_loc, Q, D) dense or int8 QuantBank [bank-sharded]. Same
+    pmax/psum combine as `_local_bank_infonce` with a per-target max over Q
+    first; quantized shards scale the (B, M_loc, Q) sims AFTER the
+    contraction with their (M_loc, Q) row scales."""
+    from spn4cir_tpu.ops.bank_kernels import QuantBank
+
+    if isinstance(bank_shard, QuantBank):
+        m_local = bank_shard.values.shape[0]
+        shard = jax.lax.axis_index(AXIS_BANK)
+        offset = shard * m_local
+        sims = jnp.einsum("bd,mqd->bmq", feats.astype(jnp.float32),
+                          bank_shard.values.astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
+        logits = jnp.max(sims * bank_shard.scales[None], axis=-1) / tau
+        col_ids = offset + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col_ids < m_actual, logits, -jnp.inf)
+        return _combine_masked_logits(logits, labels, offset, m_local)
     m_local = bank_shard.shape[0]
     shard = jax.lax.axis_index(AXIS_BANK)
     offset = shard * m_local
@@ -122,14 +167,15 @@ def sharded_max_query_infonce(
 ) -> jnp.ndarray:
     """blip2 max-over-query InfoNCE with the (M, Q, D) target bank sharded
     over 'bank' rows and the batch over 'data' (the (M, 32, 256) bank is the
-    largest device-resident tensor in blip2 stage 2 — ~2 GB at CIRR scale)."""
+    largest device-resident tensor in blip2 stage 2 — ~2 GB at CIRR scale).
+    `bank` may be dense or an int8 3-D QuantBank."""
     m_actual = m_actual if m_actual is not None else bank.shape[0]
     assert bank.shape[0] % mesh.shape[AXIS_BANK] == 0, (
         bank.shape, mesh.shape, "pad with pad_bank_rows first")
     fn = jax.shard_map(
         functools.partial(_local_max_query_infonce, tau=tau, m_actual=m_actual),
         mesh=mesh,
-        in_specs=(P(AXIS_DATA), P(AXIS_BANK), P(AXIS_DATA)),
+        in_specs=(P(AXIS_DATA), bank_in_spec(bank), P(AXIS_DATA)),
         out_specs=P(),
     )
     return fn(feats, bank, labels)

@@ -18,20 +18,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 AXIS_DATA = "data"
 AXIS_BANK = "bank"
+AXIS_MODEL = "model"
 
 
 def make_mesh(
     data: Optional[int] = None,
     bank: int = 1,
+    model: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a (data, bank) mesh. Defaults: all devices on the data axis."""
+    """Build a (data, bank[, model]) mesh. Defaults: all devices on the
+    data axis. `model > 1` adds the tensor-parallel axis (parallel/tp.py
+    param shardings compose with the bank-sharded loss — the 3-axis
+    composed stage-2 step for big-tower training on small-HBM chips).
+    The model axis is innermost so TP collectives ride the fastest ICI
+    hops."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        assert n % bank == 0, (n, bank)
-        data = n // bank
-    assert data * bank == n, (data, bank, n)
+        assert n % (bank * model) == 0, (n, bank, model)
+        data = n // (bank * model)
+    assert data * bank * model == n, (data, bank, model, n)
+    if model > 1:
+        arr = np.asarray(devices).reshape(data, bank, model)
+        return Mesh(arr, (AXIS_DATA, AXIS_BANK, AXIS_MODEL))
     arr = np.asarray(devices).reshape(data, bank)
     return Mesh(arr, (AXIS_DATA, AXIS_BANK))
 

@@ -77,10 +77,14 @@ def _spec_for(path, shape, model_size: int) -> P:
 
 
 def tp_param_specs(params, mesh: Mesh):
-    """PartitionSpec pytree for a param tree (see module docstring)."""
+    """PartitionSpec pytree for a param tree (see module docstring).
+    Non-array leaves (a TrainState's step counter, schedule scalars)
+    replicate."""
     model_size = mesh.shape[AXIS_MODEL]
     return jax.tree_util.tree_map_with_path(
-        lambda path, x: _spec_for(path, x.shape, model_size), params)
+        lambda path, x: (_spec_for(path, x.shape, model_size)
+                         if hasattr(x, "shape") and getattr(x, "ndim", 0)
+                         else P()), params)
 
 
 def tp_param_shardings(params, mesh: Mesh):

@@ -27,8 +27,19 @@ from spn4cir_tpu.parallel.mesh import (
 from spn4cir_tpu.train.stage2 import TrainState
 
 
+def tp_state_shardings(state, mesh: Mesh):
+    """TP NamedShardings for a full TrainState: param-like leaves (params
+    AND their adamw mu/nu mirrors — their path tails carry the same layer
+    names) get Megatron specs from parallel/tp.py; everything else
+    replicates."""
+    from spn4cir_tpu.parallel.tp import tp_param_shardings
+
+    return tp_param_shardings(state, mesh)
+
+
 def make_sharded_stage2_step(backbone: CIRBackbone, mesh: Mesh, tau=None,
-                             m_actual: int | None = None):
+                             m_actual: int | None = None,
+                             state_template=None):
     """Build a jitted (state, target_bank, batch) -> (state, loss) step.
 
     Flat backbones (clip/tgcir/blip: (B, D) query vs (M, D) bank) pair the
@@ -36,7 +47,16 @@ def make_sharded_stage2_step(backbone: CIRBackbone, mesh: Mesh, tau=None,
     `stage2_query_feats` and a 3-D (M, Q, D) bank) pairs its training
     fusion path with `sharded_max_query_infonce`. `target_bank` rows must
     be padded to the bank-axis size (`pad_bank_rows`); `m_actual` is the
-    true row count."""
+    true row count; the bank may be an int8 `QuantBank`.
+
+    On a mesh with a 'model' axis (make_mesh(model=N)) the live tower's
+    params + optimizer mirrors are tensor-sharded Megatron-style
+    (`state_template` must then be the TrainState so the shardings can be
+    derived) — data×bank×model in ONE step: GSPMD inserts the TP
+    all-reduces inside the fusion forward/backward, the shard_map loss
+    combines bank shards with pmax/psum, and the grad all-reduce over
+    'data' comes from the replicated-param sum. Place the state with
+    `tp_state_shardings` first."""
 
     def live_tau(params):
         # a learnable temperature (blip4cir's params['params']['tau'],
@@ -73,10 +93,20 @@ def make_sharded_stage2_step(backbone: CIRBackbone, mesh: Mesh, tau=None,
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
     ksh = bank_sharding(mesh)
+    if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+        assert state_template is not None, (
+            "a 'model' mesh axis needs state_template to derive TP "
+            "shardings")
+        ssh = tp_state_shardings(state_template, mesh)
+    else:
+        ssh = rep
+    # ksh works for QuantBank too: a single sharding acts as a pytree
+    # prefix, placing values (M, D|Q,D) and scales (M[,Q]) with dim-0 rows
+    # on 'bank' — scales travel with their rows.
     return jax.jit(
         step,
-        in_shardings=(rep, ksh, {"refer_feats": bsh, "text_ids": bsh, "labels": bsh}),
-        out_shardings=(rep, rep),
+        in_shardings=(ssh, ksh, {"refer_feats": bsh, "text_ids": bsh, "labels": bsh}),
+        out_shardings=(ssh, rep),
     )
 
 

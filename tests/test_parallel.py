@@ -201,3 +201,101 @@ def test_sharded_step_blip2_matches_single_chip():
     new_state, loss = step(state, bank_p, batch)
     assert abs(float(loss) - want) < 1e-5, (float(loss), want)
     assert int(new_state.step) == 1
+
+
+def test_sharded_int8_bank_loss_matches_dequant_oracle(rng):
+    """2-D QuantBank sharded over 'bank': loss equals the XLA loss on the
+    dequantized bank (scales travel with their row shards)."""
+    from spn4cir_tpu.ops.bank_kernels import quantize_bank
+
+    q = jnp.asarray(rng.randn(8, 16).astype(np.float32))
+    bank = rng.randn(50, 16).astype(np.float32)
+    labels = jnp.asarray(rng.randint(0, 50, (8,)), jnp.int32)
+    qb = quantize_bank(bank)
+    mesh = make_mesh(data=2, bank=4)
+    got = float(sharded_bank_infonce(q, pad_bank_rows(qb, 4), labels, 0.05,
+                                     mesh, m_actual=50))
+    want = float(xla_bank_infonce(
+        q, jnp.asarray(np.asarray(qb.dequantize())), labels, 0.05))
+    assert abs(got - want) < 1e-5, (got, want)
+
+
+def test_sharded_int8_max_query_matches_dequant_oracle(rng):
+    """3-D QuantBank (blip2 fusion bank) sharded over 'bank'."""
+    from spn4cir_tpu.ops import infonce as ref_ops
+    from spn4cir_tpu.ops.bank_kernels import quantize_bank
+    from spn4cir_tpu.parallel.loss import sharded_max_query_infonce
+
+    feats = jnp.asarray(rng.randn(8, 12).astype(np.float32))
+    bank3 = rng.randn(30, 4, 12).astype(np.float32)
+    labels = jnp.asarray(rng.randint(0, 30, (8,)), jnp.int32)
+    qb3 = quantize_bank(bank3)
+    mesh = make_mesh(data=2, bank=4)
+    got = float(sharded_max_query_infonce(
+        feats, pad_bank_rows(qb3, 4), labels, 0.05, mesh, m_actual=30))
+    want = float(ref_ops.max_query_infonce(
+        feats, jnp.asarray(np.asarray(qb3.dequantize())), labels, 0.05))
+    assert abs(got - want) < 1e-5, (got, want)
+
+
+def test_int8_max_query_single_chip_dispatch(rng):
+    """blip2 single-chip int8: max_query_infonce accepts a 3-D QuantBank
+    and dequantizes AFTER the contraction."""
+    from spn4cir_tpu.ops import infonce as ref_ops
+    from spn4cir_tpu.ops.bank_kernels import quantize_bank
+    from spn4cir_tpu.ops.maxquery_kernels import max_query_infonce
+
+    feats = jnp.asarray(rng.randn(6, 12).astype(np.float32))
+    bank3 = rng.randn(20, 4, 12).astype(np.float32)
+    labels = jnp.asarray(rng.randint(0, 20, (6,)), jnp.int32)
+    qb3 = quantize_bank(bank3)
+    got = float(max_query_infonce(feats, qb3, labels, 0.05))
+    want = float(ref_ops.max_query_infonce(
+        feats, jnp.asarray(np.asarray(qb3.dequantize())), labels, 0.05))
+    # scale-after-max vs scale-before-max round differently; relative check
+    assert abs(got - want) < 1e-6 * max(1.0, abs(want))
+
+
+def test_three_axis_blip2_step_matches_single_chip():
+    """The VERDICT round-3 deliverable: blip2 stage-2 on a (2, 2, 2)
+    data x bank x model mesh — TP-sharded live tower (GSPMD) composed with
+    the bank-sharded max-query loss (shard_map) in ONE jitted step —
+    matches the single-chip loss, fp32 AND int8."""
+    from spn4cir_tpu.ops.bank_kernels import quantize_bank
+    from spn4cir_tpu.parallel.train import tp_state_shardings
+
+    bb = build_backbone("blip2", blip2_size="test-tiny")
+    params = bb.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh(data=2, bank=2, model=2)
+    rng = np.random.RandomState(0)
+    b, m = 4, 7
+    spec = bb.bank_spec()
+    refer = jnp.asarray(rng.randn(b, *spec.refer_shape).astype(np.float32))
+    bank = rng.randn(m, *spec.target_shape).astype(np.float32)
+    bank = jnp.asarray(bank / np.linalg.norm(bank, axis=-1, keepdims=True))
+    text = jnp.asarray(bb.tokenize([f"caption {i}" for i in range(b)]))
+    labels = jnp.asarray(rng.randint(0, m, b))
+    want = float(bb.stage2_loss(params, refer, text, bank, labels,
+                                impl="xla"))
+
+    state = create_train_state(bb, params, 1e-3)
+    sharded_state = jax.device_put(state, tp_state_shardings(state, mesh))
+    assert any("model" in str(getattr(leaf.sharding, "spec", ""))
+               for leaf in jax.tree_util.tree_leaves(sharded_state)
+               if hasattr(leaf, "sharding")), "nothing TP-sharded"
+    batch = shard_batch({"refer_feats": refer, "text_ids": text,
+                         "labels": labels}, mesh)
+    step = make_sharded_stage2_step(bb, mesh, m_actual=m,
+                                    state_template=state)
+    new_state, loss = step(sharded_state, put_bank(pad_bank_rows(bank, 2),
+                                                   mesh), batch)
+    assert abs(float(loss) - want) < 1e-5, (float(loss), want)
+    assert int(new_state.step) == 1
+
+    qb = quantize_bank(np.asarray(bank))
+    want_q = float(bb.stage2_loss(
+        params, refer, text, jnp.asarray(np.asarray(qb.dequantize())),
+        labels, impl="xla"))
+    _, loss_q = step(sharded_state, put_bank(pad_bank_rows(qb, 2), mesh),
+                     batch)
+    assert abs(float(loss_q) - want_q) < 1e-5, (float(loss_q), want_q)
