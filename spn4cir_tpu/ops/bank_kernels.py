@@ -102,12 +102,11 @@ def _fwd_kernel(labels_ref, q_ref, bank_ref, tau_ref,
 
 def _run_forward(query, bank, labels, tau, *, block_b: int, block_m: int):
     b_actual, d = query.shape
-    m_actual = bank.shape[0]
     bp = _round_up(b_actual, block_b)
-    mp = _round_up(m_actual, block_m)
+    bk, m_actual = _padded_bank(bank, block_m)
+    mp = bk.shape[0]
 
     q = jnp.pad(query, ((0, bp - b_actual), (0, 0)))
-    bk = jnp.pad(bank, ((0, mp - m_actual), (0, 0)))
     lab = jnp.pad(labels.astype(jnp.int32), (0, bp - b_actual), constant_values=-1)
     lab = jnp.broadcast_to(lab[:, None], (bp, LANES))
     tau_arr = jnp.asarray(tau, jnp.float32).reshape(1)
@@ -184,12 +183,11 @@ def _bwd_kernel(labels_ref, q_ref, bank_ref, tau_ref, mx_ref, se_ref, g_ref,
 
 def _run_backward(query, bank, labels, tau, mx, se, g, *, block_b: int, block_m: int):
     b_actual, d = query.shape
-    m_actual = bank.shape[0]
     bp = _round_up(b_actual, block_b)
-    mp = _round_up(m_actual, block_m)
+    bk, m_actual = _padded_bank(bank, block_m)
+    mp = bk.shape[0]
 
     q = jnp.pad(query, ((0, bp - b_actual), (0, 0)))
-    bk = jnp.pad(bank, ((0, mp - m_actual), (0, 0)))
     lab = jnp.pad(labels.astype(jnp.int32), (0, bp - b_actual), constant_values=-1)
     lab = jnp.broadcast_to(lab[:, None], (bp, LANES))
     tau_arr = jnp.asarray(tau, jnp.float32).reshape(1)
@@ -239,6 +237,76 @@ DEFAULT_BLOCK_B = 128
 DEFAULT_BLOCK_M = 1024
 
 
+@jax.tree_util.register_pytree_node_class
+class PreparedBank:
+    """A frozen (M, D) bank pre-padded ONCE to the kernel's block_m
+    multiple, so the jitted train step contains no per-step bank pad (the
+    bank never changes during stage 2 — ~150 MB copied per step at CIRR
+    flat scale otherwise). `scales` non-None marks the int8 layout (padded
+    (Mp,) f32 row scales). Built by `prepare_bank`; m_actual masks pads."""
+
+    def __init__(self, values, scales, m_actual):
+        self.values = values
+        self.scales = scales
+        self.m_actual = int(m_actual)
+
+    @property
+    def shape(self):  # Bank.num_images / dispatch compatibility
+        return (self.m_actual,) + tuple(self.values.shape[1:])
+
+    @property
+    def ndim(self):
+        return self.values.ndim
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    def dequantize(self):
+        vals = self.values[: self.m_actual].astype(jnp.float32)
+        if self.scales is None:
+            return vals
+        return vals * self.scales[: self.m_actual, None]
+
+    def tree_flatten(self):
+        if self.scales is None:
+            return (self.values,), (self.m_actual, True)
+        return (self.values, self.scales), (self.m_actual, False)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        m_actual, dense = aux
+        return cls(children[0], None if dense else children[1], m_actual)
+
+
+def prepare_bank(bank, block_m: int = DEFAULT_BLOCK_M):
+    """One-time kernel relayout of a frozen 2-D bank (dense or QuantBank).
+    Idempotent. Do this at bank build/load time (cli/train.py) — NOT inside
+    the step — so the relayout leaves the per-step graph entirely."""
+    if isinstance(bank, PreparedBank):
+        return bank
+    if isinstance(bank, QuantBank):
+        m = bank.values.shape[0]
+        mp = _round_up(m, block_m)
+        return PreparedBank(
+            jnp.pad(bank.values, ((0, mp - m), (0, 0))),
+            jnp.pad(bank.scales.astype(jnp.float32), (0, mp - m)), m)
+    m = bank.shape[0]
+    mp = _round_up(m, block_m)
+    return PreparedBank(jnp.pad(bank, ((0, mp - m), (0, 0))), None, m)
+
+
+def _padded_bank(bank, block_m):
+    """(padded_values, m_actual) for dense or prepared banks."""
+    if isinstance(bank, PreparedBank):
+        assert bank.values.shape[0] % block_m == 0, (
+            bank.values.shape, block_m, "prepared with a different block_m")
+        return bank.values, bank.m_actual
+    m_actual = bank.shape[0]
+    mp = _round_up(m_actual, block_m)
+    return jnp.pad(bank, ((0, mp - m_actual), (0, 0))), m_actual
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def bank_infonce_pallas(query, bank, labels, tau,
                         block_b: int = DEFAULT_BLOCK_B,
@@ -270,7 +338,9 @@ def _bwd_for_vjp(block_b, block_m, residuals, g):
     # dtau: loss_i = lse_i - pos_i; dlse/dtau = -E_p[logit]/tau; dpos/dtau = -pos/tau
     e_logit = el / se
     dtau = g * jnp.mean((pos - e_logit) / tau)
-    return (dq.astype(query.dtype), jnp.zeros_like(bank), None,
+    # bank is frozen: zero cotangent matching its pytree (dense or Prepared)
+    dbank = jax.tree_util.tree_map(jnp.zeros_like, bank)
+    return (dq.astype(query.dtype), dbank, None,
             dtau.astype(jnp.float32))
 
 
@@ -404,13 +474,20 @@ def _q8_bwd_kernel(labels_ref, q_ref, bank_ref, scales_ref, tau_ref,
 
 def _q8_prep(query, qbank, labels, block_b, block_m):
     b_actual, d = query.shape
-    m_actual = qbank.values.shape[0]
     bp = _round_up(b_actual, block_b)
-    mp = _round_up(m_actual, block_m)
+    if isinstance(qbank, PreparedBank):
+        assert qbank.values.shape[0] % block_m == 0
+        m_actual = qbank.m_actual
+        vals = qbank.values
+        scales = qbank.scales[None]  # (1, Mp)
+        mp = vals.shape[0]
+    else:
+        m_actual = qbank.values.shape[0]
+        mp = _round_up(m_actual, block_m)
+        vals = jnp.pad(qbank.values, ((0, mp - m_actual), (0, 0)))
+        scales = jnp.pad(qbank.scales.astype(jnp.float32),
+                         (0, mp - m_actual))[None]  # (1, Mp)
     q = jnp.pad(query, ((0, bp - b_actual), (0, 0)))
-    vals = jnp.pad(qbank.values, ((0, mp - m_actual), (0, 0)))
-    scales = jnp.pad(qbank.scales.astype(jnp.float32),
-                     (0, mp - m_actual))[None]  # (1, Mp)
     lab = jnp.pad(labels.astype(jnp.int32), (0, bp - b_actual),
                   constant_values=-1)
     lab = jnp.broadcast_to(lab[:, None], (bp, LANES))
@@ -513,8 +590,7 @@ def _q8_bwd_for_vjp(block_b, block_m, residuals, g):
                           block_b=bb, block_m=block_m)
     dtau = g * jnp.mean((pos - el / se) / tau)
     return (dq.astype(query.dtype),
-            QuantBank(jnp.zeros_like(qbank.values),
-                      jnp.zeros_like(qbank.scales)),
+            jax.tree_util.tree_map(jnp.zeros_like, qbank),
             None, dtau.astype(jnp.float32))
 
 
@@ -527,11 +603,24 @@ bank_infonce_q8_pallas.defvjp(_q8_fwd_for_vjp, _q8_bwd_for_vjp)
 
 def bank_infonce(query, bank, labels, tau, impl: str = "auto"):
     """Dispatch between the Pallas kernel (TPU) and the XLA reference impl.
-    `bank` may be a dense (M, D) array or an int8 `QuantBank`."""
+    `bank` may be a dense (M, D) array, an int8 `QuantBank`, or a
+    `PreparedBank` (pre-padded kernel layout, dense or int8)."""
     from spn4cir_tpu.ops import infonce as _ref
 
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if isinstance(bank, PreparedBank):
+        if impl == "pallas":
+            import math
+
+            # block_m must divide the prepared pad (gcd keeps the default
+            # block when the bank was prepared with it — the normal case)
+            bm = math.gcd(DEFAULT_BLOCK_M, bank.values.shape[0])
+            if bank.scales is not None:
+                return bank_infonce_q8_pallas(query, bank, labels, tau,
+                                              block_m=bm)
+            return bank_infonce_pallas(query, bank, labels, tau, block_m=bm)
+        return _ref.bank_infonce(query, bank.dequantize(), labels, tau)
     if isinstance(bank, QuantBank):
         if impl == "pallas":
             return bank_infonce_q8_pallas(query, bank, labels, tau)

@@ -133,3 +133,60 @@ def test_q8_dispatcher_and_roundtrip(rng):
     # and through the kernel when pinned
     loss_p = float(bank_infonce(q, qb, labels, 0.1, impl="pallas"))
     assert abs(loss - loss_p) < 1e-5
+
+
+def test_prepared_bank_matches_raw(rng):
+    """PreparedBank (pre-padded once, VERDICT round-3 #5) must be loss- and
+    grad-identical to the raw bank through the Pallas wrapper, dense and
+    int8, including the non-multiple-of-block row counts the pad exists
+    for."""
+    from spn4cir_tpu.ops.bank_kernels import (bank_infonce_pallas,
+                                              bank_infonce_q8_pallas,
+                                              prepare_bank, quantize_bank)
+
+    q = jnp.asarray(rng.randn(9, 32).astype(np.float32))
+    bank = jnp.asarray(rng.randn(70, 32).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 70, (9,)), jnp.int32)
+
+    raw = float(bank_infonce_pallas(q, bank, labels, 0.05))
+    prep = prepare_bank(bank, block_m=64)
+    assert prep.values.shape == (128, 32) and prep.m_actual == 70
+    got = float(bank_infonce_pallas(q, prep, labels, 0.05,
+                                    block_m=64))
+    assert got == raw or abs(got - raw) < 1e-6, (got, raw)
+
+    g_raw = jax.grad(lambda x: bank_infonce_pallas(x, bank, labels, 0.05))(q)
+    g_prep = jax.grad(lambda x: bank_infonce_pallas(x, prep, labels, 0.05,
+                                                    block_m=64))(q)
+    np.testing.assert_allclose(np.asarray(g_prep), np.asarray(g_raw),
+                               atol=1e-6)
+
+    qb = quantize_bank(bank)
+    raw8 = float(bank_infonce_q8_pallas(q, qb, labels, 0.05))
+    prep8 = prepare_bank(qb, block_m=64)
+    got8 = float(bank_infonce_q8_pallas(q, prep8, labels, 0.05,
+                                        block_m=64))
+    assert abs(got8 - raw8) < 1e-6, (got8, raw8)
+
+
+def test_prepared_bank_dispatch_and_shape(rng):
+    from spn4cir_tpu.ops.bank_kernels import (bank_infonce, prepare_bank,
+                                              quantize_bank)
+    from spn4cir_tpu.ops import infonce as ref_ops
+
+    q = jnp.asarray(rng.randn(5, 16).astype(np.float32))
+    bank = jnp.asarray(rng.randn(33, 16).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 33, (5,)), jnp.int32)
+    prep = prepare_bank(bank, block_m=16)
+    assert prep.shape == (33, 16)  # logical view hides the pad
+    assert prepare_bank(prep) is prep  # idempotent
+    # XLA fallback slices the pad off
+    got = float(bank_infonce(q, prep, labels, 0.05, impl="xla"))
+    want = float(ref_ops.bank_infonce(q, bank, labels, 0.05))
+    assert abs(got - want) < 1e-5
+    prep8 = prepare_bank(quantize_bank(bank), block_m=16)
+    got8 = float(bank_infonce(q, prep8, labels, 0.05, impl="xla"))
+    want8 = float(ref_ops.bank_infonce(
+        q, jnp.asarray(np.asarray(quantize_bank(bank).dequantize())),
+        labels, 0.05))
+    assert abs(got8 - want8) < 1e-5

@@ -52,3 +52,34 @@ def test_dispatch_cpu(rng):
     got = float(max_query_infonce(feats, bank, labels, 0.1, impl="auto"))
     want = float(xla_loss(feats, bank, labels, 0.1))
     assert abs(got - want) < 1e-5
+
+
+def test_prepared_max_query_bank_matches_raw(rng):
+    """PreparedMaxQueryBank (pre-transposed/padded once) must match the raw
+    (M, Q, D) bank through the Pallas wrapper, loss and grad."""
+    from spn4cir_tpu.ops.maxquery_kernels import (max_query_infonce,
+                                                  max_query_infonce_pallas,
+                                                  prepare_max_query_bank)
+
+    feats = jnp.asarray(rng.randn(6, 16).astype(np.float32))
+    bank = jnp.asarray(rng.randn(21, 4, 16).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 21, (6,)), jnp.int32)
+
+    raw = float(max_query_infonce_pallas(feats, bank, labels, 0.05))
+    prep = prepare_max_query_bank(bank, block_m=16)
+    assert prep.qmd.shape == (4, 32, 16) and prep.m_actual == 21
+    assert prep.shape == (21, 4, 16)
+    got = float(max_query_infonce_pallas(feats, prep, labels, 0.05,
+                                         block_m=16))
+    assert abs(got - raw) < 1e-6, (got, raw)
+
+    g_raw = jax.grad(
+        lambda x: max_query_infonce_pallas(x, bank, labels, 0.05))(feats)
+    g_prep = jax.grad(
+        lambda x: max_query_infonce_pallas(x, prep, labels, 0.05,
+                                           block_m=16))(feats)
+    np.testing.assert_allclose(np.asarray(g_prep), np.asarray(g_raw),
+                               atol=1e-6)
+    # XLA fallback via .dense()
+    got_xla = float(max_query_infonce(feats, prep, labels, 0.05, impl="xla"))
+    assert abs(got_xla - raw) < 1e-4
