@@ -80,7 +80,13 @@ def base_parser(default_model: str = "RN50x4", default_tau: float = 0.02,
     p.add_argument("--profile_dir", default="",
                    help="write a jax profiler trace of the train loop here")
     p.add_argument("--resume", action="store_true",
-                   help="save/restore full training state per epoch (orbax)")
+                   help="save/restore full training state (orbax); restores "
+                        "to the exact epoch+step of the latest checkpoint")
+    p.add_argument("--ckpt_every_steps", type=int, default=0,
+                   help="with --resume: ALSO checkpoint every N optimizer "
+                        "steps (async), so a preemption mid-epoch loses at "
+                        "most N steps — matters for live-encode stage-1 "
+                        "epochs (0 = epoch boundaries only)")
     p.add_argument("--lr_schedule", default="constant",
                    choices=["constant", "cosine", "linear"])
     p.add_argument("--warmup_steps", type=int, default=0)

@@ -263,15 +263,35 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
                  else ""))
 
     # --- preemption resume (fixes the reference's no-resume gap, SURVEY §5) ---
+    # Checkpoint keys are GLOBAL steps (epoch * steps_per_epoch + step):
+    # --ckpt_every_steps N adds mid-epoch saves, and resume reconstructs
+    # the exact position — the epoch shuffle is a pure function of
+    # (seed, epoch), so skipping the first step_in_epoch batches replays
+    # the remainder identically (see iter_train_* start_step).
+    steps_per_epoch = max(len(train_ds.triplets) // args.batch_size, 1)
     ckpt_mgr = None
     start_epoch = 0
+    start_step = 0
     if args.resume:
         from spn4cir_tpu.utils.checkpoint import CheckpointManager
 
         ckpt_mgr = CheckpointManager(os.path.join(output_path, "resume"))
-        state, start_epoch = ckpt_mgr.restore(state)
-        if start_epoch:
-            print(f"resumed from epoch {start_epoch}")
+        state, global_step = ckpt_mgr.restore(state)
+        start_epoch, start_step = divmod(global_step, steps_per_epoch)
+        if global_step:
+            print(f"resumed from epoch {start_epoch} step {start_step}")
+
+    def make_step_hook(epoch):
+        """Save every --ckpt_every_steps optimizer steps (async orbax)."""
+        if ckpt_mgr is None or not args.ckpt_every_steps:
+            return None
+
+        def hook(step_in_epoch, st):
+            gs = epoch * steps_per_epoch + step_in_epoch
+            if gs % args.ckpt_every_steps == 0 and \
+                    step_in_epoch < steps_per_epoch:
+                ckpt_mgr.save(gs, st)
+        return hook
 
     from spn4cir_tpu.utils.logging import profiler_trace
 
@@ -282,9 +302,13 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
             from spn4cir_tpu.data.datasets import iter_train_bank as _itb
 
             # device-resident loss accumulation: no per-step host sync
+            ep_start = start_step if epoch == start_epoch else 0
+            hook = make_step_hook(epoch)
             loss_sum, count = None, 0
-            for raw in _itb(train_ds, args.batch_size,
-                            epoch_seed=args.seed + epoch):
+            for step, raw in enumerate(
+                    _itb(train_ds, args.batch_size,
+                         epoch_seed=args.seed + epoch, start_step=ep_start),
+                    start=ep_start):
                 batch = shard_batch({
                     "refer_feats": jnp.asarray(bank.gather_refer(raw)),
                     "text_ids": jnp.asarray(backbone.tokenize(raw["captions"])),
@@ -293,13 +317,28 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
                 state, loss = sharded_step(state, bank_padded, batch)
                 loss_sum = loss if loss_sum is None else loss_sum + loss
                 count += 1
+                if hook is not None:
+                    hook(step + 1, state)
             mean_loss = float(loss_sum) / count if count else 0.0
         elif args.wo_bank:
+            # stage-1 dropout: only backbones whose stage1_loss takes a
+            # dropout rng (MED family) run train-mode dropout, matching
+            # the reference's torch train() stage-1 regime
+            import inspect
+
+            s1_dropout = None
+            if args.dropout and not args.neg_type and \
+                    hasattr(backbone, "stage1_loss") and ("dropout_rng"
+                    in inspect.signature(backbone.stage1_loss).parameters):
+                s1_dropout = jax.random.PRNGKey(args.seed * 1000 + epoch)
+            ep_start = start_step if epoch == start_epoch else 0
             state, mean_loss = train_epoch_stage1(
                 backbone, state,
                 iter_train_images(train_ds, args.batch_size, shuffle=True,
-                                  epoch_seed=args.seed + epoch),
-                neg_type=args.neg_type,
+                                  epoch_seed=args.seed + epoch,
+                                  start_step=ep_start),
+                neg_type=args.neg_type, dropout_rng=s1_dropout,
+                step_hook=make_step_hook(epoch), start_step=ep_start,
                 log_fn=lambda step, loss: logger.log(step, epoch=epoch, loss=loss))
         else:
             # only backbones whose stage2_loss takes a dropout rng get one —
@@ -310,11 +349,15 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
                              in inspect.signature(backbone.stage2_loss).parameters)
             drop_rng = (jax.random.PRNGKey(args.seed * 1000 + epoch)
                         if args.dropout and takes_dropout else None)
+            ep_start = start_step if epoch == start_epoch else 0
             state, mean_loss = train_epoch(
                 backbone, state, bank,
-                iter_train_bank(train_ds, args.batch_size, epoch_seed=args.seed + epoch),
+                iter_train_bank(train_ds, args.batch_size,
+                                epoch_seed=args.seed + epoch,
+                                start_step=ep_start),
                 impl=args.loss_impl, neg_num=neg_num, neg_rng=neg_rng,
                 dropout_rng=drop_rng,
+                step_hook=make_step_hook(epoch), start_step=ep_start,
                 log_fn=lambda step, loss: logger.log(step, epoch=epoch, loss=loss))
         print(f"epoch {epoch}: mean loss {mean_loss:.4f}")
 
@@ -336,7 +379,7 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
                            extra={"score": score, "dataset": args.dataset})
                 print(f"saved best (score {score:.2f})")
         if ckpt_mgr is not None:
-            ckpt_mgr.save(epoch + 1, state)
+            ckpt_mgr.save((epoch + 1) * steps_per_epoch, state)
     if ckpt_mgr is not None:
         ckpt_mgr.wait()
     trace_ctx.__exit__(None, None, None)

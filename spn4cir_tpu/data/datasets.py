@@ -350,7 +350,38 @@ def _iter_image_paths(dataset: CIRDataset, paths: Sequence[str],
                       ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Shared (ids, images) scan over a path list; the final batch is padded
     by repeating the last image with id -1 (keep-all eval with fixed jit
-    shapes, SURVEY.md §7 'ragged shapes')."""
+    shapes, SURVEY.md §7 'ragged shapes').
+
+    SPN4CIR_MP_PROCS=N routes decoding through the sharded multi-process
+    loader (data/mploader.py: N worker processes x native C++ threads) —
+    the production-rate path for feeding a chip's encode scan; the default
+    in-process ThreadPoolExecutor serves small/eval workloads."""
+    mp_procs = int(os.environ.get("SPN4CIR_MP_PROCS", "0") or 0)
+    if mp_procs > 0 and isinstance(dataset.preprocess, object) and \
+            hasattr(dataset.preprocess, "kind") and \
+            dataset.preprocess.kind in ("clip", "squarepad", "targetpad"):
+        from spn4cir_tpu.data.mploader import MPLoader, batched_paths
+
+        tf = dataset.preprocess
+        chunks, id_rows = [], []
+        for start in range(0, len(paths), batch_size):
+            chunk = list(paths[start: start + batch_size])
+            ids = np.arange(start, start + len(chunk))
+            pad = batch_size - len(chunk)
+            if pad:
+                chunk += [chunk[-1]] * pad
+                ids = np.concatenate([ids, np.full(pad, -1, np.int64)])
+            chunks.append(chunk)
+            id_rows.append(ids)
+        with MPLoader(tf.kind, tf.dim, batch_size,
+                      target_ratio=tf.target_ratio, mean=tf.mean,
+                      std=tf.std, num_procs=mp_procs) as loader:
+            for ids, (arr, _n) in zip(id_rows, loader.map_batches(chunks)):
+                # copy out of the recycled shm block: downstream prefetch()
+                # buffers batches beyond the block's validity window (the
+                # memcpy is ~1% of the decode cost it hides)
+                yield ids, arr.copy()
+        return
     pool = ThreadPoolExecutor(num_workers) if num_workers else None
     try:
         for start in range(0, len(paths), batch_size):
@@ -384,17 +415,20 @@ def iter_unique_images(dataset: CIRDataset, batch_size: int, num_workers: int = 
 
 def iter_train_bank(dataset: CIRDataset, batch_size: int, *,
                     shuffle: bool = True, drop_last: bool = True,
-                    epoch_seed: int = 0) -> Iterator[dict]:
+                    epoch_seed: int = 0, start_step: int = 0
+                    ) -> Iterator[dict]:
     """Bank-mode training batches: no image decode in the epoch loop
     (ref data_utils.py:269-275 + train.py:101). Yields dicts with captions
     (list of str) and int64 arrays triplet_idx / target_id / target_image_id
-    / refer_image_id."""
+    / refer_image_id. `start_step` skips the first batches of the epoch
+    (mid-epoch resume: same epoch_seed reconstructs the shuffle, the skip
+    restarts exactly where the checkpoint left off)."""
     order = np.arange(len(dataset.triplets))
     if shuffle:
         np.random.RandomState(epoch_seed).shuffle(order)
     n = len(order)
     stop = n - (n % batch_size) if drop_last else n
-    for start in range(0, stop, batch_size):
+    for start in range(start_step * batch_size, stop, batch_size):
         idxs = order[start : start + batch_size]
         rows = [dataset.triplets[i] for i in idxs]
         yield {
@@ -443,18 +477,21 @@ def iter_relative_eval(dataset: CIRDataset, batch_size: int,
 
 def iter_train_images(dataset: CIRDataset, batch_size: int, *,
                       num_workers: int = 4, shuffle: bool = False,
-                      epoch_seed: int = 0) -> Iterator[dict]:
+                      epoch_seed: int = 0, start_step: int = 0
+                      ) -> Iterator[dict]:
     """Image-mode relative train batches (reference-mode __getitem__ without
     use_bank, ref data_utils.py:276-283): decoded refer/target images +
     caption + all id columns. Used by stage-1 training and the blip2
-    caption-aware bank extraction. The final batch is padded (ids -1)."""
+    caption-aware bank extraction. The final batch is padded (ids -1).
+    `start_step` skips whole batches WITHOUT decoding their images —
+    mid-epoch resume for the live-encode stage-1 epochs."""
     n = len(dataset.triplets)
     order = np.arange(n)
     if shuffle:
         np.random.RandomState(epoch_seed).shuffle(order)
     pool = ThreadPoolExecutor(num_workers) if num_workers else None
     try:
-        for start in range(0, n, batch_size):
+        for start in range(start_step * batch_size, n, batch_size):
             idxs = order[start : start + batch_size]
             rows = [dataset.triplets[i] for i in idxs]
             pad = batch_size - len(rows)

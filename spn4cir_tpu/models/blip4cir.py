@@ -178,6 +178,24 @@ class BlipCIR(CIRBackbone):
                                 method="img_txt_fusion")
 
     # ---- losses ----
+    def stage1_loss(self, params, images_refer, images_target, text_ids,
+                    dropout_rng=None):
+        """End-to-end in-batch InfoNCE (`--wo_bank`). The reference repo
+        trains blip4cir stage 2 only (its stage-1 ckpts ship from the
+        upstream BLIP4CIR project); this applies clip4cir's stage-1
+        objective (clip4cir/models.py:146-161) to the BLIP fusion: query =
+        img_txt_fusion(live ViT tokens, text), target = pooled-normalized
+        target features. With `dropout_rng`, the MED side runs train-mode
+        dropout — torch `train()` semantics with the med_config.json
+        hidden_dropout_prob (0.1), the regularization the upstream stage-1
+        recipes train under."""
+        refer_tokens = self.encode_image(params, images_refer)
+        target = self.gallery_features(params, images_target)
+        query = self.fuse(params, refer_tokens, text_ids,
+                          dropout_rng=dropout_rng)
+        return infonce.in_batch_infonce(query, target,
+                                        params["params"]["tau"])
+
     def stage2_loss(self, params, refer_feats, text_ids, target_bank, labels,
                     *, neg_idx: Optional[jnp.ndarray] = None, impl: str = "auto",
                     dropout_rng: Optional[jnp.ndarray] = None):

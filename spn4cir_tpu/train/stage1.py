@@ -38,17 +38,22 @@ def create_stage1_state(backbone: CIRBackbone, params, learning_rate: float,
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def stage1_train_step(backbone: CIRBackbone, state: TrainState, batch,
-                      neg_type: int = 0):
+                      neg_type: int = 0, dropout_rng=None):
     """batch: refer_images (B,H,W,3), target_images (B,H,W,3), text_ids.
-    neg_type > 0 selects the negtype-ablation loss (ref train_negtype.py)."""
+    neg_type > 0 selects the negtype-ablation loss (ref train_negtype.py).
+    `dropout_rng` enables train-mode dropout on MED-family backbones whose
+    stage1_loss takes it (torch `train()` parity — the reference's stage-1
+    regimes run with module dropout active)."""
 
     def loss_fn(params):
         if neg_type:
             return backbone.stage1_negtype_loss(
                 params, batch["refer_images"], batch["target_images"],
                 batch["text_ids"], neg_type)
+        kw = {} if dropout_rng is None else {"dropout_rng": dropout_rng}
         return backbone.stage1_loss(params, batch["refer_images"],
-                                    batch["target_images"], batch["text_ids"])
+                                    batch["target_images"],
+                                    batch["text_ids"], **kw)
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)
     return state.apply_gradients(grads=grads), loss
@@ -60,13 +65,20 @@ def train_epoch_stage1(
     batches: Iterator[dict],
     *,
     neg_type: int = 0,
+    dropout_rng=None,
     log_every: int = 50,
     log_fn: Callable[[int, float], None] = lambda step, loss: None,
+    step_hook=None,
+    start_step: int = 0,
 ):
     """Host loop over `iter_train_images` batches (drops padded tails).
-    Loss accumulates on device; host sync only every `log_every` steps."""
+    Loss accumulates on device; host sync only every `log_every` steps.
+    `dropout_rng` (split per step) enables MED-family train-mode dropout.
+    `step_hook(step_in_epoch, state)` fires after every step — the live-
+    encode stage-1 epochs are where mid-epoch checkpoints matter most;
+    `start_step` offsets numbering on mid-epoch resume."""
     loss_sum, count = None, 0
-    for step, raw in enumerate(batches):
+    for step, raw in enumerate(batches, start=start_step):
         if (raw["triplet_idx"] < 0).any():
             continue  # drop_last semantics (ref clip4cir/train.py:78)
         batch = {
@@ -74,9 +86,16 @@ def train_epoch_stage1(
             "target_images": jnp.asarray(raw["target_images"]),
             "text_ids": jnp.asarray(backbone.tokenize(raw["captions"])),
         }
-        state, loss = stage1_train_step(backbone, state, batch, neg_type)
+        # fold_in (not sequential split) so a mid-epoch resume with
+        # start_step reproduces the exact per-step rng stream
+        step_rng = (None if dropout_rng is None
+                    else jax.random.fold_in(dropout_rng, step))
+        state, loss = stage1_train_step(backbone, state, batch, neg_type,
+                                        step_rng)
         loss_sum = loss if loss_sum is None else loss_sum + loss
         count += 1
         if log_every and step % log_every == 0:
             log_fn(step, float(loss))
+        if step_hook is not None:
+            step_hook(step + 1, state)
     return state, (float(loss_sum) / count if count else 0.0)

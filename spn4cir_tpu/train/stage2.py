@@ -143,17 +143,22 @@ def train_epoch(
     dropout_rng: Optional[jnp.ndarray] = None,
     log_every: int = 50,
     log_fn: Callable[[int, float], None] = lambda step, loss: None,
+    step_hook: Optional[Callable[[int, TrainState], None]] = None,
+    start_step: int = 0,
 ):
     """Host epoch loop over `iter_train_bank` batches: gather refer rows,
     tokenize, dispatch the jitted step. Returns (state, mean_loss). Batches
-    are prefetched on a background thread (spn4cir_tpu.data.prefetch)."""
+    are prefetched on a background thread (spn4cir_tpu.data.prefetch).
+    `step_hook(step_in_epoch, state)` fires after every step (step-granular
+    checkpointing); `start_step` offsets the step numbering when resuming
+    mid-epoch (pair with the iterator's start_step)."""
     from spn4cir_tpu.data.prefetch import prefetch
 
     # Loss stays on device between steps (loss_sum is a device scalar); a
     # host round-trip happens only every `log_every` steps — per-step
     # float(loss) would force a sync and defeat async dispatch.
     loss_sum, count = None, 0
-    for step, raw in enumerate(prefetch(batches, depth=2)):
+    for step, raw in enumerate(prefetch(batches, depth=2), start=start_step):
         dev_batch = {
             "refer_feats": jnp.asarray(bank.gather_refer(raw)),
             "text_ids": jnp.asarray(backbone.tokenize(raw["captions"])),
@@ -172,5 +177,7 @@ def train_epoch(
         count += 1
         if log_every and step % log_every == 0:
             log_fn(step, float(loss))
+        if step_hook is not None:
+            step_hook(step + 1, state)
     mean = float(loss_sum) / count if count else 0.0
     return state, mean

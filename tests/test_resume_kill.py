@@ -17,6 +17,7 @@ from tests.fixtures import make_fiq
 
 WORKER = os.path.join(os.path.dirname(__file__), "resume_worker.py")
 EPOCHS = 3
+STEPS_PER_EPOCH = 2  # n_train=8 / batch 4 (checkpoint keys are global steps)
 
 
 def _run(root, out, extra=(), wait=True):
@@ -35,8 +36,8 @@ def _run(root, out, extra=(), wait=True):
     return out_text
 
 
-def _final_state(backbone, out):
-    """Restore the last-epoch full training state saved by the CLI."""
+def _final_state(backbone, out, expect_step=EPOCHS * STEPS_PER_EPOCH):
+    """Restore the last full training state saved by the CLI."""
     from spn4cir_tpu.train.stage2 import create_train_state
     from spn4cir_tpu.utils.checkpoint import CheckpointManager
 
@@ -44,7 +45,7 @@ def _final_state(backbone, out):
     template = create_train_state(backbone, params, 2e-4)
     mgr = CheckpointManager(os.path.join(out, "resume"))
     state, step = mgr.restore(template)
-    assert step == EPOCHS, step
+    assert step == expect_step, step
     return state
 
 
@@ -63,7 +64,7 @@ def test_sigkill_mid_training_resumes_to_identical_params(tmp_path):
     # kill always strikes mid-training (waiting for the LAST checkpoint
     # raced the process's exit and was flaky on the contended 1-core host)
     proc = _run(root, out_b, wait=False)
-    ckpt1 = os.path.join(out_b, "resume", "1")
+    ckpt1 = os.path.join(out_b, "resume", str(STEPS_PER_EPOCH))  # epoch 1
     deadline = time.time() + 600
     try:
         while not os.path.isdir(ckpt1):
@@ -79,7 +80,7 @@ def test_sigkill_mid_training_resumes_to_identical_params(tmp_path):
         proc.wait()
     assert proc.returncode == -signal.SIGKILL, proc.returncode
 
-    # restart: resumes from the last committed epoch and finishes
+    # restart: resumes from the last committed checkpoint and finishes
     text = _run(root, out_b)
     assert "resumed from epoch" in text
 
@@ -100,6 +101,54 @@ def test_sigkill_mid_training_resumes_to_identical_params(tmp_path):
         cmp(pa, a, b)
     assert not mism, f"{len(mism)} param leaves differ, e.g. {mism[:3]}"
     # optimizer state converges identically too
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.opt_state),
+                    jax.tree_util.tree_leaves(state_b.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_sigkill_mid_epoch_step_resume_identical_params(tmp_path):
+    """VERDICT round-3 #6: --ckpt_every_steps saves INSIDE the epoch; a
+    SIGKILL between steps resumes mid-epoch (same shuffle via epoch seed +
+    start_step skip) and still converges to bit-identical final params."""
+    root = make_fiq(str(tmp_path / "fashionIQ_dataset"), n_images=12,
+                    n_train=8, extended=False)
+    out_a = str(tmp_path / "runA")
+    out_b = str(tmp_path / "runB")
+
+    _run(root, out_a)  # uninterrupted baseline (epoch-boundary ckpts only)
+
+    # interrupted: step checkpoints every optimizer step; kill after the
+    # FIRST one (global step 1 = epoch 0, step 1 of 2 — mid-epoch)
+    proc = _run(root, out_b, extra=("--ckpt_every_steps", "1"), wait=False)
+    ckpt = os.path.join(out_b, "resume", "1")
+    deadline = time.time() + 600
+    try:
+        while not os.path.isdir(ckpt):
+            if proc.poll() is not None:
+                pytest.fail("training exited before the kill point:\n"
+                            + proc.stdout.read()[-2000:])
+            if time.time() > deadline:
+                pytest.fail("timed out waiting for the step-1 checkpoint")
+            time.sleep(0.1)
+        time.sleep(0.5)
+    finally:
+        os.kill(proc.pid, signal.SIGKILL)
+        proc.wait()
+    assert proc.returncode == -signal.SIGKILL, proc.returncode
+
+    text = _run(root, out_b, extra=("--ckpt_every_steps", "1"))
+    assert "resumed from epoch" in text
+
+    from spn4cir_tpu.models.api import build_backbone
+
+    bb = build_backbone("clip", clip_model_name="test-tiny")
+    state_a = _final_state(bb, out_a)
+    state_b = _final_state(bb, out_b)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(state_a.params),
+            jax.tree_util.tree_leaves_with_path(state_b.params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), pa
     for a, b in zip(jax.tree_util.tree_leaves(state_a.opt_state),
                     jax.tree_util.tree_leaves(state_b.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
