@@ -203,8 +203,8 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
 
         tgt = bank.target
         if getattr(tgt, "ndim", 2) == 3:
-            if not isinstance(tgt, QuantBank):  # int8 3-D rides XLA as-is
-                tgt = prepare_max_query_bank(jnp.asarray(tgt))
+            tgt = prepare_max_query_bank(
+                tgt if isinstance(tgt, QuantBank) else jnp.asarray(tgt))
         else:
             tgt = prepare_bank(tgt if isinstance(tgt, QuantBank)
                                else jnp.asarray(tgt))

@@ -296,13 +296,16 @@ def llama_decode_step(params: Dict[str, Any], cfg: LlamaConfig,
         logits = jnp.einsum("bhd,bkhd->bhk", q, kh,
                             preferred_element_type=jnp.float32) * (hd ** -0.5)
         logits = logits + mask
-        w = jax.nn.softmax(logits, axis=-1)
+        w = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
         ctx = jnp.einsum("bhk,bkhd->bhd", w, vh).reshape(batch, -1)
-        x = x + ctx @ at["o"]["kernel"]
+        # keep the residual stream in its input dtype (bf16 weights would
+        # otherwise promote x to f32 mid-scan and break the layer carry)
+        x = x + (ctx @ at["o"]["kernel"]).astype(x.dtype)
         h = rms_norm(x, lp["post_ln"]["scale"], cfg.rms_eps)
         gate = h @ lp["gate"]["kernel"]
         up = h @ lp["up"]["kernel"]
-        x = x + (jax.nn.silu(gate) * up) @ lp["down"]["kernel"]
+        x = x + ((jax.nn.silu(gate) * up)
+                 @ lp["down"]["kernel"]).astype(x.dtype)
         return x, (ck, cv)
 
     x, (new_k, new_v) = jax.lax.scan(one_layer, x, (layer, state.k, state.v))

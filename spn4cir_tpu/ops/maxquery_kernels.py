@@ -45,29 +45,38 @@ def _round_up(x, m):
     return _cdiv(x, m) * m
 
 
-def _q_sim(q, bank_ref, qq):
+def _q_sim(q, bank_ref, qq, scales_ref=None):
     """(TB, D) x bank_ref[qq] (TM, D) -> (TB, TM) f32 sims. The bank block is
     laid out (Q, TM, D): the query-token axis leads so dynamic indexing hits
-    an untiled dimension."""
+    an untiled dimension. With `scales_ref` (int8 bank), the MXU consumes
+    the narrow data and the (TM,) per-row scales apply to the sims block —
+    dequantization AFTER the contraction, as in ops/bank_kernels' q8
+    kernel."""
     bk = bank_ref[qq].astype(jnp.float32)
-    return jax.lax.dot_general(
+    sims = jax.lax.dot_general(
         q, bk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    if scales_ref is not None:
+        sims = sims * scales_ref[qq][None, :]
+    return sims
 
 
-def _max_logits(q, bank_ref, nq, tau):
+def _max_logits(q, bank_ref, nq, tau, scales_ref=None):
     """max over Q of per-query sims, divided by tau (max commutes with /tau)."""
-    init = _q_sim(q, bank_ref, 0)
+    init = _q_sim(q, bank_ref, 0, scales_ref)
     acc = jax.lax.fori_loop(
-        1, nq, lambda qq, a: jnp.maximum(a, _q_sim(q, bank_ref, qq)), init)
+        1, nq, lambda qq, a: jnp.maximum(a, _q_sim(q, bank_ref, qq,
+                                                   scales_ref)), init)
     return acc / tau
 
 
-def _fwd_kernel(labels_ref, q_ref, bank_ref, tau_ref,
-                mx_ref, se_ref, pos_ref, el_ref, *, m_actual, block_m, nq):
+def _fwd_kernel(labels_ref, q_ref, bank_ref, *rest, m_actual, block_m, nq,
+                quant=False):
+    scales_ref = rest[0] if quant else None
+    tau_ref, mx_ref, se_ref, pos_ref, el_ref = rest[1:] if quant else rest
     m_idx = pl.program_id(1)
     tau = tau_ref[0]
     q = q_ref[:].astype(jnp.float32)
-    logits = _max_logits(q, bank_ref, nq, tau)
+    logits = _max_logits(q, bank_ref, nq, tau, scales_ref)
 
     col0 = m_idx * block_m
     col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
@@ -104,15 +113,18 @@ def _fwd_kernel(labels_ref, q_ref, bank_ref, tau_ref,
         pos_ref[:] = jnp.broadcast_to(pos_ref[:, :1] + blk_pos, pos_ref.shape)
 
 
-def _bwd_kernel(labels_ref, q_ref, bank_ref, tau_ref, mx_ref, se_ref, g_ref,
-                dq_ref, *, m_actual, block_m, nq):
+def _bwd_kernel(labels_ref, q_ref, bank_ref, *rest, m_actual, block_m, nq,
+                quant=False):
+    scales_ref = rest[0] if quant else None
+    tau_ref, mx_ref, se_ref, g_ref, dq_ref = rest[1:] if quant else rest
     m_idx = pl.program_id(1)
     tau = tau_ref[0]
     q = q_ref[:].astype(jnp.float32)
 
     maxsim = jax.lax.fori_loop(
-        1, nq, lambda qq, a: jnp.maximum(a, _q_sim(q, bank_ref, qq)),
-        _q_sim(q, bank_ref, 0))
+        1, nq, lambda qq, a: jnp.maximum(a, _q_sim(q, bank_ref, qq,
+                                                   scales_ref)),
+        _q_sim(q, bank_ref, 0, scales_ref))
     logits = maxsim / tau
 
     col0 = m_idx * block_m
@@ -128,10 +140,15 @@ def _bwd_kernel(labels_ref, q_ref, bank_ref, tau_ref, mx_ref, se_ref, g_ref,
     # measure-zero with float sims; XLA's max vjp splits them instead)
     def body(qq, carry):
         contrib, taken = carry
-        sim = _q_sim(q, bank_ref, qq)
+        sim = _q_sim(q, bank_ref, qq, scales_ref)
         pick = jnp.where((sim >= maxsim) & (taken < 0.5), 1.0, 0.0)
+        w = p * pick
+        if scales_ref is not None:
+            # fold the dequant scales into the (TB, TM) weights — the int8
+            # block then feeds the MXU directly
+            w = w * scales_ref[qq][None, :]
         contrib = contrib + jax.lax.dot_general(
-            p * pick, bank_ref[qq].astype(jnp.float32),
+            w, bank_ref[qq].astype(jnp.float32),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         return contrib, jnp.maximum(taken, pick)
 
@@ -152,10 +169,13 @@ def _bwd_kernel(labels_ref, q_ref, bank_ref, tau_ref, mx_ref, se_ref, g_ref,
 class PreparedMaxQueryBank:
     """A frozen (M, Q, D) fusion bank pre-transposed/padded ONCE to the
     kernel's (Q, Mp, D) layout — the per-step relayout was ~2.5 ms (5%) of
-    the blip2 CIRR-scale step. Built by `prepare_max_query_bank`."""
+    the blip2 CIRR-scale step. `scales` non-None marks the int8 layout
+    ((Q, Mp) f32 per-feature-row scales riding alongside the int8 values).
+    Built by `prepare_max_query_bank`."""
 
-    def __init__(self, qmd, m_actual):
+    def __init__(self, qmd, m_actual, scales=None):
         self.qmd = qmd  # (Q, Mp, D)
+        self.scales = scales  # (Q, Mp) f32 or None
         self.m_actual = int(m_actual)
 
     @property
@@ -172,23 +192,42 @@ class PreparedMaxQueryBank:
         return self.qmd.dtype
 
     def dense(self):
-        """Back to (M, Q, D) — XLA fallback / tests."""
-        return self.qmd.transpose(1, 0, 2)[: self.m_actual]
+        """Back to (M, Q, D) f32 (dequantized) — XLA fallback / tests."""
+        vals = self.qmd.transpose(1, 0, 2)[: self.m_actual]
+        if self.scales is None:
+            return vals
+        return (vals.astype(jnp.float32)
+                * self.scales.T[: self.m_actual, :, None])
 
     def tree_flatten(self):
-        return (self.qmd,), self.m_actual
+        if self.scales is None:
+            return (self.qmd,), (self.m_actual, True)
+        return (self.qmd, self.scales), (self.m_actual, False)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], aux)
+        m_actual, dense = aux
+        return cls(children[0], m_actual,
+                   None if dense else children[1])
 
 
 def prepare_max_query_bank(bank, block_m: int = None):
-    """One-time kernel relayout of a frozen (M, Q, D) fusion bank.
+    """One-time kernel relayout of a frozen (M, Q, D) fusion bank — dense
+    array or int8 3-D QuantBank (values and scales transpose/pad together).
     Idempotent; do at bank build/load time, never inside the step."""
+    from spn4cir_tpu.ops.bank_kernels import QuantBank
+
     if isinstance(bank, PreparedMaxQueryBank):
         return bank
     bm = block_m if block_m is not None else DEFAULT_BLOCK_M
+    if isinstance(bank, QuantBank):
+        m = bank.values.shape[0]
+        mp = _round_up(m, bm)
+        return PreparedMaxQueryBank(
+            jnp.pad(jnp.asarray(bank.values).transpose(1, 0, 2),
+                    ((0, 0), (0, mp - m), (0, 0))), m,
+            jnp.pad(jnp.asarray(bank.scales, jnp.float32).T,
+                    ((0, 0), (0, mp - m))))
     m = bank.shape[0]
     mp = _round_up(m, bm)
     return PreparedMaxQueryBank(
@@ -197,13 +236,23 @@ def prepare_max_query_bank(bank, block_m: int = None):
 
 
 def _common_prep(feats, bank, labels, block_b, block_m):
+    from spn4cir_tpu.ops.bank_kernels import QuantBank
+
     b_actual, d = feats.shape
     bp = _round_up(b_actual, block_b)
+    scales = None
     if isinstance(bank, PreparedMaxQueryBank):
         assert bank.qmd.shape[1] % block_m == 0, (
             bank.qmd.shape, block_m, "prepared with a different block_m")
-        bk, m_actual = bank.qmd, bank.m_actual
+        bk, m_actual, scales = bank.qmd, bank.m_actual, bank.scales
         nq, mp = bk.shape[0], bk.shape[1]
+    elif isinstance(bank, QuantBank):
+        m_actual, nq = bank.values.shape[0], bank.values.shape[1]
+        mp = _round_up(m_actual, block_m)
+        bk = jnp.pad(bank.values.transpose(1, 0, 2),
+                     ((0, 0), (0, mp - m_actual), (0, 0)))
+        scales = jnp.pad(bank.scales.astype(jnp.float32).T,
+                         ((0, 0), (0, mp - m_actual)))
     else:
         m_actual, nq = bank.shape[0], bank.shape[1]
         mp = _round_up(m_actual, block_m)
@@ -215,7 +264,7 @@ def _common_prep(feats, bank, labels, block_b, block_m):
     lab = jnp.pad(labels.astype(jnp.int32), (0, bp - b_actual),
                   constant_values=-1)
     lab = jnp.broadcast_to(lab[:, None], (bp, LANES))
-    return q, bk, lab, b_actual, m_actual, nq, bp, mp, d
+    return q, bk, scales, lab, b_actual, m_actual, nq, bp, mp, d
 
 
 def _stat_spec(block_b):
@@ -224,21 +273,30 @@ def _stat_spec(block_b):
 
 
 def _run_forward(feats, bank, labels, tau, *, block_b, block_m):
-    q, bk, lab, b_actual, m_actual, nq, bp, mp, d = _common_prep(
+    q, bk, scales, lab, b_actual, m_actual, nq, bp, mp, d = _common_prep(
         feats, bank, labels, block_b, block_m)
     tau_arr = jnp.asarray(tau, jnp.float32).reshape(1)
     grid = (bp // block_b, mp // block_m)
+    quant = scales is not None
     kernel = functools.partial(_fwd_kernel, m_actual=m_actual,
-                               block_m=block_m, nq=nq)
+                               block_m=block_m, nq=nq, quant=quant)
     stat_spec = _stat_spec(block_b)
+    in_specs = [
+        pl.BlockSpec((block_b, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nq, block_m, d), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs = [lab, q, bk]
+    if quant:
+        in_specs.append(pl.BlockSpec((nq, block_m), lambda i, j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(scales)
+    in_specs.append(pl.BlockSpec((1,), lambda i, j: (0,),
+                                 memory_space=pltpu.SMEM))
+    inputs.append(tau_arr)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0, grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_b, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nq, block_m, d), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda i, j: (0,), memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[stat_spec] * 4,
     )
     stat_shape = jax.ShapeDtypeStruct((bp, LANES), jnp.float32)
@@ -247,13 +305,13 @@ def _run_forward(feats, bank, labels, tau, *, block_b, block_m):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=_interpret(),
-    )(lab, q, bk, tau_arr)
+    )(*inputs)
     return (mx[:b_actual, 0], se[:b_actual, 0], pos[:b_actual, 0],
             el[:b_actual, 0])
 
 
 def _run_backward(feats, bank, labels, tau, mx, se, g, *, block_b, block_m):
-    q, bk, lab, b_actual, m_actual, nq, bp, mp, d = _common_prep(
+    q, bk, scales, lab, b_actual, m_actual, nq, bp, mp, d = _common_prep(
         feats, bank, labels, block_b, block_m)
     tau_arr = jnp.asarray(tau, jnp.float32).reshape(1)
 
@@ -262,18 +320,28 @@ def _run_backward(feats, bank, labels, tau, mx, se, g, *, block_b, block_m):
         return jnp.broadcast_to(x[:, None], (bp, LANES))
 
     grid = (bp // block_b, mp // block_m)
+    quant = scales is not None
     kernel = functools.partial(_bwd_kernel, m_actual=m_actual,
-                               block_m=block_m, nq=nq)
+                               block_m=block_m, nq=nq, quant=quant)
     stat_spec = _stat_spec(block_b)
+    in_specs = [
+        pl.BlockSpec((block_b, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nq, block_m, d), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs = [lab, q, bk]
+    if quant:
+        in_specs.append(pl.BlockSpec((nq, block_m), lambda i, j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(scales)
+    in_specs += [pl.BlockSpec((1,), lambda i, j: (0,),
+                              memory_space=pltpu.SMEM),
+                 stat_spec, stat_spec, stat_spec]
+    inputs += [tau_arr, pad_stat(mx, 0.0), pad_stat(se, 1.0),
+               pad_stat(g, 0.0)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0, grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_b, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nq, block_m, d), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda i, j: (0,), memory_space=pltpu.SMEM),
-            stat_spec, stat_spec, stat_spec,
-        ],
+        in_specs=in_specs,
         out_specs=[pl.BlockSpec((block_b, d), lambda i, j: (i, 0),
                                 memory_space=pltpu.VMEM)],
     )
@@ -283,8 +351,7 @@ def _run_backward(feats, bank, labels, tau, mx, se, g, *, block_b, block_m):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=_interpret(),
-    )(lab, q, bk, tau_arr, pad_stat(mx, 0.0), pad_stat(se, 1.0),
-      pad_stat(g, 0.0))
+    )(*inputs)
     return dq[:b_actual]
 
 
@@ -348,6 +415,12 @@ def max_query_infonce(feats, bank, labels, tau, impl: str = "auto"):
                                             block_m=bm)
         return _ref.max_query_infonce(feats, bank.dense(), labels, tau)
     if isinstance(bank, QuantBank):
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if impl == "pallas":
+            return max_query_infonce_pallas(feats, bank, labels, tau)
+        # XLA: dequant AFTER the contraction — the (M, Q, D) f32 bank is
+        # never materialized and the HBM read stays int8
         sims = jnp.einsum("bd,mqd->bmq", feats.astype(jnp.float32),
                           bank.values.astype(jnp.float32),
                           preferred_element_type=jnp.float32)

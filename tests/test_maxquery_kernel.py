@@ -83,3 +83,46 @@ def test_prepared_max_query_bank_matches_raw(rng):
     # XLA fallback via .dense()
     got_xla = float(max_query_infonce(feats, prep, labels, 0.05, impl="xla"))
     assert abs(got_xla - raw) < 1e-4
+
+
+def test_q8_max_query_kernel_matches_dequant_oracle(rng):
+    """int8 path THROUGH the Pallas kernel (interpret mode on CPU): loss and
+    dfeats equal the XLA loss on the dequantized bank; prepared int8 layout
+    (values+scales pre-transposed/padded) matches too."""
+    from spn4cir_tpu.ops import infonce as ref_ops
+    from spn4cir_tpu.ops.bank_kernels import quantize_bank
+    from spn4cir_tpu.ops.maxquery_kernels import (max_query_infonce_pallas,
+                                                  prepare_max_query_bank)
+
+    feats = jnp.asarray(rng.randn(6, 16).astype(np.float32))
+    bank = jnp.asarray(rng.randn(21, 4, 16).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 21, (6,)), jnp.int32)
+    qb = quantize_bank(bank)
+    deq = jnp.asarray(np.asarray(qb.dequantize()))
+
+    want = float(ref_ops.max_query_infonce(feats, deq, labels, 0.05))
+    got = float(max_query_infonce_pallas(feats, qb, labels, 0.05,
+                                         block_m=16))
+    assert abs(got - want) < 1e-4 * max(1.0, abs(want)), (got, want)
+
+    g_want = jax.grad(
+        lambda x: ref_ops.max_query_infonce(x, deq, labels, 0.05))(feats)
+    g_got = jax.grad(
+        lambda x: max_query_infonce_pallas(x, qb, labels, 0.05,
+                                           block_m=16))(feats)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               atol=1e-4)
+
+    prep = prepare_max_query_bank(qb, block_m=16)
+    assert prep.scales is not None and prep.scales.shape == (4, 32)
+    got_p = float(max_query_infonce_pallas(feats, prep, labels, 0.05,
+                                           block_m=16))
+    assert abs(got_p - want) < 1e-4 * max(1.0, abs(want))
+    # dense() round-trips the dequantized values
+    np.testing.assert_allclose(np.asarray(prep.dense()), np.asarray(deq),
+                               atol=1e-6)
+    g_p = jax.grad(
+        lambda x: max_query_infonce_pallas(x, prep, labels, 0.05,
+                                           block_m=16))(feats)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_want),
+                               atol=1e-4)
