@@ -74,6 +74,7 @@ class CIRDataset:
         self.fiq_val_type = fiq_val_type
         self.val_ret_train = val_ret_train
         self._rng = random.Random(seed)
+        self.seed = seed
 
         self.triplets: List[dict] = []
         self.targetname2id: Dict[str, int] = {}
@@ -274,17 +275,28 @@ class CIRDataset:
             self._native = None
         return self._native
 
-    def caption_for(self, index: int, train: bool) -> str:
+    def caption_for(self, index: int, train: bool,
+                    epoch_seed: Optional[int] = None) -> str:
         """Caption selection incl. the original-vs-extended boundary
-        (ref data_utils.py:262-268 and quirk §8.7)."""
+        (ref data_utils.py:262-268 and quirk §8.7).
+
+        With `epoch_seed`, the draw is a STATELESS function of
+        (dataset seed, epoch_seed, index) — a mid-epoch resume that skips
+        batches reproduces exactly the captions the uninterrupted run saw
+        (a sequential rng stream would shift every later draw). Without it
+        (the __getitem__ reference-parity path) the sequential stream is
+        used, matching the reference's torch-DataLoader behavior."""
         captions = self.triplets[index]["captions"]
         if len(captions) <= 1:
             return captions[0]
         if not train:
             return deterministic_fiq_caption(captions)
+        rng = (random.Random(((self.seed or 0) * 1_000_003
+                              + int(epoch_seed) * 8191 + index)
+                             ) if epoch_seed is not None else self._rng)
         if self.data_name == "fiq" and index < self.N:
-            return generate_randomized_fiq_caption(captions, rng=self._rng)
-        return self._rng.choice(captions)
+            return generate_randomized_fiq_caption(captions, rng=rng)
+        return rng.choice(captions)
 
     def __len__(self) -> int:
         if self.mode == "relative":
@@ -432,7 +444,9 @@ def iter_train_bank(dataset: CIRDataset, batch_size: int, *,
         idxs = order[start : start + batch_size]
         rows = [dataset.triplets[i] for i in idxs]
         yield {
-            "captions": [dataset.caption_for(int(i), train=True) for i in idxs],
+            "captions": [dataset.caption_for(int(i), train=True,
+                                             epoch_seed=epoch_seed)
+                         for i in idxs],
             "triplet_idx": idxs.astype(np.int64),
             "target_id": np.array(
                 [dataset.targetname2id[r["target_name"]] for r in rows], np.int64),
@@ -495,7 +509,9 @@ def iter_train_images(dataset: CIRDataset, batch_size: int, *,
             idxs = order[start : start + batch_size]
             rows = [dataset.triplets[i] for i in idxs]
             pad = batch_size - len(rows)
-            captions = [dataset.caption_for(int(i), train=True) for i in idxs]
+            captions = [dataset.caption_for(int(i), train=True,
+                                            epoch_seed=epoch_seed)
+                        for i in idxs]
             refer_paths = [r["reference"] for r in rows]
             target_paths = [r["target"] for r in rows]
             ids = {

@@ -107,7 +107,8 @@ def make_blip_captioner(params, *, blip_size: str = "base",
 def make_llava_captioner(params, *, tokenizer=None, tokenizer_path: str = "",
                          llava_size: str = "7b", category: str = "image",
                          word_num: int = 10, max_new_tokens: int = 64,
-                         batch_size: int = 8, dtype=None):
+                         batch_size: int = 8, dtype=None,
+                         quantize_weights: bool = False):
     """The reference's CANONICAL captioning path — LLaVA-v1
     (zscir/captioner_llava.py:147-205 captions every published dataset with
     it) on the JAX CLIP-L tower + LLaMA decoder (models/llava.py).
@@ -153,6 +154,17 @@ def make_llava_captioner(params, *, tokenizer=None, tokenizer_path: str = "",
         params = convert_llava_state_dict(
             load_torch_state_dict(params), cfg.llama.num_layers,
             cfg.vision.effective_layers)
+
+    if quantize_weights:
+        # weight-only int8 LM (models/llama.py): halves weight HBM; greedy
+        # token streams match the full-precision model at tiny geometry
+        from spn4cir_tpu.models.llama import quantize_llama_weights
+
+        lm = params["params"]["language_model"]
+        params = dict(params)
+        params["params"] = dict(params["params"])
+        params["params"]["language_model"] = jax.jit(
+            quantize_llama_weights)(lm)
 
     prompt = caption_prompt(category, word_num)
 

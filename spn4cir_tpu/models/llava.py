@@ -196,16 +196,20 @@ def build_llava_v1_prompt(user_message: str) -> str:
             + f"{LLAVA_V1_ROLES[1]}:")
 
 
-def splice_image_embeds(embed_table: jnp.ndarray, ids: Sequence[int],
+def splice_image_embeds(embed_table, ids: Sequence[int],
                         image_features: jnp.ndarray) -> jnp.ndarray:
     """Build (B, P_pre + num_patches + P_post, D) inputs_embeds from a
     shared prompt id list containing exactly one IMAGE_TOKEN_INDEX
     (llava_arch.py:137-143: embeds before, image features, embeds after).
-    image_features: (B, num_patches, D)."""
+    image_features: (B, num_patches, D). `embed_table` may be dense or the
+    int8 QuantKernel of a weight-quantized LM."""
+    from spn4cir_tpu.models.llama import _embed_rows
+
     ids = list(ids)
     img_pos = ids.index(IMAGE_TOKEN_INDEX)
-    pre = jnp.asarray(embed_table)[jnp.asarray(ids[:img_pos], jnp.int32)]
-    post = jnp.asarray(embed_table)[jnp.asarray(ids[img_pos + 1:], jnp.int32)]
+    pre = _embed_rows(embed_table, jnp.asarray(ids[:img_pos], jnp.int32))
+    post = _embed_rows(embed_table,
+                       jnp.asarray(ids[img_pos + 1:], jnp.int32))
     b = image_features.shape[0]
     pre = jnp.broadcast_to(pre[None], (b,) + pre.shape)
     post = jnp.broadcast_to(post[None], (b,) + post.shape)

@@ -302,3 +302,53 @@ def test_jax_rewriter_end_to_end_tiny():
     # the prompt fed to the LM is the byte-exact reference contract
     p = build_rewrite_prompt("a red dress", "a blue gown", "fiq", 0, 1)
     assert "a blue gown instead of a red dress" in p
+
+
+def test_int8_weight_only_quant_generation_parity():
+    """quantize_llama_weights: same tree shape, int8 kernels with per-
+    output-channel scales; greedy generation token-identical at tiny
+    geometry and prefill logits within ~1% relative."""
+    from spn4cir_tpu.models.llama import (init_llama_state, llama_generate,
+                                          llama_prefill,
+                                          quantize_llama_weights)
+
+    tm = tiny_hf_llama(seed=1)
+    cfg = LlamaConfig.tiny(vocab_size=96)
+    params = convert_llama_state_dict(tm.state_dict(), cfg.num_layers)["params"]
+    qp = quantize_llama_weights(params)
+    ids = np.random.RandomState(3).randint(3, 96, (2, 7))
+    emb = jnp.asarray(params["embed_tokens"][ids])
+    full = np.asarray(llama_generate(params, cfg, emb, eos_id=2, pad_id=0,
+                                     max_new_tokens=10))
+    quant = np.asarray(llama_generate(qp, cfg, emb, eos_id=2, pad_id=0,
+                                      max_new_tokens=10))
+    assert np.array_equal(full, quant)
+    st = init_llama_state(cfg, 2, 7)
+    lf, _ = llama_prefill(params, cfg, st, emb)
+    lq, _ = llama_prefill(qp, cfg, st, emb)
+    rel = float(jnp.max(jnp.abs(lf - lq)) / (jnp.max(jnp.abs(lf)) + 1e-9))
+    assert rel < 0.05, rel
+
+
+def test_prefill_matches_sequential_decode():
+    """llama_prefill must fill the cache and produce the same last-position
+    logits as prompt-length sequential decode steps."""
+    from spn4cir_tpu.models.llama import (init_llama_state, llama_decode_step,
+                                          llama_prefill)
+
+    tm = tiny_hf_llama(seed=4)
+    cfg = LlamaConfig.tiny(vocab_size=96)
+    params = convert_llama_state_dict(tm.state_dict(), cfg.num_layers)["params"]
+    ids = np.random.RandomState(8).randint(3, 96, (2, 6))
+    emb = jnp.asarray(params["embed_tokens"][ids])
+    st = init_llama_state(cfg, 2, 9)
+    logits_pf, st_pf = llama_prefill(params, cfg, st, emb)
+
+    st_sq = init_llama_state(cfg, 2, 9)
+    for t in range(6):
+        logits_sq, st_sq = llama_decode_step(params, cfg, st_sq, emb[:, t],
+                                             jnp.int32(t))
+    np.testing.assert_allclose(np.asarray(logits_pf), np.asarray(logits_sq),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_pf.k[:, :, :6]),
+                               np.asarray(st_sq.k[:, :, :6]), atol=1e-5)
