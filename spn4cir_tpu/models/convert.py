@@ -819,3 +819,45 @@ def convert_llava_state_dict(sd: Dict[str, Any], num_llama_layers: int,
                          "bias": _t(sd["model.mm_projector.bias"])},
         "language_model": llama["params"],
     }}
+
+
+def quantize_llama_weights_host(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Host-side (numpy) weight-only int8 quantization of a converted
+    LlamaLM tree — the checkpoint path companion to
+    models.llama.quantize_llama_weights (which runs on device and needs
+    both precisions resident: ~20 GB transient at 7B). Use this right
+    after convert_llama_state_dict / convert_llava_state_dict, then ship
+    only the int8 tree to the chip (6.7 GB at 7B)."""
+    from spn4cir_tpu.models.llama import QuantKernel
+
+    def quant_cols(w):
+        w = np.asarray(w, np.float32)
+        absmax = np.max(np.abs(w), axis=-2)
+        scales = np.maximum(absmax, 1e-12) / 127.0
+        vals = np.clip(np.round(w / scales[..., None, :]),
+                       -127, 127).astype(np.int8)
+        return QuantKernel(vals, scales)
+
+    def quant_rows(w):
+        w = np.asarray(w, np.float32)
+        absmax = np.max(np.abs(w), axis=-1)
+        scales = np.maximum(absmax, 1e-12) / 127.0
+        vals = np.clip(np.round(w / scales[..., None]),
+                       -127, 127).astype(np.int8)
+        return QuantKernel(vals, scales)
+
+    layer = params["layers"]["layer"]
+    return {
+        "embed_tokens": quant_rows(params["embed_tokens"]),
+        "layers": {"layer": {
+            "input_ln": layer["input_ln"],
+            "post_ln": layer["post_ln"],
+            "attn": {k: {"kernel": quant_cols(layer["attn"][k]["kernel"])}
+                     for k in ("q", "k", "v", "o")},
+            "gate": {"kernel": quant_cols(layer["gate"]["kernel"])},
+            "up": {"kernel": quant_cols(layer["up"]["kernel"])},
+            "down": {"kernel": quant_cols(layer["down"]["kernel"])},
+        }},
+        "norm": params["norm"],
+        "lm_head": quant_cols(params["lm_head"]),
+    }

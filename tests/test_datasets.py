@@ -168,3 +168,35 @@ def test_val_ret_train_mode(fiq_root):
     assert target_img.shape == (32, 32, 3)
     # deterministic "a and b" branch (type=0)
     assert " and " in caption
+
+
+def test_train_caption_draws_are_resume_stateless(tmp_path):
+    """Train-time caption randomization must be a pure function of
+    (dataset seed, epoch_seed, triplet index): a resumed process that
+    skips batches (start_step) or whole epochs replays the exact caption
+    sequence of the uninterrupted run — the sequential-stream behavior
+    diverged every post-resume draw (found via the SIGKILL resume test)."""
+    from tests.fixtures import make_fiq
+    from spn4cir_tpu.data.datasets import CIRDataset, iter_train_bank
+    from spn4cir_tpu.data.transforms import ImageTransform
+
+    root = make_fiq(str(tmp_path / "fashionIQ_dataset"), n_images=12,
+                    n_train=8, extended=False)
+
+    def caps(start_epoch=0, start_step=0, epochs=3):
+        ds = CIRDataset("fiq", "train", "relative",
+                        ImageTransform("targetpad", 32), root, ["dress"],
+                        seed=7)
+        out = []
+        for e in range(start_epoch, epochs):
+            ss = start_step if e == start_epoch else 0
+            for raw in iter_train_bank(ds, 4, epoch_seed=7 + e,
+                                       start_step=ss):
+                out.append((e, tuple(raw["captions"])))
+        return out
+
+    full = caps()
+    assert [c for c in full if c[0] >= 1] == caps(start_epoch=1)
+    assert full[1:] == caps(start_step=1)
+    # augmentation still varies across epochs
+    assert any(full[i][1] != full[i + 2][1] for i in range(2))

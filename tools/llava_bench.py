@@ -33,16 +33,25 @@ def force(x):
 
 
 def random_params_like(tree, dtype=jnp.bfloat16, scale=0.02):
-    """Device-side random params from an eval_shape tree (no host copy)."""
+    """Device-side random params from an eval_shape tree (no host copy).
+    Integer leaves (int8 QuantKernel values) fill with random int8; float
+    leaves with normal*scale in `dtype` (f32 for scale vectors)."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     keys = jax.random.split(jax.random.PRNGKey(0), len(leaves))
 
     outs = []
     for k, leaf in zip(keys, leaves):
         shape = leaf.shape
-        outs.append(jax.jit(
-            lambda key, s=shape: jax.random.normal(key, s, dtype) * scale
-        )(k))
+        if jnp.issubdtype(leaf.dtype, jnp.integer):
+            outs.append(jax.jit(lambda key, s=shape: jax.random.randint(
+                key, s, -127, 128, jnp.int32).astype(jnp.int8))(k))
+        elif leaf.dtype == jnp.float32:
+            outs.append(jax.jit(lambda key, s=shape: jnp.abs(
+                jax.random.normal(key, s, jnp.float32)) * (scale / 127))(k))
+        else:
+            outs.append(jax.jit(
+                lambda key, s=shape: jax.random.normal(key, s, dtype) * scale
+            )(k))
     return jax.tree_util.tree_unflatten(treedef, outs)
 
 
@@ -101,12 +110,17 @@ def main():
         lambda k: LlamaLM(cfg.llama).init(
             k, input_ids=jnp.zeros((1, 4), jnp.int32)),
         jax.random.PRNGKey(0))
-    lparams = random_params_like(lshapes)["params"]
     if args.weights == "int8":
+        # build the QUANTIZED structure directly (random int8 + scales):
+        # quantizing real bf16 weights in-place needs both copies resident
+        # (20 GB transient at 7B); real checkpoints quantize host-side in
+        # the converter path instead
         from spn4cir_tpu.models.llama import quantize_llama_weights
 
-        lparams = jax.jit(quantize_llama_weights)(lparams)
-        jax.block_until_ready(jax.tree_util.tree_leaves(lparams))
+        qshapes = jax.eval_shape(quantize_llama_weights, lshapes["params"])
+        lparams = random_params_like(qshapes)
+    else:
+        lparams = random_params_like(lshapes)["params"]
     prompt_len = args.prompt_text + v.num_patches
     embeds = jax.jit(lambda k: jax.random.normal(
         k, (B, prompt_len, cfg.llama.hidden_size), jnp.bfloat16) * 0.02)(
