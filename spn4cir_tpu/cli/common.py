@@ -77,6 +77,11 @@ def base_parser(default_model: str = "RN50x4", default_tau: float = 0.02,
                    help="extend the target bank with unlabeled negatives")
     p.add_argument("--use_cc", action="store_true",
                    help="zscir: train on out-of-domain CC triplets")
+    p.add_argument("--loader_procs", type=int, default=0,
+                   help="decode with N worker PROCESSES x native C++ "
+                        "threads (data/mploader.py) for the gallery/bank "
+                        "image scans — the production-rate input pipeline "
+                        "(0 = in-process thread pool)")
     p.add_argument("--profile_dir", default="",
                    help="write a jax profiler trace of the train loop here")
     p.add_argument("--resume", action="store_true",
@@ -94,8 +99,9 @@ def base_parser(default_model: str = "RN50x4", default_tau: float = 0.02,
                    choices=["float32", "bfloat16", "int8"],
                    help="device dtype of the target bank (bf16 halves the "
                         "bank-loss HBM traffic; int8 per-row-absmax "
-                        "quantization halves it again — full-bank loss on "
-                        "2D banks only; logits still accumulate f32)")
+                        "quantization halves it again — 2D and 3D fusion "
+                        "banks, single-chip or mesh; full-bank loss only; "
+                        "logits still accumulate f32)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize() before any "
                         "backend use (or set SPN4CIR_DIST_* env vars)")
@@ -103,6 +109,10 @@ def base_parser(default_model: str = "RN50x4", default_tau: float = 0.02,
 
 
 def finalize_args(args) -> None:
+    if getattr(args, "loader_procs", 0):
+        import os
+
+        os.environ["SPN4CIR_MP_PROCS"] = str(args.loader_procs)
     if args.data_path == "":
         args.data_path = ("fashionIQ_dataset" if args.dataset == "fiq"
                           else "cirr_dataset")

@@ -273,3 +273,55 @@ def test_zscir_datagen_cli_scripts(tmp_path, monkeypatch):
     ds = CIRDataset("fiq", "train", "relative", TF, root, ["dress"],
                     plus=True, extend_suffix="zs")
     assert len(ds) > ds.N
+
+
+def test_full_datagen_chain_with_llava_and_jax_rewriter(tmp_path):
+    """The whole positive-scaling factory (SURVEY §3.4) on the tiny JAX
+    models end to end: LLaVA captions -> it-list JSON -> extended-triplet
+    generation with the TPU-native LLaMA rewriter -> consumed back by
+    CIRDataset(plus=True, llmcap=True)."""
+    import numpy as np
+    from PIL import Image
+
+    from spn4cir_tpu.data.datasets import CIRDataset
+    from spn4cir_tpu.data.transforms import ImageTransform
+    from spn4cir_tpu.datagen.captioner import (caption_images_batched,
+                                               make_llava_captioner)
+    from spn4cir_tpu.datagen.generate import (generate_extended_triplets,
+                                              load_it_list,
+                                              write_extended_triplets)
+    from spn4cir_tpu.datagen.llm_rewrite import load_jax_rewriter
+    from tests.fixtures import make_cirr
+
+    root = make_cirr(str(tmp_path / "cirr_dataset"), extended=False)
+    ds = CIRDataset("cirr", "train", "relative",
+                    ImageTransform("targetpad", 28), root)
+
+    # 1. caption with the tiny JAX LLaVA (random weights; contract test)
+    _, transform, batched_fn = make_llava_captioner(
+        None, llava_size="tiny", max_new_tokens=4, batch_size=4)
+
+    def images():
+        for name, path in zip(ds.imagenames, ds.imagepaths):
+            yield name, transform(Image.open(path))
+
+    it_list = caption_images_batched(images(), batched_fn, batch_size=4)
+    assert len(it_list) == len(ds.imagenames)
+    it_path = tmp_path / "it.json"
+    import json
+
+    it_path.write_text(json.dumps(it_list))
+
+    # 2. extended triplets with the JAX rewriter
+    name2cap = load_it_list(str(it_path))
+    rewriter = load_jax_rewriter(tiny=True, data="cirr", seed=0)
+    triplets = generate_extended_triplets(ds, name2cap, k=1,
+                                          llm_rewrite=rewriter, seed=0)
+    assert triplets
+    out = write_extended_triplets(ds, triplets, "zs", llm=True)
+
+    # 3. consumed back by the training dataset
+    ds2 = CIRDataset("cirr", "train", "relative",
+                     ImageTransform("targetpad", 28), root, plus=True,
+                     llmcap=True, extend_suffix="zs")
+    assert len(ds2.triplets) == len(ds.triplets) + len(triplets)
