@@ -222,9 +222,10 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
     # --- multi-chip mesh (pjit/shard_map path) ---
     mesh = None
     sharded_step = None
-    train_mesh_model = args.mesh_model if (args.mesh_data > 1
-                                           or args.mesh_bank > 1) else 1
-    if not args.wo_bank and (args.mesh_data > 1 or args.mesh_bank > 1):
+    use_mesh = (args.mesh_data > 1 or args.mesh_bank > 1
+                or args.mesh_model > 1)
+    train_mesh_model = args.mesh_model if use_mesh else 1
+    if not args.wo_bank and use_mesh:
         # the sharded step covers the full-bank losses (flat and blip2
         # max-over-query) — refuse configurations it would misrepresent
         if neg_num:
@@ -275,7 +276,20 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
     if args.resume:
         from spn4cir_tpu.utils.checkpoint import CheckpointManager
 
-        ckpt_mgr = CheckpointManager(os.path.join(output_path, "resume"))
+        resume_dir = os.path.join(output_path, "resume")
+        ckpt_mgr = CheckpointManager(resume_dir)
+        # checkpoint keys are GLOBAL STEPS since round 3 (they were epoch
+        # numbers before) — refuse to reinterpret old-format directories
+        marker = os.path.join(resume_dir, "format.json")
+        if ckpt_mgr.latest_step() is not None and not os.path.exists(marker):
+            raise SystemExit(
+                f"{resume_dir} holds checkpoints from the old epoch-keyed "
+                "format; delete the directory (or finish that run with the "
+                "old code) — resuming would restart at the wrong position")
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                json.dump({"keys": "global_step",
+                           "steps_per_epoch": steps_per_epoch}, f)
         state, global_step = ckpt_mgr.restore(state)
         start_epoch, start_step = divmod(global_step, steps_per_epoch)
         if global_step:
@@ -355,7 +369,8 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
                 iter_train_bank(train_ds, args.batch_size,
                                 epoch_seed=args.seed + epoch,
                                 start_step=ep_start),
-                impl=args.loss_impl, neg_num=neg_num, neg_rng=neg_rng,
+                impl=args.loss_impl, neg_num=neg_num,
+                neg_seed=args.seed * 1000 + epoch,
                 dropout_rng=drop_rng,
                 step_hook=make_step_hook(epoch), start_step=ep_start,
                 log_fn=lambda step, loss: logger.log(step, epoch=epoch, loss=loss))

@@ -34,6 +34,7 @@ import numpy as np
 from PIL import Image
 
 from spn4cir_tpu.data.transforms import (
+    ImageTransform,
     deterministic_fiq_caption,
     generate_randomized_fiq_caption,
 )
@@ -369,8 +370,7 @@ def _iter_image_paths(dataset: CIRDataset, paths: Sequence[str],
     the production-rate path for feeding a chip's encode scan; the default
     in-process ThreadPoolExecutor serves small/eval workloads."""
     mp_procs = int(os.environ.get("SPN4CIR_MP_PROCS", "0") or 0)
-    if mp_procs > 0 and isinstance(dataset.preprocess, object) and \
-            hasattr(dataset.preprocess, "kind") and \
+    if mp_procs > 0 and isinstance(dataset.preprocess, ImageTransform) and \
             dataset.preprocess.kind in ("clip", "squarepad", "targetpad"):
         from spn4cir_tpu.data.mploader import MPLoader, batched_paths
 

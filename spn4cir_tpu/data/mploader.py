@@ -158,7 +158,18 @@ class MPLoader:
                 break
         while next_seq < submitted:
             while next_seq not in pending:
-                seq, block, n, err = self._result_q.get()
+                try:
+                    seq, block, n, err = self._result_q.get(timeout=5.0)
+                except queue.Empty:
+                    # a worker OOM-kill/segfault raises nothing in the
+                    # child — detect the corpse instead of hanging forever
+                    dead = [p for p in self._procs if not p.is_alive()]
+                    if dead:
+                        raise RuntimeError(
+                            f"{len(dead)} loader worker(s) died "
+                            f"(exitcodes {[p.exitcode for p in dead]}) — "
+                            "decode batch lost")
+                    continue
                 pending[seq] = (block, n, err)
             block, n, err = pending.pop(next_seq)
             if err is not None:

@@ -157,26 +157,45 @@ def make_llava_captioner(params, *, tokenizer=None, tokenizer_path: str = "",
 
     if quantize_weights:
         # weight-only int8 LM (models/llama.py): halves weight HBM; greedy
-        # token streams match the full-precision model at tiny geometry
-        from spn4cir_tpu.models.llama import quantize_llama_weights
-
+        # token streams match the full-precision model at tiny geometry.
+        # Host numpy trees quantize HOST-side (device quantization needs
+        # both precisions resident — ~20 GB transient at 7B).
         lm = params["params"]["language_model"]
+        host_tree = any(isinstance(leaf, np.ndarray)
+                        for leaf in jax.tree_util.tree_leaves(lm))
+        if host_tree:
+            from spn4cir_tpu.models.convert import \
+                quantize_llama_weights_host
+
+            lm = quantize_llama_weights_host(lm)
+        else:
+            from spn4cir_tpu.models.llama import quantize_llama_weights
+
+            lm = jax.jit(quantize_llama_weights)(lm)
         params = dict(params)
         params["params"] = dict(params["params"])
-        params["params"]["language_model"] = jax.jit(
-            quantize_llama_weights)(lm)
+        params["params"]["language_model"] = lm
 
-    prompt = caption_prompt(category, word_num)
+    # one transfer at load time: converted checkpoints are host numpy, and
+    # numpy jit arguments re-upload the full weight tree EVERY call
+    params = jax.device_put(params)
 
-    def batched_fn(images: List[np.ndarray], rng=None) -> List[str]:
+    default_prompt = caption_prompt(category, word_num)
+
+    def batched_fn(images: List[np.ndarray], rng=None,
+                   prompt: Optional[str] = None) -> List[str]:
+        """`prompt` overrides the construction-time default — reuse ONE
+        loaded model across per-category prompt loops (the 7B checkpoint
+        load/convert is multi-GB; never repeat it per dress type)."""
         out: List[str] = []
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        use_prompt = prompt if prompt is not None else default_prompt
         for lo in range(0, len(images), batch_size):
             chunk = images[lo: lo + batch_size]
             pad = batch_size - len(chunk)
             batch = np.stack(list(chunk) + [chunk[-1]] * pad)
             rng, sub = jax.random.split(rng)
-            caps = cap.caption(params, batch, prompt,
+            caps = cap.caption(params, batch, use_prompt,
                                max_new_tokens=max_new_tokens, rng=sub)
             out.extend(caps[: len(chunk)])
         return out

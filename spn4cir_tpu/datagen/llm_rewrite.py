@@ -267,6 +267,8 @@ def make_jax_generate_fn(params, cfg, tokenizer, *, max_new_tokens: int = 25,
     rng_holder = {"rng": jax.random.PRNGKey(seed)}
     jit_cache: dict = {}
 
+    from spn4cir_tpu.models.llama import _embed_rows
+
     def generate(prompt: str) -> str:
         ids = tokenizer.encode(prompt)
         key = (len(ids), max_new_tokens)
@@ -275,8 +277,10 @@ def make_jax_generate_fn(params, cfg, tokenizer, *, max_new_tokens: int = 25,
                 p, cfg, e, eos_id=eos, pad_id=eos,
                 max_new_tokens=max_new_tokens, do_sample=True,
                 temperature=1.0, top_p=1.0, top_k=top_k, rng=r))
-        embed = np.asarray(params["embed_tokens"])
-        embeds = jnp.asarray(embed[np.asarray(ids)])[None]
+        # embedding lookup stays on device (dense or int8 QuantKernel) —
+        # pulling the table to host per prompt would transfer GBs
+        embeds = _embed_rows(params["embed_tokens"],
+                             jnp.asarray(ids, jnp.int32))[None]
         rng_holder["rng"], sub = jax.random.split(rng_holder["rng"])
         out = np.asarray(jit_cache[key](params, embeds, sub))[0]
         toks = []
@@ -291,7 +295,8 @@ def make_jax_generate_fn(params, cfg, tokenizer, *, max_new_tokens: int = 25,
 
 def load_jax_rewriter(ckpt_path: str = "", tokenizer=None, *,
                       data: str = "fiq", mod_type: int = 0,
-                      llm_type: int = 1, tiny: bool = False, seed: int = 0):
+                      llm_type: int = 1, tiny: bool = False, seed: int = 0,
+                      quantize_weights: bool = False):
     """End-to-end TPU-native rewriter: JAX LLaMA-2 decoder + the byte-exact
     prompt contract. `ckpt_path` is an HF LlamaForCausalLM state dict
     (torch); empty => random init (smoke runs). `tokenizer` defaults to the
@@ -311,10 +316,22 @@ def load_jax_rewriter(ckpt_path: str = "", tokenizer=None, *,
                int(getattr(tokenizer, "vocab_size", 128)), 128))
            if tiny else LlamaConfig.llama2_7b_chat())
     if ckpt_path:
-        from spn4cir_tpu.models.convert import (convert_llama_state_dict,
-                                                load_torch_state_dict)
+        from spn4cir_tpu.models.convert import (
+            convert_llama_state_dict, load_torch_state_dict,
+            quantize_llama_weights_host)
         params = convert_llama_state_dict(load_torch_state_dict(ckpt_path),
                                           cfg.num_layers)["params"]
+        if quantize_weights:
+            params = quantize_llama_weights_host(params)
+        # one transfer now — numpy jit args would re-upload the whole
+        # weight tree on every rewrite call
+        params = jax.device_put(params)
+    elif not tiny:
+        # a random-init 7B would silently write garbage rewrites into the
+        # generated dataset (and ~27 GB of f32 would not even fit)
+        raise ValueError("load_jax_rewriter needs ckpt_path for non-tiny "
+                         "configs (random weights would produce nonsense "
+                         "rewrites)")
     else:
         import jax.numpy as jnp
         params = LlamaLM(cfg).init(

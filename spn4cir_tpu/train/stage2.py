@@ -140,6 +140,7 @@ def train_epoch(
     impl: str = "auto",
     neg_num: Optional[int] = None,
     neg_rng: Optional[np.random.RandomState] = None,
+    neg_seed: Optional[int] = None,
     dropout_rng: Optional[jnp.ndarray] = None,
     log_every: int = 50,
     log_fn: Callable[[int, float], None] = lambda step, loss: None,
@@ -165,7 +166,15 @@ def train_epoch(
             "labels": jnp.asarray(raw["target_image_id"]),
         }
         if neg_num:
-            rng = neg_rng or np.random
+            # neg_seed: STATELESS per-step draws (RandomState keyed on
+            # (seed, step)) so an epoch/step resume replays the exact
+            # negative sets of the uninterrupted run; neg_rng keeps the
+            # legacy sequential stream for callers that manage it
+            if neg_seed is not None:
+                rng = np.random.RandomState(
+                    (int(neg_seed) * 100_003 + step) % (2**32))
+            else:
+                rng = neg_rng or np.random
             dev_batch["neg_idx"] = jnp.asarray(
                 rng.randint(0, bank.num_images,
                             size=(len(raw["captions"]), neg_num)))

@@ -53,22 +53,26 @@ if __name__ == "__main__":
                     args.dress_types.split(",") if args.dataset == "fiq" else None)
 
     if args.mllm == "llava":
-        from spn4cir_tpu.datagen.captioner import make_llava_captioner
+        import functools
 
-        # per-category prompt loop like the reference (captioner_llava.py:
-        # 173-190): fiq captions each dress type with its own prompt
+        from spn4cir_tpu.datagen.captioner import (caption_prompt,
+                                                   make_llava_captioner)
+
+        # load/convert the (multi-GB) model ONCE; the per-category prompt
+        # loop mirrors the reference (captioner_llava.py:173-190 captions
+        # each fiq dress type with its own prompt) via batched_fn's prompt
+        # override
+        _, transform, batched_fn = make_llava_captioner(
+            args.ckpt, tokenizer_path=args.tokenizer_path,
+            llava_size=args.llava_size, category=args.category,
+            word_num=args.word_num, max_new_tokens=args.max_new_tokens,
+            batch_size=args.batch_size)
         it_list = []
         if args.dataset == "fiq":
             groups = [(dt, dt) for dt in args.dress_types.split(",")]
         else:
             groups = [(None, args.category)]
         for dress_type, category in groups:
-            _, transform, batched_fn = make_llava_captioner(
-                args.ckpt, tokenizer_path=args.tokenizer_path,
-                llava_size=args.llava_size, category=category,
-                word_num=args.word_num, max_new_tokens=args.max_new_tokens,
-                batch_size=args.batch_size)
-
             def images():
                 sub = (CIRDataset(args.dataset, "train", "relative",
                                   ImageTransform("targetpad", 224), data_path,
@@ -77,8 +81,10 @@ if __name__ == "__main__":
                 for name, path in zip(sub.imagenames, sub.imagepaths):
                     yield name, transform(Image.open(path))
 
+            fn = functools.partial(
+                batched_fn, prompt=caption_prompt(category, args.word_num))
             it_list.extend(caption_images_batched(
-                images(), batched_fn, batch_size=args.batch_size))
+                images(), fn, batch_size=args.batch_size))
     elif args.mllm == "blip":
         _, transform, batched_fn = make_blip_captioner(
             args.ckpt, blip_size=args.blip_size,
