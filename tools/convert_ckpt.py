@@ -18,7 +18,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--backbone", required=True,
-                   choices=["clip", "zs", "tgcir", "blip", "blip2"])
+                   choices=["clip", "zs", "tgcir", "blip", "blip2",
+                            "llava", "llama"])
+    p.add_argument("--quantize_int8", action="store_true",
+                   help="llava/llama: weight-only int8 quantize the LM "
+                        "host-side (7B: 13.4 -> 6.7 GB on chip)")
     p.add_argument("--clip-model-name", default="RN50x4")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
@@ -36,6 +40,33 @@ def main():
     from spn4cir_tpu.models import convert
     from spn4cir_tpu.models.api import build_backbone
     from spn4cir_tpu.utils.checkpoint import save_model
+
+    if args.backbone in ("llava", "llama"):
+        # datagen MLLM checkpoints (captioner_llava.py / llama_generate.py
+        # counterparts): LlavaLlamaForCausalLM or HF LlamaForCausalLM
+        from spn4cir_tpu.models.llama import LlamaConfig
+        from spn4cir_tpu.models.llava import LlavaConfig
+
+        obj = torch.load(args.input, map_location="cpu", weights_only=False)
+        sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+        if args.backbone == "llava":
+            cfg = LlavaConfig.v1_7b()
+            params = convert.convert_llava_state_dict(
+                sd, cfg.llama.num_layers, cfg.vision.effective_layers)
+            if args.quantize_int8:
+                params["params"]["language_model"] = \
+                    convert.quantize_llama_weights_host(
+                        params["params"]["language_model"])
+        else:
+            cfg = LlamaConfig.llama2_7b_chat()
+            params = convert.convert_llama_state_dict(sd, cfg.num_layers)
+            if args.quantize_int8:
+                params["params"] = convert.quantize_llama_weights_host(
+                    params["params"])
+        save_model(args.output, params, extra={"source": args.input,
+                                               "backbone": args.backbone})
+        print(f"wrote {args.output}")
+        return
 
     kw = dict(tau=args.tau)
     if args.backbone in ("clip", "zs", "tgcir"):
