@@ -234,13 +234,13 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
         if args.dropout:
             raise SystemExit("--dropout is not supported with a mesh")
         if jax.process_count() > 1:
-            # multi-host: data axis spans slices over DCN, bank stays on ICI
+            # multi-host: data axis spans slices over DCN; bank AND the
+            # TP model axis stay intra-slice so their per-step collectives
+            # ride ICI
             from spn4cir_tpu.parallel.mesh import make_hybrid_mesh
 
-            if train_mesh_model > 1:
-                raise SystemExit("--mesh_model with --distributed is not "
-                                 "supported yet (TP stays intra-slice)")
-            mesh = make_hybrid_mesh(bank=args.mesh_bank)
+            mesh = make_hybrid_mesh(bank=args.mesh_bank,
+                                    model=train_mesh_model)
         else:
             # 3-axis (data, bank, model): TP on the live tower composes
             # with the bank-sharded loss in ONE jitted step

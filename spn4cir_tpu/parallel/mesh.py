@@ -125,13 +125,15 @@ def initialize_distributed(
 def make_hybrid_mesh(
     data_per_slice: Optional[int] = None,
     bank: int = 1,
+    model: int = 1,
     num_slices: Optional[int] = None,
 ) -> Mesh:
-    """DCN-aware (data, bank) mesh for multi-slice / multi-host topologies:
-    the data axis spans slices (gradient all-reduce rides DCN, which
-    tolerates the lower bandwidth — it moves only parameter-sized traffic
-    once per step), while the bank axis stays inside a slice so the
-    per-step softmax-denominator psum over bank shards rides ICI.
+    """DCN-aware (data, bank[, model]) mesh for multi-slice / multi-host
+    topologies: the data axis spans slices (gradient all-reduce rides DCN,
+    which tolerates the lower bandwidth — it moves only parameter-sized
+    traffic once per step), while the bank axis — and the tensor-parallel
+    model axis, whose per-layer all-reduces are latency-critical — stay
+    inside a slice so their collectives ride ICI.
     Falls back to `make_mesh` on a single slice."""
     from jax.experimental import mesh_utils
 
@@ -139,12 +141,20 @@ def make_hybrid_mesh(
     slice_ids = sorted({getattr(d, "slice_index", 0) for d in devices})
     n_slices = num_slices if num_slices is not None else len(slice_ids)
     if n_slices <= 1:
-        return make_mesh(data=data_per_slice, bank=bank)
+        return make_mesh(data=data_per_slice, bank=bank, model=model)
     per_slice = len(devices) // n_slices
     if data_per_slice is None:
-        assert per_slice % bank == 0, (per_slice, bank)
-        data_per_slice = per_slice // bank
-    assert data_per_slice * bank == per_slice, (data_per_slice, bank, per_slice)
+        assert per_slice % (bank * model) == 0, (per_slice, bank, model)
+        data_per_slice = per_slice // (bank * model)
+    assert data_per_slice * bank * model == per_slice, (
+        data_per_slice, bank, model, per_slice)
+    if model > 1:
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(data_per_slice, bank, model),
+            dcn_mesh_shape=(n_slices, 1, 1),
+            devices=devices,
+        )
+        return Mesh(arr, (AXIS_DATA, AXIS_BANK, AXIS_MODEL))
     arr = mesh_utils.create_hybrid_device_mesh(
         mesh_shape=(data_per_slice, bank),
         dcn_mesh_shape=(n_slices, 1),

@@ -80,7 +80,56 @@ def main():
     want = float(bank_infonce(query, jnp.asarray(bank), jnp.asarray(labels), 0.05))
     assert abs(got - want) < 1e-5, (got, want)
     assert int(new_state.step) == 1
-    print(f"OK process={jax.process_index()} loss={got:.6f}", flush=True)
+
+    # 3-axis multi-host: TP (model) + bank intra-"slice", data across the
+    # two processes — the full composed production step with cross-process
+    # collectives (the CLI builds this via make_hybrid_mesh on real pods)
+    from spn4cir_tpu.parallel.train import tp_state_shardings
+
+    bb2 = build_backbone("blip2", blip2_size="test-tiny")
+    p2 = bb2.init_params(jax.random.PRNGKey(0))
+    mesh3 = make_mesh(data=2, bank=2, model=2)
+    spec2 = bb2.bank_spec()
+    b2, m2 = 4, 9
+    refer2 = rng.randn(b2, *spec2.refer_shape).astype(np.float32)
+    bank2 = rng.randn(m2, *spec2.target_shape).astype(np.float32)
+    bank2 /= np.linalg.norm(bank2, axis=-1, keepdims=True)
+    text2 = np.asarray(bb2.tokenize([f"cap {i}" for i in range(b2)]))
+    labels2 = rng.randint(0, m2, size=b2)
+
+    state2 = create_train_state(bb2, p2, 1e-3)
+    shardings2 = tp_state_shardings(state2, mesh3)
+
+    def put_tree(tree, shardings):
+        return jax.tree_util.tree_map(
+            lambda x, sh: (jax.make_array_from_callback(
+                np.asarray(x).shape, sh,
+                lambda idx, a=np.asarray(x): a[idx])
+                if hasattr(x, "shape") else x),
+            tree, shardings)
+
+    sharded_state2 = put_tree(state2, shardings2)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch2 = {
+        "refer_feats": put(refer2, NamedSharding(mesh3, P("data"))),
+        "text_ids": put(text2, NamedSharding(mesh3, P("data"))),
+        "labels": put(labels2, NamedSharding(mesh3, P("data"))),
+    }
+    bank2_p = put(np.asarray(pad_bank_rows(jnp.asarray(bank2), 2)),
+                  NamedSharding(mesh3, P("bank")))
+    step3 = make_sharded_stage2_step(bb2, mesh3, m_actual=m2,
+                                     state_template=state2)
+    new_state2, loss3 = step3(sharded_state2, bank2_p, batch2)
+    got3 = float(loss3)
+    want3 = float(bb2.stage2_loss(p2, jnp.asarray(refer2), jnp.asarray(text2),
+                                  jnp.asarray(bank2), jnp.asarray(labels2),
+                                  impl="xla"))
+    assert abs(got3 - want3) < 1e-5, (got3, want3)
+    assert int(new_state2.step) == 1
+
+    print(f"OK process={jax.process_index()} loss={got:.6f} "
+          f"loss3axis={got3:.6f}", flush=True)
 
 
 if __name__ == "__main__":
