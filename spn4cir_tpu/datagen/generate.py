@@ -104,10 +104,26 @@ def generate_extended_triplets(
                 })
     if total_cap > 0 and len(out) > total_cap:
         out = rng.sample(out, total_cap)
-    if llm_rewrite is not None:
-        for t in out:
-            t["llm_caption"] = llm_rewrite(t["caption1"], t["caption2"])
+    _apply_llm_rewrite(out, llm_rewrite)
     return out
+
+
+def _apply_llm_rewrite(triplets: List[dict], llm_rewrite) -> None:
+    """Attach `llm_caption` to every triplet. A rewriter exposing
+    `.rewrite_batch` (the batched JAX LM path) gets the whole list at once
+    so prompts amortize into large left-padded device batches; a plain
+    callable is invoked per triplet (the reference's one-prompt-per-
+    generate loop, zscir/llama_generate.py:64)."""
+    if llm_rewrite is None or not triplets:
+        return
+    batch_fn = getattr(llm_rewrite, "rewrite_batch", None)
+    if batch_fn is not None:
+        caps = batch_fn([(t["caption1"], t["caption2"]) for t in triplets])
+        for t, cap in zip(triplets, caps):
+            t["llm_caption"] = cap
+    else:
+        for t in triplets:
+            t["llm_caption"] = llm_rewrite(t["caption1"], t["caption2"])
 
 
 def write_extended_triplets(dataset, triplets: List[dict], model_tag: str,
@@ -160,9 +176,7 @@ def generate_cc_triplets(
                             "caption1": caption1, "caption2": caption2})
     if total_cap > 0 and len(out) > total_cap:
         out = rng.sample(out, total_cap)
-    if llm_rewrite is not None:
-        for t in out:
-            t["llm_caption"] = llm_rewrite(t["caption1"], t["caption2"])
+    _apply_llm_rewrite(out, llm_rewrite)
     return out
 
 

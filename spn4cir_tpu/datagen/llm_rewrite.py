@@ -293,15 +293,104 @@ def make_jax_generate_fn(params, cfg, tokenizer, *, max_new_tokens: int = 25,
     return generate
 
 
+def make_jax_batch_generate_fn(params, cfg, tokenizer, *,
+                               max_new_tokens: int = 25, top_k: int = 10,
+                               seed: int = 0, batch_size: int = 8,
+                               len_bucket: int = 32):
+    """Batched TPU-native rewriting: many prompts per `llama_generate` call.
+
+    The reference's HF pipeline rewrites one prompt per generate call
+    (zscir/llama_generate.py:64) — at 7B scale decode is weight-bandwidth-
+    bound, so B prompts per call cost nearly the same HBM traffic as one.
+    Prompts are sorted by token length, grouped `batch_size` at a time, and
+    LEFT-padded to the next `len_bucket` multiple; `llama_generate`'s
+    attention_mask path keeps each row's stream identical to what it would
+    produce alone (per-row RoPE positions, pad keys masked). Sorting keeps
+    bucket padding waste low and the jit cache small — one compiled program
+    per (padded_len,) geometry, with short groups padded by repeating rows
+    so the batch dimension stays static.
+
+    Returns `generate_batch(prompts) -> continuations` (order-preserving).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spn4cir_tpu.models.llama import _embed_rows, llama_generate
+
+    eos = tokenizer.eos_token_id
+    rng_holder = {"rng": jax.random.PRNGKey(seed)}
+    jit_cache: dict = {}
+
+    def generate_batch(prompts: Sequence[str]) -> list:
+        enc = [tokenizer.encode(p) for p in prompts]
+        order = sorted(range(len(enc)), key=lambda i: len(enc[i]))
+        results = [""] * len(enc)
+        for lo in range(0, len(order), batch_size):
+            idxs = order[lo:lo + batch_size]
+            longest = max(len(enc[i]) for i in idxs)
+            plen = -(-longest // len_bucket) * len_bucket
+            # repeat rows to the static batch size (outputs discarded)
+            rows = idxs + [idxs[-1]] * (batch_size - len(idxs))
+            ids = np.full((batch_size, plen), eos, np.int32)
+            mask = np.zeros((batch_size, plen), np.int32)
+            for r, i in enumerate(rows):
+                ids[r, plen - len(enc[i]):] = enc[i]
+                mask[r, plen - len(enc[i]):] = 1
+            if plen not in jit_cache:
+                jit_cache[plen] = jax.jit(lambda p, e, m, r: llama_generate(
+                    p, cfg, e, eos_id=eos, pad_id=eos,
+                    max_new_tokens=max_new_tokens, do_sample=True,
+                    temperature=1.0, top_p=1.0, top_k=top_k, rng=r,
+                    attention_mask=m))
+            embeds = _embed_rows(params["embed_tokens"],
+                                 jnp.asarray(ids, jnp.int32))
+            rng_holder["rng"], sub = jax.random.split(rng_holder["rng"])
+            out = np.asarray(jit_cache[plen](params, embeds,
+                                             jnp.asarray(mask), sub))
+            for r, i in enumerate(idxs):
+                toks = []
+                for t in out[r].tolist():
+                    if t == eos:
+                        break
+                    toks.append(t)
+                results[i] = tokenizer.decode(toks)
+        return results
+
+    return generate_batch
+
+
+def make_llm_batch_rewriter(generate_batch_fn, data: str = "fiq",
+                            mod_type: int = 0, llm_type: int = 1):
+    """Batched counterpart of `make_llm_rewriter`: the returned callable has
+    the same (caption1, caption2) -> llm_caption signature, plus a
+    `.rewrite_batch(pairs)` method that `generate_extended_triplets` uses to
+    rewrite the whole triplet list in large device batches."""
+
+    def rewrite_batch(pairs: Sequence[tuple]) -> list:
+        prompts = [build_rewrite_prompt(c1, c2, data, mod_type, llm_type)
+                   for c1, c2 in pairs]
+        outs = generate_batch_fn(prompts)
+        return [post_process(o) or c2 for o, (c1, c2) in zip(outs, pairs)]
+
+    def rewrite(caption1: str, caption2: str) -> str:
+        return rewrite_batch([(caption1, caption2)])[0]
+
+    rewrite.rewrite_batch = rewrite_batch
+    return rewrite
+
+
 def load_jax_rewriter(ckpt_path: str = "", tokenizer=None, *,
                       data: str = "fiq", mod_type: int = 0,
                       llm_type: int = 1, tiny: bool = False, seed: int = 0,
-                      quantize_weights: bool = False):
+                      quantize_weights: bool = False, batch_size: int = 1):
     """End-to-end TPU-native rewriter: JAX LLaMA-2 decoder + the byte-exact
     prompt contract. `ckpt_path` is an HF LlamaForCausalLM state dict
     (torch); empty => random init (smoke runs). `tokenizer` defaults to the
     byte-level stub when `tiny` (tests; real runs pass the HF LLaMA
-    tokenizer)."""
+    tokenizer). `batch_size > 1` rewrites in left-padded device batches
+    (`make_jax_batch_generate_fn`) instead of the reference's one-prompt-
+    per-call loop."""
     import jax
 
     from spn4cir_tpu.models.llama import LlamaConfig, LlamaLM
@@ -337,6 +426,11 @@ def load_jax_rewriter(ckpt_path: str = "", tokenizer=None, *,
         params = LlamaLM(cfg).init(
             jax.random.PRNGKey(0),
             input_ids=jnp.zeros((1, 4), jnp.int32))["params"]
+    if batch_size > 1:
+        gen = make_jax_batch_generate_fn(
+            params, cfg, tokenizer, max_new_tokens=max_new_tokens_for(data),
+            seed=seed, batch_size=batch_size)
+        return make_llm_batch_rewriter(gen, data, mod_type, llm_type)
     gen = make_jax_generate_fn(params, cfg, tokenizer,
                                max_new_tokens=max_new_tokens_for(data),
                                seed=seed)

@@ -333,11 +333,18 @@ def init_llama_state(cfg: LlamaConfig, batch: int, max_length: int,
 
 
 def llama_prefill(params: Dict[str, Any], cfg: LlamaConfig,
-                  state: LlamaDecodeState, x: jnp.ndarray
+                  state: LlamaDecodeState, x: jnp.ndarray, *,
+                  positions: Optional[jnp.ndarray] = None,
+                  pad_mask: Optional[jnp.ndarray] = None,
                   ) -> Tuple[jnp.ndarray, LlamaDecodeState]:
     """Consume the whole prompt in ONE batched forward: x (B, P, D) input
     embeddings -> (last-position logits (B, vocab), cache filled for
     positions [0, P)).
+
+    `positions` (B, P) / `pad_mask` (B, P, 1=real) support LEFT-padded
+    ragged prompt batches (HF left-padding semantics: per-row RoPE positions
+    from the mask cumsum, pad keys masked out); both default to the dense
+    single-length case.
 
     The sequential alternative — P incremental decode steps — is P
     weight-streaming matvecs (~P x 17 ms at 7B on a v5e chip); this is one
@@ -346,9 +353,16 @@ def llama_prefill(params: Dict[str, Any], cfg: LlamaConfig,
     hd = cfg.head_dim
     n_rep = cfg.num_heads // cfg.kv_heads
     batch, plen, _ = x.shape
-    cos, sin = rope_tables(cfg, jnp.arange(plen))
+    cos, sin = rope_tables(
+        cfg, jnp.arange(plen) if positions is None else positions)
     causal = jnp.where(
         jnp.arange(plen)[None, :] <= jnp.arange(plen)[:, None], 0.0, NEG_INF)
+    if pad_mask is not None:
+        # (B, 1, 1, P) additive key mask on top of the causal structure
+        causal = causal[None, None] + (
+            1.0 - pad_mask.astype(jnp.float32))[:, None, None, :] * NEG_INF
+    else:
+        causal = jnp.broadcast_to(causal[None, None], (1, 1, plen, plen))
 
     layer = params["layers"]["layer"]
 
@@ -368,7 +382,7 @@ def llama_prefill(params: Dict[str, Any], cfg: LlamaConfig,
         vh = _repeat_kv(v.reshape(batch, plen, cfg.kv_heads, hd), n_rep)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, kh,
                             preferred_element_type=jnp.float32) * (hd ** -0.5)
-        logits = logits + causal[None, None]
+        logits = logits + causal
         w = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", w, vh).reshape(batch, plen, -1)
         x = x + _mm(ctx, at["o"]["kernel"]).astype(x.dtype)
@@ -387,15 +401,24 @@ def llama_prefill(params: Dict[str, Any], cfg: LlamaConfig,
 
 def llama_decode_step(params: Dict[str, Any], cfg: LlamaConfig,
                       state: LlamaDecodeState, x: jnp.ndarray,
-                      pos: jnp.ndarray
+                      pos: jnp.ndarray, *,
+                      rope_pos: Optional[jnp.ndarray] = None,
+                      key_mask: Optional[jnp.ndarray] = None,
                       ) -> Tuple[jnp.ndarray, LlamaDecodeState]:
-    """One incremental step: x (B, D) input embedding at position `pos`
-    (scalar int32) -> (logits (B, vocab), updated state)."""
+    """One incremental step: x (B, D) input embedding at cache position
+    `pos` (scalar int32) -> (logits (B, vocab), updated state).
+
+    `rope_pos` (B,) gives per-row RoPE positions when the batch was LEFT-
+    padded (each row's token count differs from its cache index); `key_mask`
+    (B, L) marks valid cache rows (pad prompt positions get 0). Both default
+    to the dense case (rope position == cache position, all rows valid)."""
     hd = cfg.head_dim
     n_rep = cfg.num_heads // cfg.kv_heads
     batch = x.shape[0]
     max_len = state.k.shape[2]
-    cos, sin = rope_tables(cfg, pos)  # (hd,)
+    cos, sin = rope_tables(cfg, pos if rope_pos is None else rope_pos)
+    if rope_pos is not None:
+        cos, sin = cos[:, None, :], sin[:, None, :]  # (B, 1, hd) over heads
     half = hd // 2
 
     def rope1(t):  # t: (B, H, hd) at a single position
@@ -404,6 +427,9 @@ def llama_decode_step(params: Dict[str, Any], cfg: LlamaConfig,
 
     pos_ids = jnp.arange(max_len)
     mask = jnp.where(pos_ids <= pos, 0.0, NEG_INF)[None, None, :]  # (1,1,L)
+    if key_mask is not None:
+        mask = mask + (
+            1.0 - key_mask.astype(jnp.float32))[:, None, :] * NEG_INF
 
     layer = params["layers"]["layer"]
 
@@ -448,7 +474,9 @@ def llama_generate(params: Dict[str, Any], cfg: LlamaConfig,
                    max_new_tokens: int, do_sample: bool = False,
                    temperature: float = 1.0, top_p: float = 1.0,
                    top_k: int = 0, cache_dtype=jnp.float32,
-                   rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                   rng: Optional[jax.Array] = None,
+                   attention_mask: Optional[jnp.ndarray] = None
+                   ) -> jnp.ndarray:
     """Generate continuations of an embedded prompt.
 
     inputs_embeds: (B, P, D) — the prompt as embeddings (image features may
@@ -460,10 +488,14 @@ def llama_generate(params: Dict[str, Any], cfg: LlamaConfig,
     (zscir/captioner_llava.py:51-59) and the rewriter's do_sample/top_k=10
     (zscir/llama_generate.py:55-63). The whole prompt is consumed by the
     same `lax.scan` as the sampled tail — one compiled program per
-    (B, P, max_new_tokens) geometry. All rows share the same prompt length P
-    (the captioner's case: one shared prompt per batch; the rewriter batches
-    by equal length or runs B=1, matching the reference's per-prompt HF
-    pipeline calls)."""
+    (B, P, max_new_tokens) geometry.
+
+    Ragged prompt batches: pass LEFT-padded embeddings with
+    `attention_mask` (B, P, 1=real). Per-row RoPE positions come from the
+    mask cumsum and pad keys stay masked through prefill AND every decode
+    step — each row's stream then matches what it would produce alone
+    (HF left-padding semantics). Without a mask, all rows share prompt
+    length P (the captioner's one-shared-prompt case)."""
     from spn4cir_tpu.models.generation import top_k_filter, top_p_filter
 
     batch, prompt_len, _ = inputs_embeds.shape
@@ -474,6 +506,15 @@ def llama_generate(params: Dict[str, Any], cfg: LlamaConfig,
     embed_table = params["embed_tokens"]
     if not isinstance(embed_table, QuantKernel):
         embed_table = jnp.asarray(embed_table)
+    if attention_mask is not None:
+        am = attention_mask.astype(jnp.int32)
+        positions = jnp.clip(jnp.cumsum(am, axis=1) - 1, 0)  # (B, P)
+        lengths = jnp.sum(am, axis=1)  # (B,) real token counts
+        # generated positions are always valid keys
+        valid = jnp.concatenate(
+            [am, jnp.ones((batch, max_new_tokens), jnp.int32)], axis=1)
+    else:
+        am = positions = lengths = valid = None
 
     def sample_from(logits, key):
         if do_sample:
@@ -488,7 +529,8 @@ def llama_generate(params: Dict[str, Any], cfg: LlamaConfig,
     # prefill: the whole prompt in one MXU-shaped causal forward (cache
     # rows [0, prompt_len)), then a scan of only max_new_tokens-1 decode
     # steps — not prompt_len + max_new_tokens sequential steps
-    logits0, state = llama_prefill(params, cfg, state, inputs_embeds)
+    logits0, state = llama_prefill(params, cfg, state, inputs_embeds,
+                                   positions=positions, pad_mask=am)
     rng, sub = jax.random.split(rng)
     tok0 = sample_from(logits0, sub)
     out = jnp.full((batch, max_new_tokens), pad_id, jnp.int32)
@@ -498,8 +540,10 @@ def llama_generate(params: Dict[str, Any], cfg: LlamaConfig,
     def step(carry, i):
         out, state, last_tok, finished, rng = carry
         x = _embed_rows(embed_table, last_tok)
-        logits, state = llama_decode_step(params, cfg, state, x,
-                                          prompt_len + i - 1)
+        logits, state = llama_decode_step(
+            params, cfg, state, x, prompt_len + i - 1,
+            rope_pos=None if lengths is None else lengths + i - 1,
+            key_mask=valid)
         rng, sub = jax.random.split(rng)
         nxt = sample_from(logits, sub)
         nxt = jnp.where(finished, pad_id, nxt)

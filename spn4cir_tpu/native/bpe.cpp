@@ -16,10 +16,13 @@
 // '!'..'~' is identity), so "byte encoding" is a no-op and merge pairs /
 // vocab entries containing non-ASCII symbols can never apply.
 
+#include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <mutex>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -210,6 +213,40 @@ int bpe_encode(void* h, const char* text, int32_t* out, int max_ids) {
   int write = total < max_ids ? total : max_ids;
   if (write > 0) memcpy(out, ids.data(), (size_t)write * sizeof(int32_t));
   return total;
+}
+
+// Encode n texts in ONE call: amortizes the FFI round-trip (~the dominant
+// cost at caption scale) and distributes rows over worker threads — the
+// batch entry point for dataset iterators / bank extraction, which tokenize
+// thousands of captions at a time.
+//
+// texts: concatenated NUL-terminated strings; offsets[i] = byte offset of
+// text i within it. out is (n, max_ids) row-major; lens[i] receives
+// bpe_encode's per-text result (total ids, possibly > max_ids, or
+// kNeedsFallback / kUnknownToken). n_threads <= 0 picks the hardware
+// concurrency (capped at 16 and at n).
+void bpe_encode_batch(void* h, const char* texts, const int64_t* offsets,
+                      int n, int32_t* out, int32_t* lens, int max_ids,
+                      int n_threads) {
+  if (n <= 0) return;
+  int workers = n_threads > 0 ? n_threads
+                              : (int)std::thread::hardware_concurrency();
+  workers = std::max(1, std::min({workers, n, 16}));
+
+  std::atomic<int> next{0};
+  auto run = [&]() {
+    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1))
+      lens[i] = bpe_encode(h, texts + offsets[i],
+                           out + (size_t)i * max_ids, max_ids);
+  };
+  if (workers == 1) {
+    run();
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(workers);
+  for (int w = 0; w < workers; ++w) pool.emplace_back(run);
+  for (auto& t : pool) t.join();
 }
 
 }  // extern "C"

@@ -159,6 +159,20 @@ class ClipTokenizer:
                     return ids
         return self._encode_py(text)
 
+    def encode_batch(self, texts: Sequence[str]) -> List[List[int]]:
+        """Encode many texts with ONE native FFI call (C-side row threads);
+        rows outside the native contract fall back to the Python path, so
+        results are byte-identical to [self.encode(t) for t in texts]."""
+        if self._native is None:
+            from spn4cir_tpu.tokenizer import native_bpe
+
+            self._native = native_bpe.get_native(self) or False
+        if self._native is False or len(texts) < 2:
+            return [self.encode(t) for t in texts]
+        batched = self._native.encode_batch(list(texts))
+        return [ids if ids is not None else self._encode_py(t)
+                for ids, t in zip(batched, texts)]
+
     def _encode_py(self, text: str) -> List[int]:
         ids: List[int] = []
         for chunk in _SPLIT_PATTERN.findall(_clean(text)):
@@ -193,8 +207,8 @@ def tokenize(
         texts = [texts]
     tok = tokenizer or get_tokenizer()
     out = np.zeros((len(texts), context_length), dtype=np.int32)
-    for row, text in enumerate(texts):
-        ids = [tok.sot_id] + tok.encode(text) + [tok.eot_id]
+    for row, (text, enc) in enumerate(zip(texts, tok.encode_batch(texts))):
+        ids = [tok.sot_id] + enc + [tok.eot_id]
         if len(ids) > context_length:
             if not truncate:
                 raise RuntimeError(

@@ -30,7 +30,7 @@ def _build() -> Optional[str]:
     # racing `g++ -o <same path>` could CDLL a partially written .so
     tmp = f"{_SO}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", tmp]
+           "-pthread", _SRC, "-o", tmp]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=180)
     except (OSError, subprocess.TimeoutExpired) as exc:  # pragma: no cover
@@ -69,6 +69,12 @@ def _load():
         lib.bpe_encode.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                    ctypes.POINTER(ctypes.c_int32),
                                    ctypes.c_int]
+        lib.bpe_encode_batch.restype = None
+        lib.bpe_encode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_int]
         _lib = lib
 
 
@@ -126,6 +132,46 @@ class NativeBpe:
             if n <= len(buf):
                 return buf[:n].tolist()
             buf = np.empty(n, np.int32)
+
+    def encode_batch(self, texts: List[str], max_ids: int = 256,
+                     threads: int = 0) -> List[Optional[List[int]]]:
+        """Encode many texts in ONE FFI call (C-side row threads).
+
+        Returns one entry per text: the id list, or None where the text
+        needs the Python fallback (non-ASCII contract, NUL, or a row
+        longer than `max_ids` — the caller re-encodes those rows)."""
+        n = len(texts)
+        if n == 0:
+            return []
+        raws: List[Optional[bytes]] = []
+        for t in texts:
+            if "\x00" in t:
+                raws.append(None)  # C string would truncate at the NUL
+            else:
+                try:
+                    raws.append(t.encode("utf-8"))
+                except UnicodeEncodeError:  # pragma: no cover
+                    raws.append(None)
+        offsets = np.empty(n, np.int64)
+        blob = bytearray()
+        for i, raw in enumerate(raws):
+            offsets[i] = len(blob)
+            blob += (raw if raw is not None else b"") + b"\x00"
+        out = np.empty((n, max_ids), np.int32)
+        lens = np.empty(n, np.int32)
+        _lib.bpe_encode_batch(
+            self._h, bytes(blob),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max_ids, threads)
+        results: List[Optional[List[int]]] = []
+        for i in range(n):
+            if raws[i] is None or lens[i] < 0 or lens[i] > max_ids:
+                results.append(None)
+            else:
+                results.append(out[i, :lens[i]].tolist())
+        return results
 
 
 # weak keys: a collected tokenizer must not leave a stale entry behind for

@@ -325,3 +325,63 @@ def test_full_datagen_chain_with_llava_and_jax_rewriter(tmp_path):
                      ImageTransform("targetpad", 28), root, plus=True,
                      llmcap=True, extend_suffix="zs")
     assert len(ds2.triplets) == len(ds.triplets) + len(triplets)
+
+
+def test_batch_rewriter_matches_single_path():
+    """make_jax_batch_generate_fn (length-sorted, left-padded buckets) must
+    reproduce the one-prompt-at-a-time path exactly when sampling is
+    deterministic (top_k=1 == argmax), regardless of batch composition or
+    bucket padding."""
+    import jax
+    import jax.numpy as jnp
+
+    from spn4cir_tpu.models.llama import LlamaConfig, LlamaLM
+    from spn4cir_tpu.datagen.llm_rewrite import (make_jax_batch_generate_fn,
+                                                 make_jax_generate_fn)
+    from spn4cir_tpu.tokenizer.bytelevel import ByteTokenizer
+
+    tok = ByteTokenizer()
+    cfg = LlamaConfig.tiny(vocab_size=max(tok.vocab_size, 128))
+    params = LlamaLM(cfg).init(jax.random.PRNGKey(0),
+                               input_ids=jnp.zeros((1, 4), jnp.int32))["params"]
+    prompts = ["a red dress", "a much longer caption about a blue gown",
+               "shirt", "a striped top with sleeves"]
+    single = make_jax_generate_fn(params, cfg, tok, max_new_tokens=6,
+                                  top_k=1, seed=0)
+    batched = make_jax_batch_generate_fn(params, cfg, tok, max_new_tokens=6,
+                                         top_k=1, seed=0, batch_size=3,
+                                         len_bucket=8)
+    want = [single(p) for p in prompts]
+    got = batched(prompts)
+    assert got == want, (got, want)
+
+
+def test_generate_triplets_uses_batch_rewriter(tmp_path):
+    """generate_extended_triplets routes through .rewrite_batch when the
+    rewriter exposes it, attaching llm_caption to every triplet in order."""
+    from spn4cir_tpu.data.datasets import CIRDataset
+    from spn4cir_tpu.data.transforms import ImageTransform
+    from spn4cir_tpu.datagen.generate import generate_extended_triplets
+    from spn4cir_tpu.datagen.llm_rewrite import load_jax_rewriter
+    from tests.fixtures import make_cirr
+
+    root = make_cirr(str(tmp_path / "cirr_dataset"), extended=False)
+    ds = CIRDataset("cirr", "train", "relative",
+                    ImageTransform("targetpad", 28), root)
+    name2cap = {n: f"caption of {n}" for n in ds.imagenames}
+    rewriter = load_jax_rewriter(tiny=True, data="cirr", seed=0, batch_size=4)
+    assert hasattr(rewriter, "rewrite_batch")
+    calls = []
+    inner = rewriter.rewrite_batch
+
+    def spy(pairs):
+        calls.append(len(pairs))
+        return inner(pairs)
+
+    rewriter.rewrite_batch = spy
+    triplets = generate_extended_triplets(ds, name2cap, k=1,
+                                          llm_rewrite=rewriter, seed=0)
+    assert triplets and all(
+        isinstance(t["llm_caption"], str) and t["llm_caption"]
+        for t in triplets)
+    assert calls == [len(triplets)]  # one batched call for the whole list

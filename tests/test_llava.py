@@ -352,3 +352,48 @@ def test_prefill_matches_sequential_decode():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(st_pf.k[:, :, :6]),
                                np.asarray(st_sq.k[:, :, :6]), atol=1e-5)
+
+
+def test_llama_left_padded_batch_matches_hf_and_single():
+    """Ragged prompt batches via LEFT padding + attention_mask: every row's
+    greedy stream must equal (a) the row generated alone and (b) HF
+    `generate` fed the same left-padded input_ids + attention_mask (the
+    batched-rewriter execution mode; the reference runs B=1 per prompt)."""
+    tm = tiny_hf_llama(seed=3)
+    cfg = LlamaConfig.tiny(vocab_size=96)
+    params = convert_llama_state_dict(tm.state_dict(), cfg.num_layers)["params"]
+    emb = params["embed_tokens"]
+    rs = np.random.RandomState(11)
+    lens = [4, 9, 6]
+    prompts = [rs.randint(3, 96, (L,)) for L in lens]
+    plen = max(lens)
+    ids = np.zeros((3, plen), np.int64)
+    mask = np.zeros((3, plen), np.int64)
+    for r, p in enumerate(prompts):
+        ids[r, plen - len(p):] = p
+        mask[r, plen - len(p):] = 1
+    got = np.asarray(llama_generate(
+        params, cfg, jnp.asarray(np.asarray(emb)[ids]), eos_id=2, pad_id=0,
+        max_new_tokens=10, attention_mask=jnp.asarray(mask)))
+    # (a) per-prompt greedy
+    for r, p in enumerate(prompts):
+        alone = np.asarray(llama_generate(
+            params, cfg, jnp.asarray(np.asarray(emb)[p])[None], eos_id=2,
+            pad_id=0, max_new_tokens=10))[0]
+        assert np.array_equal(got[r], alone), (r, got[r], alone)
+    # (b) HF with the same left-padded batch
+    with torch.no_grad():
+        hf_out = tm.generate(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask),
+            max_new_tokens=10, do_sample=False, eos_token_id=2,
+            pad_token_id=0).numpy()[:, plen:]
+    n = min(hf_out.shape[1], got.shape[1])
+    # HF stops the whole batch when every row hit EOS; compare the overlap
+    # with our pad_id-after-EOS convention
+    for r in range(3):
+        row_hf = hf_out[r, :n]
+        row = got[r, :n].copy()
+        done = np.where(row_hf == 2)[0]
+        if done.size:  # HF pads with pad_token_id after EOS too
+            row[done[0] + 1:] = 0
+        assert np.array_equal(row_hf, row), (r, row_hf, row)

@@ -87,3 +87,37 @@ def test_long_text_total_count(tok, native):
     got = native.encode(s)
     assert got == tok._encode_py(s)
     assert len(got) > 512  # exercised the grow-and-retry path
+
+
+def test_encode_batch_matches_per_text(tok, native):
+    """One-FFI-call batch path: exact per-row parity with the Python path,
+    None exactly where the contract demands fallback (non-ASCII, NUL,
+    rows longer than max_ids)."""
+    texts = CAPTIONS + ["café au lait", "nul\x00byte", "&amp;",
+                        "make the dress red", "x " * 300]
+    got = native.encode_batch(texts, max_ids=256)
+    assert len(got) == len(texts)
+    for s, ids in zip(texts, got):
+        if ids is None:
+            # fallback rows: non-ASCII contract or overflow
+            assert (native.encode(s) is None
+                    or len(tok._encode_py(s)) > 256), repr(s)
+        else:
+            assert ids == tok._encode_py(s), repr(s)
+
+
+def test_encode_batch_threads_deterministic(tok, native):
+    rnd = random.Random(3)
+    alphabet = string.ascii_letters + string.digits + " '"
+    texts = ["".join(rnd.choice(alphabet) for _ in range(rnd.randint(0, 60)))
+             for _ in range(257)]
+    want = [tok._encode_py(s) for s in texts]
+    for threads in (1, 4):
+        got = native.encode_batch(texts, threads=threads)
+        assert got == want
+
+
+def test_tokenizer_encode_batch_public(tok):
+    """ClipTokenizer.encode_batch == [encode(t) ...] including fallbacks."""
+    texts = ["blue dress", "café", "is longer", "", "<|endoftext|> x"]
+    assert tok.encode_batch(texts) == [tok.encode(t) for t in texts]

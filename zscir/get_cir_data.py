@@ -45,6 +45,10 @@ if __name__ == "__main__":
                         "--llm_backend jax")
     p.add_argument("--llm_tokenizer", default="",
                    help="LLaMA tokenizer dir for --llm_backend jax")
+    p.add_argument("--llm_batch", type=int, default=1,
+                   help=">1 rewrites in left-padded device batches of this "
+                        "size (jax backends; decode at 7B is weight-bound, "
+                        "so B prompts cost ~one prompt's HBM traffic)")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args()
     data_path = args.data_path or ("fashionIQ_dataset" if args.dataset == "fiq"
@@ -76,7 +80,8 @@ if __name__ == "__main__":
                 tok = AutoTokenizer.from_pretrained(args.llm_tokenizer)
             rewriter = load_jax_rewriter(
                 args.llm_ckpt, tok, data=args.dataset,
-                tiny=(args.llm_backend == "jax-tiny"), seed=args.seed)
+                tiny=(args.llm_backend == "jax-tiny"), seed=args.seed,
+                batch_size=args.llm_batch)
     triplets = generate_extended_triplets(
         ds, name2cap, k=args.k, total_cap=args.K,
         prompt_ids=[int(x) for x in args.p_list.split(",")],
