@@ -231,8 +231,16 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
         if neg_num:
             raise SystemExit("--neg_num (sampled negatives) is not supported"
                              " with a mesh; the sharded loss is full-bank")
-        if args.dropout:
-            raise SystemExit("--dropout is not supported with a mesh")
+        # --dropout composes with the mesh for MED-family backbones: the
+        # fusion path takes a dropout_rng kwarg (blip fuse / blip2
+        # stage2_query_feats); clip/tgcir warn-and-ignore (cli/common.py)
+        import inspect
+
+        mesh_dropout_fn = (backbone.stage2_query_feats
+                           if hasattr(backbone, "stage2_query_feats")
+                           else backbone.fuse)
+        mesh_dropout = bool(args.dropout) and (
+            "dropout_rng" in inspect.signature(mesh_dropout_fn).parameters)
         if jax.process_count() > 1:
             # multi-host: data axis spans slices over DCN; bank AND the
             # TP model axis stay intra-slice so their per-step collectives
@@ -254,11 +262,13 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
             template = state
             state = jax.device_put(state, tp_state_shardings(state, mesh))
             sharded_step = make_sharded_stage2_step(
-                backbone, mesh, m_actual=m_actual, state_template=template)
+                backbone, mesh, m_actual=m_actual, state_template=template,
+                with_dropout=mesh_dropout)
         else:
             state = replicate(state, mesh)
-            sharded_step = make_sharded_stage2_step(backbone, mesh,
-                                                    m_actual=m_actual)
+            sharded_step = make_sharded_stage2_step(
+                backbone, mesh, m_actual=m_actual,
+                with_dropout=mesh_dropout)
         print(f"mesh: data={mesh.shape['data']} bank={mesh.shape['bank']}"
               + (f" model={mesh.shape['model']}" if train_mesh_model > 1
                  else ""))
@@ -318,6 +328,10 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
             # device-resident loss accumulation: no per-step host sync
             ep_start = start_step if epoch == start_epoch else 0
             hook = make_step_hook(epoch)
+            # same (seed*1000+epoch, fold_in step) stream as the
+            # single-chip path, so mesh runs replay identically
+            ep_drop_rng = (jax.random.PRNGKey(args.seed * 1000 + epoch)
+                           if mesh_dropout else None)
             loss_sum, count = None, 0
             for step, raw in enumerate(
                     _itb(train_ds, args.batch_size,
@@ -328,6 +342,9 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
                     "text_ids": jnp.asarray(backbone.tokenize(raw["captions"])),
                     "labels": jnp.asarray(raw["target_image_id"]),
                 }, mesh)
+                if ep_drop_rng is not None:
+                    batch["dropout_rng"] = replicate(
+                        jax.random.fold_in(ep_drop_rng, step), mesh)
                 state, loss = sharded_step(state, bank_padded, batch)
                 loss_sum = loss if loss_sum is None else loss_sum + loss
                 count += 1

@@ -39,7 +39,8 @@ def tp_state_shardings(state, mesh: Mesh):
 
 def make_sharded_stage2_step(backbone: CIRBackbone, mesh: Mesh, tau=None,
                              m_actual: int | None = None,
-                             state_template=None):
+                             state_template=None,
+                             with_dropout: bool = False):
     """Build a jitted (state, target_bank, batch) -> (state, loss) step.
 
     Flat backbones (clip/tgcir/blip: (B, D) query vs (M, D) bank) pair the
@@ -56,7 +57,13 @@ def make_sharded_stage2_step(backbone: CIRBackbone, mesh: Mesh, tau=None,
     all-reduces inside the fusion forward/backward, the shard_map loss
     combines bank shards with pmax/psum, and the grad all-reduce over
     'data' comes from the replicated-param sum. Place the state with
-    `tp_state_shardings` first."""
+    `tp_state_shardings` first.
+
+    `with_dropout` (MED-family backbones whose fusion path takes a
+    dropout_rng): batch carries a replicated 'dropout_rng' key and the
+    live tower runs train-mode dropout. JAX's counter-based PRNG makes
+    the mask a pure function of logical position, so the sharded loss
+    matches the single-chip value for the same key."""
 
     def live_tau(params):
         # a learnable temperature (blip4cir's params['params']['tau'],
@@ -76,13 +83,16 @@ def make_sharded_stage2_step(backbone: CIRBackbone, mesh: Mesh, tau=None,
              batch: Dict[str, jnp.ndarray]):
         def loss_fn(params):
             m = m_actual if m_actual is not None else target_bank.shape[0]
+            kw = ({"dropout_rng": batch["dropout_rng"]} if with_dropout
+                  else {})
             if max_query:
                 feats = backbone.stage2_query_feats(
-                    params, batch["refer_feats"], batch["text_ids"])
+                    params, batch["refer_feats"], batch["text_ids"], **kw)
                 return sharded_max_query_infonce(
                     feats, target_bank, batch["labels"], live_tau(params),
                     mesh, m_actual=m)
-            query = backbone.fuse(params, batch["refer_feats"], batch["text_ids"])
+            query = backbone.fuse(params, batch["refer_feats"],
+                                  batch["text_ids"], **kw)
             return sharded_bank_infonce(
                 query, target_bank, batch["labels"], live_tau(params), mesh,
                 m_actual=m)
@@ -103,9 +113,12 @@ def make_sharded_stage2_step(backbone: CIRBackbone, mesh: Mesh, tau=None,
     # ksh works for QuantBank too: a single sharding acts as a pytree
     # prefix, placing values (M, D|Q,D) and scales (M[,Q]) with dim-0 rows
     # on 'bank' — scales travel with their rows.
+    batch_sh = {"refer_feats": bsh, "text_ids": bsh, "labels": bsh}
+    if with_dropout:
+        batch_sh["dropout_rng"] = rep
     return jax.jit(
         step,
-        in_shardings=(ssh, ksh, {"refer_feats": bsh, "text_ids": bsh, "labels": bsh}),
+        in_shardings=(ssh, ksh, batch_sh),
         out_shardings=(ssh, rep),
     )
 

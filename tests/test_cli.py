@@ -265,3 +265,18 @@ def test_train_cli_bf16_bank(fiq_root, tmp_path, monkeypatch):
         "--output_path", str(tmp_path / "out"),
     ])
     assert best >= 0
+
+
+def test_train_cli_blip2_mesh_dropout(fiq_root, tmp_path, monkeypatch):
+    """--dropout now composes with the mesh for MED-family backbones: the
+    sharded step carries a replicated per-step dropout key (train-mode
+    Q-Former dropout, the reference's stage-2 regularization regime)."""
+    monkeypatch.chdir(tmp_path)
+    best = train_main("blip2", [
+        "--dataset", "fiq", "--data_path", fiq_root,
+        "--dress_types", "dress", "--clip-model-name", "test-tiny",
+        "--num-epochs", "1", "--batch-size", "4",
+        "--mesh_data", "4", "--mesh_bank", "2", "--dropout", "0.1",
+        "--output_path", str(tmp_path / "out_mesh_drop"),
+    ])
+    assert best >= 0

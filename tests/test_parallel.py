@@ -299,3 +299,39 @@ def test_three_axis_blip2_step_matches_single_chip():
     _, loss_q = step(sharded_state, put_bank(pad_bank_rows(qb, 2), mesh),
                      batch)
     assert abs(float(loss_q) - want_q) < 1e-5, (float(loss_q), want_q)
+
+
+def test_sharded_step_dropout_matches_single_chip():
+    """--dropout on a mesh (MED-family): the sharded step with a replicated
+    dropout_rng must reproduce the single-chip train-mode loss for the same
+    key (JAX's counter-based PRNG makes the mask sharding-invariant), and
+    differ from the no-dropout loss."""
+    bb = build_backbone("blip", blip_size="test-tiny", tau=0.05,
+                        dropout=0.1)
+    params = bb.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh(data=2, bank=2, devices=jax.devices()[:4])
+    rng = np.random.RandomState(0)
+    b, m = 4, 9
+    refer = jnp.asarray(
+        rng.randn(b, *bb.bank_spec().refer_shape).astype(np.float32))
+    bank = rng.randn(m, bb.embed_dim).astype(np.float32)
+    bank = jnp.asarray(bank / np.linalg.norm(bank, axis=-1, keepdims=True))
+    text = jnp.asarray(bb.tokenize([f"caption {i}" for i in range(b)]))
+    labels = jnp.asarray(rng.randint(0, m, b))
+    key = jax.random.PRNGKey(7)
+
+    want = float(bb.stage2_loss(params, refer, text, bank, labels,
+                                impl="xla", dropout_rng=key))
+    want_nodrop = float(bb.stage2_loss(params, refer, text, bank, labels,
+                                       impl="xla"))
+    assert abs(want - want_nodrop) > 1e-6, "dropout had no effect"
+
+    state = replicate(create_train_state(bb, params, 1e-3), mesh)
+    batch = shard_batch({"refer_feats": refer, "text_ids": text,
+                         "labels": labels}, mesh)
+    batch["dropout_rng"] = replicate(key, mesh)
+    step = make_sharded_stage2_step(bb, mesh, m_actual=m, with_dropout=True)
+    new_state, loss = step(state, put_bank(pad_bank_rows(bank, 2), mesh),
+                           batch)
+    assert abs(float(loss) - want) < 1e-5, (float(loss), want)
+    assert int(new_state.step) == 1
