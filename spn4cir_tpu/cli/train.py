@@ -233,11 +233,14 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
                              " with a mesh; the sharded loss is full-bank")
         # --dropout composes with the mesh for MED-family backbones: the
         # fusion path takes a dropout_rng kwarg (blip fuse / blip2
-        # stage2_query_feats); clip/tgcir warn-and-ignore (cli/common.py)
+        # stage2_query_feats); clip/tgcir warn-and-ignore (cli/common.py).
+        # The probed method MUST be the one the sharded step dispatches to
+        # (same condition as make_sharded_stage2_step's max_query).
         import inspect
 
         mesh_dropout_fn = (backbone.stage2_query_feats
                            if hasattr(backbone, "stage2_query_feats")
+                           and len(backbone.bank_spec().target_shape) == 2
                            else backbone.fuse)
         mesh_dropout = bool(args.dropout) and (
             "dropout_rng" in inspect.signature(mesh_dropout_fn).parameters)

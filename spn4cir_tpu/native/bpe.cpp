@@ -231,7 +231,10 @@ void bpe_encode_batch(void* h, const char* texts, const int64_t* offsets,
   if (n <= 0) return;
   int workers = n_threads > 0 ? n_threads
                               : (int)std::thread::hardware_concurrency();
-  workers = std::max(1, std::min({workers, n, 16}));
+  // thread spawn+join costs tens of us — more than encoding a small batch
+  // of cached captions. Keep >= 32 rows per worker so serving-sized
+  // micro-batches (a few dozen captions) stay on the calling thread.
+  workers = std::max(1, std::min({workers, n / 32, 16}));
 
   std::atomic<int> next{0};
   auto run = [&]() {

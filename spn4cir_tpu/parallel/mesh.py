@@ -134,12 +134,20 @@ def make_hybrid_mesh(
     traffic once per step), while the bank axis — and the tensor-parallel
     model axis, whose per-layer all-reduces are latency-critical — stay
     inside a slice so their collectives ride ICI.
-    Falls back to `make_mesh` on a single slice."""
+
+    The granule is the TPU slice when devices carry `slice_index`;
+    otherwise (multi-host CPU/GPU — the 2-process smoke test) each host
+    process is the granule. Falls back to `make_mesh` on a single
+    slice/process."""
     from jax.experimental import mesh_utils
 
     devices = jax.devices()
-    slice_ids = sorted({getattr(d, "slice_index", 0) for d in devices})
-    n_slices = num_slices if num_slices is not None else len(slice_ids)
+    has_slice = all(hasattr(d, "slice_index") for d in devices)
+    if has_slice:
+        granules = {d.slice_index for d in devices}
+    else:
+        granules = {d.process_index for d in devices}
+    n_slices = num_slices if num_slices is not None else len(granules)
     if n_slices <= 1:
         return make_mesh(data=data_per_slice, bank=bank, model=model)
     per_slice = len(devices) // n_slices
@@ -148,16 +156,12 @@ def make_hybrid_mesh(
         data_per_slice = per_slice // (bank * model)
     assert data_per_slice * bank * model == per_slice, (
         data_per_slice, bank, model, per_slice)
-    if model > 1:
-        arr = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(data_per_slice, bank, model),
-            dcn_mesh_shape=(n_slices, 1, 1),
-            devices=devices,
-        )
-        return Mesh(arr, (AXIS_DATA, AXIS_BANK, AXIS_MODEL))
+    extra = (model,) if model > 1 else ()
     arr = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(data_per_slice, bank),
-        dcn_mesh_shape=(n_slices, 1),
+        mesh_shape=(data_per_slice, bank) + extra,
+        dcn_mesh_shape=(n_slices, 1) + (1,) * len(extra),
         devices=devices,
+        process_is_granule=not has_slice,
     )
-    return Mesh(arr, (AXIS_DATA, AXIS_BANK))  # (n_slices*data_per_slice, bank)
+    names = (AXIS_DATA, AXIS_BANK) + ((AXIS_MODEL,) if extra else ())
+    return Mesh(arr, names)  # data axis = n_slices * data_per_slice

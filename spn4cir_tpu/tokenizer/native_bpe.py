@@ -62,6 +62,20 @@ def _load():
         except OSError as exc:  # pragma: no cover
             _build_error = str(exc)
             return
+        if not hasattr(lib, "bpe_encode_batch"):
+            # a stale .so from before the batch API whose mtime defeated
+            # the rebuild guard (mtime-preserving deploys): rebuild once,
+            # and disable the native path rather than crash if that fails
+            err = _build()
+            if err is None:
+                try:
+                    lib = ctypes.CDLL(_SO)
+                except OSError as exc:  # pragma: no cover
+                    _build_error = str(exc)
+                    return
+            if not hasattr(lib, "bpe_encode_batch"):  # pragma: no cover
+                _build_error = err or "stale _bpe.so lacks bpe_encode_batch"
+                return
         lib.bpe_create.restype = ctypes.c_void_p
         lib.bpe_create.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
         lib.bpe_destroy.argtypes = [ctypes.c_void_p]

@@ -83,12 +83,16 @@ def main():
 
     # 3-axis multi-host: TP (model) + bank intra-"slice", data across the
     # two processes — the full composed production step with cross-process
-    # collectives (the CLI builds this via make_hybrid_mesh on real pods)
+    # collectives, on the SAME make_hybrid_mesh code path the CLI runs on
+    # real pods (each process is the DCN granule here; the data axis spans
+    # processes, bank and model stay within one)
+    from spn4cir_tpu.parallel.mesh import make_hybrid_mesh
     from spn4cir_tpu.parallel.train import tp_state_shardings
 
     bb2 = build_backbone("blip2", blip2_size="test-tiny")
     p2 = bb2.init_params(jax.random.PRNGKey(0))
-    mesh3 = make_mesh(data=2, bank=2, model=2)
+    mesh3 = make_hybrid_mesh(bank=2, model=2)
+    assert dict(mesh3.shape) == {"data": 2, "bank": 2, "model": 2}, mesh3
     spec2 = bb2.bank_spec()
     b2, m2 = 4, 9
     refer2 = rng.randn(b2, *spec2.refer_shape).astype(np.float32)
