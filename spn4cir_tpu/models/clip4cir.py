@@ -92,10 +92,15 @@ class ClipCIR(CIRBackbone):
 
     def stage1_loss(self, params, images_refer, images_target, text_ids):
         """In-batch InfoNCE training the full model end-to-end
-        (ref clip4cir/models.py:146-161, `wo_bank=True` branch)."""
-        refer = self.encode_image(params, images_refer)
-        target = infonce.l2_normalize(
-            self.encode_image(params, images_target).astype(jnp.float32))
+        (ref clip4cir/models.py:146-161, `wo_bank=True` branch). Refer and
+        target ride ONE 2B-batch tower call: per-sample math is identical
+        to two B-batch calls, and the doubled GEMM batch keeps the MXU
+        fuller through fwd+bwd."""
+        b = images_refer.shape[0]
+        both = self.encode_image(
+            params, jnp.concatenate([images_refer, images_target], axis=0))
+        refer = both[:b]
+        target = infonce.l2_normalize(both[b:].astype(jnp.float32))
         query = self.combine(refer, self.encode_text(params, text_ids))
         return infonce.in_batch_infonce(query, target, self.tau)
 

@@ -1,0 +1,85 @@
+"""Stage-1 training-step throughput at reference scale.
+
+Stage-1 fine-tunes the FULL model end-to-end (both image encodes + text
+encode, in-batch InfoNCE — ref `clip4cir/models.py:146-161` `wo_bank`
+branch, `zscir/models.py:145-169`): per step it runs fwd+bwd over 2B
+images plus B captions, so unlike stage-2 (frozen-bank, text-only live
+tower) the image towers dominate. This measures that step on hardware.
+
+Methodology matches bench.py / train_bench.py for the remote-TPU harness:
+scalar-fetch forcing, min-of-N over multi-step chains. Prints one JSON
+line per measurement.
+
+Usage: python tools/stage1_bench.py [--clip-model-name RN50x4] [--batch 64]
+       [--dim 288] [--grad_ckpt]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--clip-model-name", default="RN50x4")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--dim", type=int, default=288)
+    p.add_argument("--grad_ckpt", action="store_true")
+    p.add_argument("--fp32", action="store_true",
+                   help="fp32 baseline (default bf16)")
+    p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--steps", type=int, default=3,
+                   help="chained steps per timing rep")
+    args = p.parse_args()
+
+    from spn4cir_tpu.models.api import build_backbone
+    from spn4cir_tpu.train.stage1 import create_stage1_state, stage1_train_step
+
+    backbone = build_backbone(
+        "clip", clip_model_name=args.clip_model_name, tau=0.02,
+        dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+        remat=args.grad_ckpt)
+    params = jax.jit(backbone.init_params)(jax.random.PRNGKey(0))
+    state = create_stage1_state(backbone, params, 2e-6)
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    batch = {
+        "refer_images": jax.random.normal(
+            k1, (args.batch, args.dim, args.dim, 3), jnp.float32),
+        "target_images": jax.random.normal(
+            k2, (args.batch, args.dim, args.dim, 3), jnp.float32),
+        "text_ids": jax.random.randint(
+            k3, (args.batch, 77), 0, 49000).astype(jnp.int32),
+    }
+
+    s, loss = stage1_train_step(backbone, state, batch)  # compile
+    float(loss)
+    best = float("inf")
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        s2 = state
+        for _ in range(args.steps):
+            s2, loss = stage1_train_step(backbone, s2, batch)
+        float(loss)
+        best = min(best, (time.perf_counter() - t0) / args.steps)
+
+    print(json.dumps({
+        "metric": "stage1_train_step_seconds",
+        "config": {"model": args.clip_model_name, "batch": args.batch,
+                   "dim": args.dim, "grad_ckpt": args.grad_ckpt,
+                   "dtype": "float32" if args.fp32 else "bfloat16"},
+        "value": round(best, 4),
+        "triplets_per_sec": round(args.batch / best, 1),
+        "images_per_sec": round(2 * args.batch / best, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
