@@ -150,12 +150,19 @@ def make_llava_captioner(params, *, tokenizer=None, tokenizer_path: str = "",
         params = cap.init_params(jax.random.PRNGKey(0))
     elif isinstance(params, str):
         from spn4cir_tpu.models.convert import (convert_llava_state_dict,
+                                                is_converted_checkpoint,
+                                                load_converted_params,
                                                 load_torch_state_dict)
-        params = convert_llava_state_dict(
-            load_torch_state_dict(params), cfg.llama.num_layers,
-            cfg.vision.effective_layers)
+        if is_converted_checkpoint(params):
+            # tools/convert_ckpt.py --backbone llava output
+            params = load_converted_params(params)
+        else:
+            params = convert_llava_state_dict(
+                load_torch_state_dict(params), cfg.llama.num_layers,
+                cfg.vision.effective_layers)
 
-    if quantize_weights:
+    from spn4cir_tpu.models.convert import has_quantized_leaves
+    if quantize_weights and not has_quantized_leaves(params):
         # weight-only int8 LM (models/llama.py): halves weight HBM; greedy
         # token streams match the full-precision model at tiny geometry.
         # Host numpy trees quantize HOST-side (device quantization needs

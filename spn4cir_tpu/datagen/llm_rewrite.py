@@ -247,7 +247,8 @@ PROMPTS_BOTH = [
 
 
 def make_jax_generate_fn(params, cfg, tokenizer, *, max_new_tokens: int = 25,
-                         top_k: int = 10, seed: int = 0):
+                         top_k: int = 10, seed: int = 0,
+                         cache_dtype=None):
     """TPU-native LM execution for the rewriter: the JAX LLaMA decoder
     (models/llama.py) with the reference's exact sampling semantics
     (zscir/llama_generate.py:55-63: do_sample=True, top_k=10, HF-default
@@ -276,7 +277,9 @@ def make_jax_generate_fn(params, cfg, tokenizer, *, max_new_tokens: int = 25,
             jit_cache[key] = jax.jit(lambda p, e, r: llama_generate(
                 p, cfg, e, eos_id=eos, pad_id=eos,
                 max_new_tokens=max_new_tokens, do_sample=True,
-                temperature=1.0, top_p=1.0, top_k=top_k, rng=r))
+                temperature=1.0, top_p=1.0, top_k=top_k, rng=r,
+                **({} if cache_dtype is None
+                   else {"cache_dtype": cache_dtype})))
         # embedding lookup stays on device (dense or int8 QuantKernel) —
         # pulling the table to host per prompt would transfer GBs
         embeds = _embed_rows(params["embed_tokens"],
@@ -296,7 +299,7 @@ def make_jax_generate_fn(params, cfg, tokenizer, *, max_new_tokens: int = 25,
 def make_jax_batch_generate_fn(params, cfg, tokenizer, *,
                                max_new_tokens: int = 25, top_k: int = 10,
                                seed: int = 0, batch_size: int = 8,
-                               len_bucket: int = 32):
+                               len_bucket: int = 32, cache_dtype=None):
     """Batched TPU-native rewriting: many prompts per `llama_generate` call.
 
     The reference's HF pipeline rewrites one prompt per generate call
@@ -330,24 +333,30 @@ def make_jax_batch_generate_fn(params, cfg, tokenizer, *,
             idxs = order[lo:lo + batch_size]
             longest = max(len(enc[i]) for i in idxs)
             plen = -(-longest // len_bucket) * len_bucket
+            # a lone prompt runs as a true B=1 program instead of being
+            # padded to the full batch (batch_size x the device work)
+            bs = batch_size if len(idxs) > 1 else 1
             # repeat rows to the static batch size (outputs discarded)
-            rows = idxs + [idxs[-1]] * (batch_size - len(idxs))
-            ids = np.full((batch_size, plen), eos, np.int32)
-            mask = np.zeros((batch_size, plen), np.int32)
+            rows = idxs + [idxs[-1]] * (bs - len(idxs))
+            ids = np.full((bs, plen), eos, np.int32)
+            mask = np.zeros((bs, plen), np.int32)
             for r, i in enumerate(rows):
                 ids[r, plen - len(enc[i]):] = enc[i]
                 mask[r, plen - len(enc[i]):] = 1
-            if plen not in jit_cache:
-                jit_cache[plen] = jax.jit(lambda p, e, m, r: llama_generate(
+            key = (bs, plen)
+            if key not in jit_cache:
+                jit_cache[key] = jax.jit(lambda p, e, m, r: llama_generate(
                     p, cfg, e, eos_id=eos, pad_id=eos,
                     max_new_tokens=max_new_tokens, do_sample=True,
                     temperature=1.0, top_p=1.0, top_k=top_k, rng=r,
-                    attention_mask=m))
+                    attention_mask=m,
+                    **({} if cache_dtype is None
+                       else {"cache_dtype": cache_dtype})))
             embeds = _embed_rows(params["embed_tokens"],
                                  jnp.asarray(ids, jnp.int32))
             rng_holder["rng"], sub = jax.random.split(rng_holder["rng"])
-            out = np.asarray(jit_cache[plen](params, embeds,
-                                             jnp.asarray(mask), sub))
+            out = np.asarray(jit_cache[key](params, embeds,
+                                            jnp.asarray(mask), sub))
             for r, i in enumerate(idxs):
                 toks = []
                 for t in out[r].tolist():
@@ -383,7 +392,8 @@ def make_llm_batch_rewriter(generate_batch_fn, data: str = "fiq",
 def load_jax_rewriter(ckpt_path: str = "", tokenizer=None, *,
                       data: str = "fiq", mod_type: int = 0,
                       llm_type: int = 1, tiny: bool = False, seed: int = 0,
-                      quantize_weights: bool = False, batch_size: int = 1):
+                      quantize_weights: bool = False, batch_size: int = 1,
+                      cache_dtype=None):
     """End-to-end TPU-native rewriter: JAX LLaMA-2 decoder + the byte-exact
     prompt contract. `ckpt_path` is an HF LlamaForCausalLM state dict
     (torch); empty => random init (smoke runs). `tokenizer` defaults to the
@@ -406,11 +416,17 @@ def load_jax_rewriter(ckpt_path: str = "", tokenizer=None, *,
            if tiny else LlamaConfig.llama2_7b_chat())
     if ckpt_path:
         from spn4cir_tpu.models.convert import (
-            convert_llama_state_dict, load_torch_state_dict,
-            quantize_llama_weights_host)
-        params = convert_llama_state_dict(load_torch_state_dict(ckpt_path),
-                                          cfg.num_layers)["params"]
-        if quantize_weights:
+            convert_llama_state_dict, has_quantized_leaves,
+            is_converted_checkpoint, load_converted_params,
+            load_torch_state_dict, quantize_llama_weights_host)
+        if is_converted_checkpoint(ckpt_path):
+            # tools/convert_ckpt.py --backbone llama output (possibly
+            # already --quantize_int8'd)
+            params = load_converted_params(ckpt_path)["params"]
+        else:
+            params = convert_llama_state_dict(
+                load_torch_state_dict(ckpt_path), cfg.num_layers)["params"]
+        if quantize_weights and not has_quantized_leaves(params):
             params = quantize_llama_weights_host(params)
         # one transfer now — numpy jit args would re-upload the whole
         # weight tree on every rewrite call
@@ -426,14 +442,21 @@ def load_jax_rewriter(ckpt_path: str = "", tokenizer=None, *,
         params = LlamaLM(cfg).init(
             jax.random.PRNGKey(0),
             input_ids=jnp.zeros((1, 4), jnp.int32))["params"]
+    if cache_dtype is None and not tiny:
+        # 7B production default: bf16 KV cache — halves cache HBM (the
+        # BENCHMARKS.md rewriter numbers are measured in this config, and
+        # the reference's own pipeline runs fp16 on GPU). Tiny test configs
+        # keep f32 so the HF-exactness tests stay bit-deterministic.
+        import jax.numpy as jnp
+        cache_dtype = jnp.bfloat16
     if batch_size > 1:
         gen = make_jax_batch_generate_fn(
             params, cfg, tokenizer, max_new_tokens=max_new_tokens_for(data),
-            seed=seed, batch_size=batch_size)
+            seed=seed, batch_size=batch_size, cache_dtype=cache_dtype)
         return make_llm_batch_rewriter(gen, data, mod_type, llm_type)
     gen = make_jax_generate_fn(params, cfg, tokenizer,
                                max_new_tokens=max_new_tokens_for(data),
-                               seed=seed)
+                               seed=seed, cache_dtype=cache_dtype)
     return make_llm_rewriter(gen, data, mod_type, llm_type)
 
 

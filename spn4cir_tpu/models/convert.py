@@ -12,6 +12,8 @@ per-layer block weights into the nn.scan axis. torch is imported lazily
 
 from __future__ import annotations
 
+import os
+
 from typing import Any, Dict, Optional
 
 import jax
@@ -861,3 +863,56 @@ def quantize_llama_weights_host(params: Dict[str, Any]) -> Dict[str, Any]:
         "norm": params["norm"],
         "lm_head": quant_cols(params["lm_head"]),
     }
+
+
+def is_converted_checkpoint(path: str) -> bool:
+    """True when `path` was written by save_model / tools/convert_ckpt.py
+    (flax msgpack) rather than torch. Detected by the sidecar metadata or
+    extension, with a content sniff as fallback: torch zip saves start
+    'PK\\x03\\x04' and legacy pickle with 0x80 exactly, while our msgpack
+    root is a fixmap with >=1 entries (0x81-0x8f)."""
+    if path.endswith((".msgpack", ".flax")):
+        return True
+    if os.path.exists(path + ".meta.json"):
+        return True
+    try:
+        with open(path, "rb") as f:
+            first = f.read(1)
+    except OSError:
+        return False
+    return bool(first) and 0x81 <= first[0] <= 0x8F
+
+
+def load_converted_params(path: str):
+    """Load a checkpoint written by save_model (flax msgpack). QuantKernel
+    leaves (weight-only int8 LLMs) serialize as {'values','scales'} dicts —
+    flax flattens NamedTuples to their field dict — and are rebuilt here so
+    `_mm` / `_embed_rows` dispatch on the tuple type again."""
+    from flax import serialization
+
+    from spn4cir_tpu.models.llama import QuantKernel
+
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+
+    def rebuild(node):
+        if isinstance(node, dict):
+            if (set(node.keys()) == {"values", "scales"}
+                    and getattr(node["values"], "dtype", None) == np.int8):
+                return QuantKernel(node["values"], node["scales"])
+            return {k: rebuild(v) for k, v in node.items()}
+        return node
+
+    return rebuild(raw)
+
+
+def has_quantized_leaves(tree) -> bool:
+    """True when any leaf is already a QuantKernel (pre-quantized converted
+    checkpoint) — re-quantizing would int8-quantize int8 values."""
+    import jax
+
+    from spn4cir_tpu.models.llama import QuantKernel
+
+    return any(isinstance(leaf, QuantKernel) for leaf in
+               jax.tree_util.tree_leaves(
+                   tree, is_leaf=lambda x: isinstance(x, QuantKernel)))

@@ -309,11 +309,6 @@ void resize_bicubic_window(const ImageU8& in, int out_w, int out_h,
   }
 }
 
-void resize_bicubic(const ImageU8& in, int out_w, int out_h,
-                    std::vector<float>* out /* out_h*out_w*3 */) {
-  resize_bicubic_window(in, out_w, out_h, 0, 0, out_w, out_h, out);
-}
-
 enum PadKind { KIND_CLIP = 0, KIND_SQUAREPAD = 1, KIND_TARGETPAD = 2 };
 
 bool preprocess_one(const char* path, int kind, int dim, float target_ratio,

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import shutil
 import subprocess
 import threading
 from typing import List, Optional
@@ -68,11 +69,21 @@ def _load():
             # and disable the native path rather than crash if that fails
             err = _build()
             if err is None:
+                # glibc dlopen dedupes by pathname, so re-CDLLing _SO would
+                # return the already-mapped stale object; load the rebuilt
+                # library through a unique path (the mapping survives unlink)
+                fresh = f"{_SO}.{os.getpid()}.reload"
                 try:
-                    lib = ctypes.CDLL(_SO)
+                    shutil.copyfile(_SO, fresh)
+                    lib = ctypes.CDLL(fresh)
                 except OSError as exc:  # pragma: no cover
                     _build_error = str(exc)
                     return
+                finally:
+                    try:
+                        os.unlink(fresh)
+                    except OSError:  # pragma: no cover
+                        pass
             if not hasattr(lib, "bpe_encode_batch"):  # pragma: no cover
                 _build_error = err or "stale _bpe.so lacks bpe_encode_batch"
                 return

@@ -385,3 +385,43 @@ def test_generate_triplets_uses_batch_rewriter(tmp_path):
         isinstance(t["llm_caption"], str) and t["llm_caption"]
         for t in triplets)
     assert calls == [len(triplets)]  # one batched call for the whole list
+
+
+def test_converted_msgpack_rewriter_roundtrip(tmp_path):
+    """tools/convert_ckpt.py's llama output (flax msgpack, optionally int8)
+    must load back through load_jax_rewriter: QuantKernel leaves round-trip
+    as {'values','scales'} dicts and are rebuilt on load."""
+    import jax
+    import jax.numpy as jnp
+
+    from spn4cir_tpu.datagen.llm_rewrite import load_jax_rewriter
+    from spn4cir_tpu.models.convert import (has_quantized_leaves,
+                                            is_converted_checkpoint,
+                                            load_converted_params,
+                                            quantize_llama_weights_host)
+    from spn4cir_tpu.models.llama import LlamaConfig, LlamaLM
+    from spn4cir_tpu.tokenizer.bytelevel import ByteTokenizer
+    from spn4cir_tpu.utils.checkpoint import save_model
+
+    tok = ByteTokenizer()
+    cfg = LlamaConfig.tiny(vocab_size=max(int(tok.vocab_size), 128))
+    params = LlamaLM(cfg).init(
+        jax.random.PRNGKey(0), input_ids=jnp.zeros((1, 4), jnp.int32))["params"]
+    params = jax.tree.map(lambda x: np.asarray(x), params)
+    qparams = quantize_llama_weights_host(params)
+    path = str(tmp_path / "llama_tiny.msgpack")
+    save_model(path, {"params": qparams}, extra={"backbone": "llama"})
+
+    assert is_converted_checkpoint(path)
+    loaded = load_converted_params(path)["params"]
+    assert has_quantized_leaves(loaded)
+    lm_head = loaded["lm_head"]
+    np.testing.assert_array_equal(lm_head.values, qparams["lm_head"].values)
+    np.testing.assert_allclose(lm_head.scales, qparams["lm_head"].scales)
+
+    # end to end: the rewriter loads the msgpack and produces a rewrite
+    # (quantize_weights must not double-quantize the already-int8 leaves)
+    rewriter = load_jax_rewriter(ckpt_path=path, tiny=True, data="cirr",
+                                 seed=0, quantize_weights=True)
+    out = rewriter("a red dress", "a blue gown")
+    assert isinstance(out, str) and out

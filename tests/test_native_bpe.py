@@ -121,3 +121,48 @@ def test_tokenizer_encode_batch_public(tok):
     """ClipTokenizer.encode_batch == [encode(t) ...] including fallbacks."""
     texts = ["blue dress", "café", "is longer", "", "<|endoftext|> x"]
     assert tok.encode_batch(texts) == [tok.encode(t) for t in texts]
+
+
+def test_stale_so_recovery(tok, tmp_path):
+    """A pre-batch-API _bpe.so whose mtime defeats the rebuild guard must be
+    rebuilt AND reloaded in-process (glibc dlopen dedupes by pathname, so the
+    reload has to go through a unique path)."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+    import textwrap
+
+    so = native_bpe._SO
+    backup = str(tmp_path / "bpe_backup.so")
+    shutil.copyfile(so, backup)
+    stub_c = tmp_path / "stub.c"
+    stub_c.write_text(
+        "void* bpe_create(const char* a, const char* b) { return (void*)1; }\n"
+        "void bpe_destroy(void* h) {}\n"
+        "int bpe_encode(void* h, const char* t, int* out, int cap)"
+        " { return -1; }\n")
+    stub_so = str(tmp_path / "stub.so")
+    subprocess.run(["gcc", "-shared", "-fPIC", str(stub_c), "-o", stub_so],
+                   check=True)
+    try:
+        shutil.copyfile(stub_so, so)
+        # mtime newer than the source: the plain rebuild guard won't fire
+        os.utime(so, (os.path.getmtime(native_bpe._SRC) + 10,) * 2)
+        probe = textwrap.dedent("""
+            import sys
+            sys.path.insert(0, %r)
+            from spn4cir_tpu.tokenizer import native_bpe
+            from spn4cir_tpu.tokenizer.bpe import get_tokenizer
+            tok = get_tokenizer()
+            nb = native_bpe.get_native(tok)
+            assert nb is not None, native_bpe._build_error
+            ids = nb.encode("a blue dress")
+            assert ids == tok._encode_py("a blue dress"), ids
+            print("RECOVERED")
+        """) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = subprocess.run([sys.executable, "-c", probe],
+                             capture_output=True, text=True, timeout=300)
+        assert "RECOVERED" in out.stdout, (out.stdout, out.stderr[-2000:])
+    finally:
+        shutil.copyfile(backup, so)

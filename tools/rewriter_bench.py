@@ -78,7 +78,7 @@ def main():
 
     gen_kw = dict(eos_id=2, pad_id=2, max_new_tokens=T, do_sample=True,
                   temperature=1.0, top_p=1.0, top_k=10,
-                  cache_dtype=jnp.bfloat16)
+                  cache_dtype=jnp.bfloat16)  # load_jax_rewriter's 7B default
 
     def bench(fn, *xs):
         out = fn(*xs)
