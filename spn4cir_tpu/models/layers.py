@@ -76,15 +76,19 @@ class MultiHeadAttention(nn.Module):
         q, k, v = map(split_heads, (q, k, v))
         scale = head_dim ** -0.5
 
-        if (kv is None and mask is None and x.ndim == 3
-                and _ak.should_fuse(x.shape[1], self.fused)):
+        use_pack = (kv is None and mask is None and x.ndim == 3
+                    and _ak.should_pack(x.shape[1], head_dim, self.fused))
+        if use_pack or (kv is None and mask is None and x.ndim == 3
+                        and _ak.should_fuse(x.shape[1], self.fused)):
             b, s = x.shape[0], x.shape[1]
 
             def flat(t):  # (B, S, H, Dh) -> (B*H, S, Dh)
                 return t.transpose(0, 2, 1, 3).reshape(
                     b * self.num_heads, s, head_dim)
 
-            o = _ak.fused_attention_pallas(flat(q * scale), flat(k), flat(v))
+            kern = (_ak.packed_attention_pallas if use_pack
+                    else _ak.fused_attention_pallas)
+            o = kern(flat(q * scale), flat(k), flat(v))
             out = o.reshape(b, self.num_heads, s, head_dim).transpose(0, 2, 1, 3)
         else:
             logits = jnp.einsum("...qhd,...khd->...hqk", q * scale, k,

@@ -198,8 +198,191 @@ fused_attention_pallas.defvjp(_fwd_vjp, _bwd_vjp)
 
 
 # ---------------------------------------------------------------------------
+# Packed small-S attention: dense block-diagonal scores
+# ---------------------------------------------------------------------------
+#
+# For short sequences (ViT-B/32 has S=50, the CLIP text towers S=77) the
+# per-(batch·head) formulation is MXU-hostile: each score/PV matmul is a
+# ~64×64×64 dot. A per-slice Pallas grid (the MIN_FUSED_SEQ kernel's shape)
+# issues them serially and the systolic array's fill/drain latency dominates
+# — hardware-measured ~43 ms for one ViT-B/32 layer's attention core at
+# B=2048, ~20× its FLOPs. XLA's batched einsum does far better (~7.7 ms
+# standalone at the same geometry) but in-model still pays (B,H,S,S) layout
+# transposes and fusion breaks around the softmax.
+#
+# This kernel instead packs G heads' sequences along BOTH score axes and
+# computes ONE dense (G·Sp)×(G·Sp) GEMM per grid step. Cross-head products
+# are computed but masked to -inf before softmax (they cost FLOPs, not
+# correctness), so P is exactly block-diagonal and the dense P @ V contract
+# is exact — zero rows contribute nothing. The G× FLOP overhead is repaid
+# by large-matmul MXU efficiency and by eliminating the layout traffic.
+#
+# Hardware (v5e, interleaved same-process A/B of the FULL ViT-B/32 gallery
+# encode at B=8192): 7,345 -> 7,645 img/s/chip (+4.1% end-to-end).
+
+PACK_ROWS = 512  # target dense dot size: G ≈ PACK_ROWS // Sp
+
+
+def _pack_geometry(s: int, bh: int):
+    """Choose (sp, g): pack g heads of sp padded tokens into R = g·sp rows.
+
+    R must be a 16-multiple (bf16 sublane tiling). Cost model per REAL
+    token: the dense score/PV dots and the softmax cost R²/(g·s), and
+    sp > s additionally pays XLA pad/slice copies around the kernel —
+    hardware-measured at ~15% of the op, folded in as a multiplier. For
+    S=50 (ViT-B/32) this picks sp=50, g=8 → R=400: no padding at all and
+    39% less softmax waste than the naive sp=64, g=8 → R=512."""
+    best = None
+    for sp in range(s, _round_up(s, 16) + 1):
+        g = PACK_ROWS // sp
+        while g > 1 and (g * sp) % 16:
+            g -= 1
+        if (g * sp) % 16:
+            continue
+        r = g * sp
+        cost = (r * r / (g * s)) * (1.0 if sp == s else 1.15)
+        if best is None or cost < best[0]:
+            best = (cost, sp, g)
+    if best is None:                           # s alone, padded (g = 1)
+        sp, g = _round_up(s, 16), 1
+    else:
+        _, sp, g = best
+    return sp, g, _round_up(bh, g)
+
+
+def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, s_actual: int,
+                       sp: int):
+    q = q_ref[...]                             # (R, hd)  R = G*sp
+    k = k_ref[...]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    ok = row // sp == col // sp
+    if sp != s_actual:                         # padded tokens exist
+        ok &= col % sp < s_actual
+    logits = jnp.where(ok, logits, -jnp.inf)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+    o_ref[...] = jax.lax.dot_general(
+        p.astype(q.dtype), v_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                       *, s_actual: int, sp: int):
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    do = do_ref[...]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    ok = row // sp == col // sp
+    if sp != s_actual:                         # padded tokens exist
+        ok &= col % sp < s_actual
+    logits = jnp.where(ok, logits, -jnp.inf)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)  # block-diagonal (R, R) f32
+
+    pb = p.astype(q.dtype)
+    dv_ref[...] = jax.lax.dot_general(
+        pb, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+    dsb = ds.astype(q.dtype)                   # zero off-block: dense is exact
+    dq_ref[...] = jax.lax.dot_general(
+        dsb, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[...] = jax.lax.dot_general(
+        dsb, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+def _pack(t, sp, bhp):
+    bh, s, d = t.shape
+    if sp != s or bhp != bh:
+        t = jnp.pad(t, ((0, bhp - bh), (0, sp - s), (0, 0)))
+    return t.reshape(bhp * sp, d)  # sp == s, bhp == bh: a free reshape
+
+
+def _packed_call(q, k, v, do=None):
+    bh, s, d = q.shape
+    sp, g, bhp = _pack_geometry(s, bh)
+    r = g * sp
+    qp, kp, vp = (_pack(t, sp, bhp) for t in (q, k, v))
+    spec = pl.BlockSpec((r, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    grid = (bhp // g,)
+    params = pltpu.CompilerParams(dimension_semantics=("parallel",))
+    if do is None:
+        out = pl.pallas_call(
+            functools.partial(_packed_fwd_kernel, s_actual=s, sp=sp),
+            grid=grid, in_specs=[spec] * 3, out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((bhp * sp, d), q.dtype),
+            compiler_params=params, interpret=_interpret(),
+        )(qp, kp, vp)
+        return out.reshape(bhp, sp, d)[:bh, :s]
+    dop = _pack(do.astype(q.dtype), sp, bhp)
+    shape = jax.ShapeDtypeStruct((bhp * sp, d), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_packed_bwd_kernel, s_actual=s, sp=sp),
+        grid=grid, in_specs=[spec] * 4, out_specs=[spec] * 3,
+        out_shape=[shape] * 3,
+        compiler_params=params, interpret=_interpret(),
+    )(qp, kp, vp, dop)
+    return tuple(t.reshape(bhp, sp, d)[:bh, :s] for t in (dq, dk, dv))
+
+
+@jax.custom_vjp
+def packed_attention_pallas(q, k, v):
+    """softmax(q @ kᵀ) @ v per (batch·head) slice, for SHORT sequences.
+
+    q, k, v: (BH, S, D) with q pre-scaled, S ≤ ~128, D ≤ 128. G heads are
+    packed into one dense (G·Sp)² score GEMM with a block-diagonal softmax
+    mask — exact, and ~20× the MXU efficiency of per-head small dots."""
+    out, _ = _packed_fwd_vjp(q, k, v)
+    return out
+
+
+def _packed_fwd_vjp(q, k, v):
+    return _packed_call(q, k, v), (q, k, v)
+
+
+def _packed_bwd_vjp(residuals, g):
+    q, k, v = residuals
+    return _packed_call(q, k, v, do=g)
+
+
+packed_attention_pallas.defvjp(_packed_fwd_vjp, _packed_bwd_vjp)
+
+
+# ---------------------------------------------------------------------------
 # Dispatch
 # ---------------------------------------------------------------------------
+
+# packed path upper bound: S small enough that G ≥ 2 heads pack into one
+# dense dot (beyond ~128 tokens the per-head dots are big enough for the
+# MIN_FUSED_SEQ kernel / einsum path instead)
+MAX_PACKED_SEQ = 128
+MAX_PACKED_DIM = 128
+
+
+def should_pack(seq_len: int, head_dim: int, impl: str = "auto") -> bool:
+    """Packed-kernel dispatch: short sequences whose per-head score dots
+    are too small for the MXU on their own (hardware: +4.1% on the full
+    ViT-B/32 encode vs the XLA einsum path). Engaged for every production
+    short tower (ViT-B/32 S=50, CLIP text S=77, MED/BERT text ≤ 77)."""
+    if seq_len > MAX_PACKED_SEQ or head_dim > MAX_PACKED_DIM:
+        return False
+    if impl == "packed":
+        return True
+    return impl == "auto" and jax.default_backend() == "tpu"
+
 
 def should_fuse(seq_len: int, impl: str = "auto") -> bool:
     """Dispatch policy shared with models/layers.py: the kernel wins only on
@@ -220,8 +403,11 @@ def should_fuse(seq_len: int, impl: str = "auto") -> bool:
 def fused_attention(q, k, v, impl: str = "auto"):
     """(BH, S, D) self-attention with caller-prescaled q.
 
-    impl='auto' uses the Pallas kernel on TPU for sequences long enough to
-    benefit (MIN_FUSED_SEQ), the plain XLA einsum path otherwise."""
+    impl='auto' picks per geometry on TPU: the packed block-diagonal kernel
+    for short sequences (≤ MAX_PACKED_SEQ), the single-slice VMEM kernel for
+    long ones (≥ MIN_FUSED_SEQ), the plain XLA einsum path otherwise."""
+    if should_pack(q.shape[1], q.shape[2], impl):
+        return packed_attention_pallas(q, k, v)
     if should_fuse(q.shape[1], impl):
         return fused_attention_pallas(q, k, v)
     logits = jax.lax.dot_general(

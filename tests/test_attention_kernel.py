@@ -10,7 +10,9 @@ import numpy as np
 import pytest
 
 from spn4cir_tpu.ops.attention_kernels import (
-    MIN_FUSED_SEQ, fused_attention, fused_attention_pallas, should_fuse)
+    MAX_PACKED_SEQ, MIN_FUSED_SEQ, _pack_geometry, fused_attention,
+    fused_attention_pallas, packed_attention_pallas, should_fuse,
+    should_pack)
 
 
 def _xla_reference(q, k, v):
@@ -60,6 +62,100 @@ def test_grads_match_xla(rng):
     for g, w, name in zip(got, want, "qkv"):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
+# -- Packed small-S kernel ---------------------------------------------------
+
+# Geometries chosen to exercise every packing branch: ViT-B/32 (sp == s, no
+# padding at all), CLIP-text 77 (sp=80 padded tokens), bh not a g-multiple
+# (padded head blocks), and a single-head edge.
+@pytest.mark.parametrize("bh,s,d", [
+    (24, 50, 64),    # ViT-B/32: sp == s exactly, bh % g == 0
+    (13, 50, 64),    # padded head blocks (13 -> 16 for g=8)
+    (9, 77, 64),     # padded tokens (sp=80) AND padded heads
+    (2, 17, 32),     # tiny odd geometry
+    (1, 128, 128),   # upper bound of the packed regime
+])
+def test_packed_forward_matches_xla(bh, s, d, rng):
+    q = jnp.asarray(rng.standard_normal((bh, s, d)), jnp.float32) * 0.3
+    k = jnp.asarray(rng.standard_normal((bh, s, d)), jnp.float32) * 0.3
+    v = jnp.asarray(rng.standard_normal((bh, s, d)), jnp.float32)
+    got = packed_attention_pallas(q, k, v)
+    want = _xla_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_forward_bf16(rng):
+    q = jnp.asarray(rng.standard_normal((8, 50, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((8, 50, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((8, 50, 64)), jnp.bfloat16)
+    got = packed_attention_pallas(q, k, v).astype(jnp.float32)
+    want = _xla_reference(q, k, v).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.05, atol=0.05)
+
+
+@pytest.mark.parametrize("bh,s,d", [(24, 50, 64), (9, 77, 64)])
+def test_packed_grads_match_xla(bh, s, d, rng):
+    q = jnp.asarray(rng.standard_normal((bh, s, d)), jnp.float32) * 0.3
+    k = jnp.asarray(rng.standard_normal((bh, s, d)), jnp.float32) * 0.3
+    v = jnp.asarray(rng.standard_normal((bh, s, d)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((bh, s, d)), jnp.float32)
+
+    got = jax.grad(
+        lambda q, k, v: jnp.sum(packed_attention_pallas(q, k, v) * cot),
+        argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(
+        lambda q, k, v: jnp.sum(_xla_reference(q, k, v) * cot),
+        argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
+def test_pack_geometry_invariants():
+    for s in (17, 50, 64, 77, 100, 128):
+        sp, g, bhp = _pack_geometry(s, 13)
+        assert sp >= s
+        assert (g * sp) % 16 == 0
+        assert bhp >= 13 and bhp % g == 0
+    # ViT-B/32's S=50 must pack padding-free (the documented claim)
+    sp, g, _ = _pack_geometry(50, 24)
+    assert sp == 50 and g == 8
+
+
+def test_packed_dispatch_policy():
+    assert not should_pack(MAX_PACKED_SEQ + 1, 64, "packed")
+    assert not should_pack(64, 160, "packed")  # head_dim too wide
+    assert should_pack(50, 64, "packed")
+    # auto never packs off-TPU (this host is CPU)
+    assert should_pack(50, 64, "auto") == (jax.default_backend() == "tpu")
+    # the two kernel regimes never overlap under auto
+    assert MAX_PACKED_SEQ < MIN_FUSED_SEQ
+
+
+def test_packed_dispatcher_branch(rng):
+    q = jnp.asarray(rng.standard_normal((4, 26, 16)), jnp.float32) * 0.5
+    k = jnp.asarray(rng.standard_normal((4, 26, 16)), jnp.float32) * 0.5
+    v = jnp.asarray(rng.standard_normal((4, 26, 16)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(fused_attention(q, k, v, "packed")),
+        np.asarray(_xla_reference(q, k, v)), rtol=1e-5, atol=1e-5)
+
+
+def test_module_packed_matches_einsum(rng):
+    """A Transformer stack pinned to the packed kernel equals einsum."""
+    from spn4cir_tpu.models.layers import Transformer
+
+    x = jnp.asarray(rng.standard_normal((2, 19, 32)), jnp.float32)
+    mod_x = Transformer(num_layers=2, num_heads=4, fused="xla")
+    params = mod_x.init(jax.random.PRNGKey(0), x)
+    want = mod_x.apply(params, x)
+    got = Transformer(num_layers=2, num_heads=4, fused="packed").apply(
+        params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_dispatch_policy():
