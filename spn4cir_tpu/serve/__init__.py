@@ -3,5 +3,15 @@ from spn4cir_tpu.serve.service import (
     RetrievalService,
     serve,
 )
+from spn4cir_tpu.serve.sharded import (
+    ShardedGalleryIndex,
+    ShardedRetrievalService,
+)
 
-__all__ = ["BatchingRetrievalService", "RetrievalService", "serve"]
+__all__ = [
+    "BatchingRetrievalService",
+    "RetrievalService",
+    "ShardedGalleryIndex",
+    "ShardedRetrievalService",
+    "serve",
+]

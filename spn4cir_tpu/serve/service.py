@@ -129,6 +129,13 @@ class RetrievalService:
         refer = self._encode_refer(jnp.asarray(arr[None]))
         return self._run(self.index, refer, caption, k, exclude_gid=None)
 
+    def _score_topk(self, index, queries, gids, kk: int):
+        """Score `queries` against the gallery and return device (B, kk)
+        (values, gids); per-row gids < 0 exclude nothing. Subclass hook:
+        the sharded service replaces this with a distributed top-k."""
+        scores = self.backbone.score_queries(queries, index.target)
+        return self._topk(scores, jnp.asarray(gids), kk)
+
     def _run(self, index: GalleryIndex, refer, caption: str, k: Optional[int],
              exclude_gid: Optional[int]) -> List[dict]:
         k = min(k or self.default_k, len(index.names))
@@ -136,9 +143,8 @@ class RetrievalService:
         with self._lock:
             text = jnp.asarray(self.backbone.tokenize([caption]))
             query = self._fuse(refer, text)
-            scores = self.backbone.score_queries(query, index.target)
             gid = -1 if exclude_gid is None else exclude_gid
-            vals, idx = self._topk(scores, jnp.asarray([gid]), kk)
+            vals, idx = self._score_topk(index, query, np.asarray([gid]), kk)
         vals, idx = np.asarray(vals[0]), np.asarray(idx[0])
         return [{"name": index.names[int(i)], "score": float(v)}
                 for i, v in zip(idx[:k], vals[:k])]
@@ -289,8 +295,7 @@ class BatchingRetrievalService(RetrievalService):
             with self._lock:
                 text = jnp.asarray(self.backbone.tokenize(captions))
                 queries = self._fuse(refer, text)
-                scores = self.backbone.score_queries(queries, index.target)
-                vals, idx = self._topk(scores, jnp.asarray(gids), kmax)
+                vals, idx = self._score_topk(index, queries, gids, kmax)
             vals, idx = np.asarray(vals), np.asarray(idx)
             self._batches_dispatched += 1
             for row, (_, gid, _, k, event, slot) in enumerate(group):

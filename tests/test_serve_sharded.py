@@ -1,0 +1,154 @@
+"""Sharded (multi-chip) serving: exact equality vs the single-chip service.
+
+Runs on the 8-device virtual CPU mesh (conftest). The distributed top-k
+must return the identical ranked results — names AND scores — as
+`RetrievalService` on the same gallery, including the reference-exclusion
+mask and galleries whose size does not divide the shard count.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from spn4cir_tpu.data.datasets import CIRDataset
+from spn4cir_tpu.data.transforms import ImageTransform
+from spn4cir_tpu.eval.retrieval import extract_index_features
+from spn4cir_tpu.models.api import build_backbone
+from spn4cir_tpu.parallel.mesh import make_mesh
+from spn4cir_tpu.serve import (
+    RetrievalService, ShardedGalleryIndex, ShardedRetrievalService)
+from tests.fixtures import make_fiq
+
+TF = ImageTransform("targetpad", 32)
+
+
+@pytest.fixture(scope="module")
+def pair(tmp_path_factory):
+    """(single-chip service, sharded service) on the SAME gallery."""
+    root = make_fiq(str(tmp_path_factory.mktemp("fiq")))
+    bb = build_backbone("clip", clip_model_name="test-tiny")
+    params = bb.init_params(jax.random.PRNGKey(0))
+    classic = CIRDataset("fiq", "val", "classic", TF, root, ["dress"])
+    index = extract_index_features(bb, params, classic, 4, num_workers=0)
+    mesh = make_mesh(data=1, bank=len(jax.devices()))
+    single = RetrievalService(bb, params, index, preprocess=TF, default_k=5)
+    sharded = ShardedRetrievalService(bb, params, index, mesh,
+                                     preprocess=TF, default_k=5)
+    return single, sharded
+
+
+def test_gallery_not_divisible_is_padded(pair):
+    _, sharded = pair
+    n = sharded.mesh.shape["bank"]
+    m = len(sharded.index.names)
+    assert sharded.index.target.shape[0] % n == 0
+    assert sharded.index.target.shape[0] >= m
+
+
+def test_query_equality(pair):
+    single, sharded = pair
+    for name in single.index.names[:3]:
+        for caption in ["make it blue", "longer sleeves"]:
+            want = single.query_by_name(name, caption, k=4)
+            got = sharded.query_by_name(name, caption, k=4)
+            assert [r["name"] for r in got] == [r["name"] for r in want]
+            np.testing.assert_allclose(
+                [r["score"] for r in got], [r["score"] for r in want],
+                rtol=1e-6, atol=1e-6)
+            assert all(r["name"] != name for r in got)  # exclusion mask
+
+
+def test_query_k_exceeds_local_shard(pair):
+    """k larger than any single shard's row count: the merge must still
+    recover the exact global order (fixture gallery / 8 shards -> 1-2 rows
+    per shard)."""
+    single, sharded = pair
+    m = len(single.index.names)
+    name = single.index.names[1]
+    want = single.query_by_name(name, "swap the color", k=m - 1)
+    got = sharded.query_by_name(name, "swap the color", k=m - 1)
+    assert [r["name"] for r in got] == [r["name"] for r in want]
+
+
+def test_query_by_image_equality(pair, rng):
+    single, sharded = pair
+    img = Image.fromarray(rng.randint(0, 256, (40, 40, 3), dtype=np.uint8))
+    want = single.query_by_image(img, "a red dress", k=4)
+    got = sharded.query_by_image(img, "a red dress", k=4)
+    assert [r["name"] for r in got] == [r["name"] for r in want]
+
+
+def test_add_images_resards_and_matches(pair, rng):
+    single, sharded = pair
+    bb, params = sharded.backbone, sharded.params
+    index0 = single.index
+    # fresh copies so the module-scoped fixture isn't mutated for others
+    import copy
+
+    s1 = RetrievalService(bb, params, copy.copy(index0), preprocess=TF,
+                          default_k=5)
+    s2 = ShardedRetrievalService(bb, params, copy.copy(index0), sharded.mesh,
+                                 preprocess=TF, default_k=5)
+    imgs = [Image.fromarray(rng.randint(0, 256, (40, 40, 3), dtype=np.uint8))
+            for _ in range(3)]
+    names = [f"new_{i}" for i in range(3)]
+    size1 = s1.add_images(names, imgs)
+    size2 = s2.add_images(names, imgs)
+    assert size1 == size2 == len(index0.names) + 3
+    n = s2.mesh.shape["bank"]
+    assert s2.index.target.shape[0] % n == 0
+    ref = s1.index.names[0]
+    want = s1.query_by_name(ref, "something new", k=6)
+    got = s2.query_by_name(ref, "something new", k=6)
+    assert [r["name"] for r in got] == [r["name"] for r in want]
+    with pytest.raises(KeyError):
+        s2.add_images(["new_0"], imgs[:1])
+
+
+def test_sharded_index_roundtrip(pair):
+    """from_index keeps names/refer and reconstructs the dense rows."""
+    single, sharded = pair
+    idx = sharded.index
+    assert isinstance(idx, ShardedGalleryIndex)
+    assert idx.names == single.index.names
+    np.testing.assert_array_equal(idx.host_target,
+                                  np.asarray(single.index.target))
+    m = len(idx.names)
+    np.testing.assert_allclose(
+        np.asarray(idx.target)[:m], idx.host_target, rtol=1e-6, atol=1e-6)
+
+
+def test_maxquery_gallery_shards(pair):
+    """3-D (M, Q, D) galleries (blip2 max-over-query) shard row-wise and
+    score identically through the distributed top-k."""
+    from spn4cir_tpu.ops import infonce
+
+    class FakeMQBackbone:
+        def score_queries(self, q, gallery):
+            return infonce.max_query_scores(q, gallery)
+
+    rng = np.random.RandomState(3)
+    m, q_tok, d = 13, 4, 8
+    gallery = jnp.asarray(rng.standard_normal((m, q_tok, d)), jnp.float32)
+    queries = jnp.asarray(rng.standard_normal((2, d)), jnp.float32)
+
+    mesh = make_mesh(data=1, bank=len(jax.devices()))
+    svc = ShardedRetrievalService.__new__(ShardedRetrievalService)
+    svc.mesh = mesh
+    svc._scorer_cache = {}
+    svc.backbone = FakeMQBackbone()
+    idx = ShardedGalleryIndex.from_arrays(
+        np.asarray(gallery), np.zeros((m, d), np.float32),
+        [f"g{i}" for i in range(m)], mesh)
+
+    gids = np.asarray([0, -1])
+    vals, ids = svc._score_topk(idx, queries, gids, 5)
+    scores = np.array(infonce.max_query_scores(queries, gallery))
+    scores[0, 0] = -np.inf  # exclusion
+    order = np.argsort(-scores, axis=1, kind="stable")[:, :5]
+    np.testing.assert_array_equal(np.asarray(ids), order)
+    np.testing.assert_allclose(
+        np.asarray(vals), np.take_along_axis(scores, order, axis=1),
+        rtol=1e-6, atol=1e-6)
