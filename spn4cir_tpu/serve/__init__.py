@@ -4,6 +4,7 @@ from spn4cir_tpu.serve.service import (
     serve,
 )
 from spn4cir_tpu.serve.sharded import (
+    ShardedBatchingRetrievalService,
     ShardedGalleryIndex,
     ShardedRetrievalService,
 )
@@ -11,6 +12,7 @@ from spn4cir_tpu.serve.sharded import (
 __all__ = [
     "BatchingRetrievalService",
     "RetrievalService",
+    "ShardedBatchingRetrievalService",
     "ShardedGalleryIndex",
     "ShardedRetrievalService",
     "serve",

@@ -38,7 +38,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from spn4cir_tpu.parallel.mesh import AXIS_BANK, put_bank
-from spn4cir_tpu.serve.service import RetrievalService
+from spn4cir_tpu.serve.service import BatchingRetrievalService, RetrievalService
 
 
 @dataclasses.dataclass
@@ -159,3 +159,11 @@ class ShardedRetrievalService(RetrievalService):
         return scorer(queries, index.target,
                       jnp.asarray(np.asarray(gids), jnp.int32),
                       jnp.int32(len(index.names)))
+
+
+class ShardedBatchingRetrievalService(BatchingRetrievalService,
+                                      ShardedRetrievalService):
+    """Micro-batching over the sharded gallery: concurrent queries coalesce
+    into one distributed fuse+score+top-k dispatch. Construct with
+    (backbone, params, index, mesh, ..., max_batch=, max_delay_s=)."""
+

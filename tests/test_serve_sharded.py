@@ -120,6 +120,61 @@ def test_sharded_index_roundtrip(pair):
         np.asarray(idx.target)[:m], idx.host_target, rtol=1e-6, atol=1e-6)
 
 
+def test_sharded_batching_coalesces_and_matches(pair):
+    """Micro-batching composes with the sharded gallery: concurrent queries
+    coalesce into distributed dispatches with unchanged results."""
+    import concurrent.futures
+
+    from spn4cir_tpu.serve import ShardedBatchingRetrievalService
+
+    single, sharded = pair
+    svc = ShardedBatchingRetrievalService(
+        sharded.backbone, sharded.params, single.index, sharded.mesh,
+        preprocess=TF, default_k=5, max_batch=8, max_delay_s=0.05)
+    names = single.index.names[:6]
+    with concurrent.futures.ThreadPoolExecutor(6) as ex:
+        futs = {n: ex.submit(svc.query_by_name, n, "brighter", 3)
+                for n in names}
+    for n, fut in futs.items():
+        want = single.query_by_name(n, "brighter", k=3)
+        assert [r["name"] for r in fut.result()] == \
+               [r["name"] for r in want]
+    assert svc._batches_dispatched < len(names)  # actually coalesced
+
+
+def test_serve_cli_sharded(tmp_path, rng):
+    """The serving CLI launcher: index a fixture gallery, stand up the HTTP
+    server with a sharded gallery + micro-batching, query it."""
+    import json
+    import urllib.request
+
+    from spn4cir_tpu.cli.serve import serve_main
+
+    root = make_fiq(str(tmp_path / "fiq"))
+    server, service = serve_main(
+        "clip",
+        argv=["--dataset", "fiq", "--data_path", root,
+              "--clip-model-name", "test-tiny", "--batch-size", "4",
+              "--dress_types", "dress", "--mesh_bank",
+              str(len(jax.devices())), "--serve_batch", "4",
+              "--serve_host", "127.0.0.1", "--serve_port", "0",
+              "--no-block"])
+    try:
+        port = server.server_address[1]
+        name = service.index.names[0]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/retrieve",
+            data=json.dumps({"reference_name": name,
+                             "caption": "make it red", "k": 3}).encode(),
+            headers={"Content-Type": "application/json"})
+        results = json.loads(
+            urllib.request.urlopen(req, timeout=60).read())["results"]
+        assert len(results) == 3
+        assert all(r["name"] != name for r in results)
+    finally:
+        server.shutdown()
+
+
 def test_maxquery_gallery_shards(pair):
     """3-D (M, Q, D) galleries (blip2 max-over-query) shard row-wise and
     score identically through the distributed top-k."""
