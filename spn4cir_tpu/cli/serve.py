@@ -70,11 +70,20 @@ def serve_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
 
     kw = dict(preprocess=preprocess, default_k=args.default_k)
     if args.mesh_bank > 1:
+        import jax
+
         from spn4cir_tpu.parallel.mesh import make_mesh
         from spn4cir_tpu.serve import (
             ShardedBatchingRetrievalService, ShardedRetrievalService)
 
-        mesh = make_mesh(data=1, bank=args.mesh_bank)
+        devices = jax.devices()
+        if args.mesh_bank > len(devices):
+            raise SystemExit(f"--mesh_bank {args.mesh_bank} exceeds the "
+                             f"{len(devices)} visible devices")
+        # a subset is fine: the gallery shards over the first N chips and
+        # the rest stay free for other workloads
+        mesh = make_mesh(data=1, bank=args.mesh_bank,
+                         devices=devices[:args.mesh_bank])
         if args.serve_batch > 0:
             service = ShardedBatchingRetrievalService(
                 backbone, params, index, mesh,
@@ -82,6 +91,10 @@ def serve_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
         else:
             service = ShardedRetrievalService(backbone, params, index, mesh,
                                               **kw)
+        # the sharded service keeps a host-side copy; drop the dense
+        # device-resident gallery so it doesn't hold one chip's HBM for
+        # the server's lifetime (the sharding exists to avoid exactly that)
+        index = None
         print(f"gallery sharded over {args.mesh_bank} devices")
     else:
         from spn4cir_tpu.serve import BatchingRetrievalService, RetrievalService

@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from spn4cir_tpu.models.layers import LayerNorm, Transformer, causal_mask
+from spn4cir_tpu.models.layers import LayerNorm, Transformer
 
 Dtype = Any
 
@@ -267,10 +267,12 @@ class TextTransformer(nn.Module):
         pos = self.param("positional_embedding", nn.initializers.normal(0.01),
                          (cfg.context_length, cfg.transformer_width), jnp.float32)
         x = x + pos.astype(self.dtype)[: x.shape[1]]
-        mask = causal_mask(x.shape[1])
+        # causal=True: the static mask folds into the packed Pallas kernel
+        # on TPU (ops/attention_kernels.py), or is applied additively on the
+        # einsum path — identical semantics to ref clip/model.py:293-298
         x = Transformer(cfg.transformer_layers, cfg.transformer_heads,
-                        dtype=self.dtype, remat=self.remat,
-                        name="transformer")(x, mask)
+                        dtype=self.dtype, remat=self.remat, causal=True,
+                        name="transformer")(x)
         x = LayerNorm(dtype=self.dtype, name="ln_final")(x)
         eot = jnp.argmax(text_ids, axis=-1)
         pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]

@@ -54,6 +54,7 @@ class MultiHeadAttention(nn.Module):
     dtype: Dtype = jnp.float32
     out_features: Optional[int] = None
     fused: str = "auto"
+    causal: bool = False  # static lower-triangular mask (CLIP text towers)
 
     @nn.compact
     def __call__(self, x, kv=None, mask=None):
@@ -76,9 +77,16 @@ class MultiHeadAttention(nn.Module):
         q, k, v = map(split_heads, (q, k, v))
         scale = head_dim ** -0.5
 
-        use_pack = (kv is None and mask is None and x.ndim == 3
-                    and _ak.should_pack(x.shape[1], head_dim, self.fused))
-        if use_pack or (kv is None and mask is None and x.ndim == 3
+        # the static causal mask (CLIP text towers) is kernel-eligible,
+        # unlike data-dependent padding masks (MED/BERT) which must stay on
+        # the einsum path
+        causal = self.causal
+        if causal and mask is not None:
+            raise ValueError("causal=True with an explicit mask")
+        flat_ok = kv is None and mask is None and x.ndim == 3
+        use_pack = flat_ok and _ak.should_pack(x.shape[1], head_dim,
+                                               self.fused)
+        if use_pack or (flat_ok and not causal
                         and _ak.should_fuse(x.shape[1], self.fused)):
             b, s = x.shape[0], x.shape[1]
 
@@ -86,13 +94,16 @@ class MultiHeadAttention(nn.Module):
                 return t.transpose(0, 2, 1, 3).reshape(
                     b * self.num_heads, s, head_dim)
 
-            kern = (_ak.packed_attention_pallas if use_pack
-                    else _ak.fused_attention_pallas)
+            kern = (_ak.fused_attention_pallas if not use_pack
+                    else _ak.packed_causal_attention_pallas if causal
+                    else _ak.packed_attention_pallas)
             o = kern(flat(q * scale), flat(k), flat(v))
             out = o.reshape(b, self.num_heads, s, head_dim).transpose(0, 2, 1, 3)
         else:
             logits = jnp.einsum("...qhd,...khd->...hqk", q * scale, k,
                                 preferred_element_type=jnp.float32)
+            if causal:
+                mask = causal_mask(x.shape[1])
             if mask is not None:
                 logits = logits + mask.astype(jnp.float32)
             weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
@@ -123,11 +134,13 @@ class ResidualAttentionBlock(nn.Module):
     mlp_mult: float = 4.0
     ln_eps: float = 1e-5
     fused: str = "auto"
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
         x = x + MultiHeadAttention(self.num_heads, dtype=self.dtype,
-                                   fused=self.fused, name="attn")(
+                                   fused=self.fused, causal=self.causal,
+                                   name="attn")(
             LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_1")(x), mask=mask
         )
         x = x + MLP(self.mlp_mult, self.act, dtype=self.dtype, name="mlp")(
@@ -146,13 +159,14 @@ class _ScanBlock(nn.Module):
     mlp_mult: float = 4.0
     ln_eps: float = 1e-5
     fused: str = "auto"
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
         y = ResidualAttentionBlock(self.num_heads, dtype=self.dtype,
                                    act=self.act, mlp_mult=self.mlp_mult,
                                    ln_eps=self.ln_eps, fused=self.fused,
-                                   name="block")(x, mask)
+                                   causal=self.causal, name="block")(x, mask)
         return y, None
 
 
@@ -169,6 +183,7 @@ class Transformer(nn.Module):
     ln_eps: float = 1e-5
     remat: bool = False
     fused: str = "auto"
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -183,7 +198,7 @@ class Transformer(nn.Module):
             in_axes=(nn.broadcast,),
         )(num_heads=self.num_heads, dtype=self.dtype, act=self.act,
           mlp_mult=self.mlp_mult, ln_eps=self.ln_eps, fused=self.fused,
-          name="blocks")
+          causal=self.causal, name="blocks")
         y, _ = scanned(x, mask)
         return y
 

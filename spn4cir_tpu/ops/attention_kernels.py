@@ -232,6 +232,10 @@ def _pack_geometry(s: int, bh: int):
     hardware-measured at ~15% of the op, folded in as a multiplier. For
     S=50 (ViT-B/32) this picks sp=50, g=8 → R=400: no padding at all and
     39% less softmax waste than the naive sp=64, g=8 → R=512."""
+    if s > PACK_ROWS:
+        raise ValueError(
+            f"packed attention is for short sequences (S <= {PACK_ROWS}); "
+            f"got S={s} — use fused_attention_pallas / the einsum path")
     best = None
     for sp in range(s, _round_up(s, 16) + 1):
         g = PACK_ROWS // sp
@@ -251,7 +255,7 @@ def _pack_geometry(s: int, bh: int):
 
 
 def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, s_actual: int,
-                       sp: int):
+                       sp: int, causal: bool):
     q = q_ref[...]                             # (R, hd)  R = G*sp
     k = k_ref[...]
     logits = jax.lax.dot_general(
@@ -259,6 +263,8 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, s_actual: int,
     row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     ok = row // sp == col // sp
+    if causal:                                 # within-block lower triangle
+        ok &= col % sp <= row % sp
     if sp != s_actual:                         # padded tokens exist
         ok &= col % sp < s_actual
     logits = jnp.where(ok, logits, -jnp.inf)
@@ -271,7 +277,7 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, s_actual: int,
 
 
 def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                       *, s_actual: int, sp: int):
+                       *, s_actual: int, sp: int, causal: bool):
     q = q_ref[...]
     k = k_ref[...]
     v = v_ref[...]
@@ -281,6 +287,8 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     ok = row // sp == col // sp
+    if causal:                                 # within-block lower triangle
+        ok &= col % sp <= row % sp
     if sp != s_actual:                         # padded tokens exist
         ok &= col % sp < s_actual
     logits = jnp.where(ok, logits, -jnp.inf)
@@ -311,7 +319,7 @@ def _pack(t, sp, bhp):
     return t.reshape(bhp * sp, d)  # sp == s, bhp == bh: a free reshape
 
 
-def _packed_call(q, k, v, do=None):
+def _packed_call(q, k, v, do=None, causal=False):
     bh, s, d = q.shape
     sp, g, bhp = _pack_geometry(s, bh)
     r = g * sp
@@ -321,7 +329,8 @@ def _packed_call(q, k, v, do=None):
     params = pltpu.CompilerParams(dimension_semantics=("parallel",))
     if do is None:
         out = pl.pallas_call(
-            functools.partial(_packed_fwd_kernel, s_actual=s, sp=sp),
+            functools.partial(_packed_fwd_kernel, s_actual=s, sp=sp,
+                              causal=causal),
             grid=grid, in_specs=[spec] * 3, out_specs=spec,
             out_shape=jax.ShapeDtypeStruct((bhp * sp, d), q.dtype),
             compiler_params=params, interpret=_interpret(),
@@ -330,7 +339,8 @@ def _packed_call(q, k, v, do=None):
     dop = _pack(do.astype(q.dtype), sp, bhp)
     shape = jax.ShapeDtypeStruct((bhp * sp, d), q.dtype)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_packed_bwd_kernel, s_actual=s, sp=sp),
+        functools.partial(_packed_bwd_kernel, s_actual=s, sp=sp,
+                          causal=causal),
         grid=grid, in_specs=[spec] * 4, out_specs=[spec] * 3,
         out_shape=[shape] * 3,
         compiler_params=params, interpret=_interpret(),
@@ -342,9 +352,10 @@ def _packed_call(q, k, v, do=None):
 def packed_attention_pallas(q, k, v):
     """softmax(q @ kᵀ) @ v per (batch·head) slice, for SHORT sequences.
 
-    q, k, v: (BH, S, D) with q pre-scaled, S ≤ ~128, D ≤ 128. G heads are
-    packed into one dense (G·Sp)² score GEMM with a block-diagonal softmax
-    mask — exact, and ~20× the MXU efficiency of per-head small dots."""
+    q, k, v: (BH, S, D) with q pre-scaled, S ≤ PACK_ROWS, D ≤ 128. G heads
+    are packed into one dense (G·Sp)² score GEMM with a block-diagonal
+    softmax mask — exact, at large-matmul MXU efficiency (+4.1% on the
+    full ViT-B/32 encode vs the einsum path, hardware-measured)."""
     out, _ = _packed_fwd_vjp(q, k, v)
     return out
 
@@ -361,6 +372,29 @@ def _packed_bwd_vjp(residuals, g):
 packed_attention_pallas.defvjp(_packed_fwd_vjp, _packed_bwd_vjp)
 
 
+@jax.custom_vjp
+def packed_causal_attention_pallas(q, k, v):
+    """`packed_attention_pallas` with a causal (lower-triangular) mask per
+    sequence — the CLIP text towers' S=77 attention (ref clip/model.py:
+    293-298). The causal constraint folds into the same block-diagonal
+    -inf mask; FLOPs and layout are unchanged."""
+    out, _ = _packed_causal_fwd_vjp(q, k, v)
+    return out
+
+
+def _packed_causal_fwd_vjp(q, k, v):
+    return _packed_call(q, k, v, causal=True), (q, k, v)
+
+
+def _packed_causal_bwd_vjp(residuals, g):
+    q, k, v = residuals
+    return _packed_call(q, k, v, do=g, causal=True)
+
+
+packed_causal_attention_pallas.defvjp(_packed_causal_fwd_vjp,
+                                      _packed_causal_bwd_vjp)
+
+
 # ---------------------------------------------------------------------------
 # Dispatch
 # ---------------------------------------------------------------------------
@@ -375,8 +409,10 @@ MAX_PACKED_DIM = 128
 def should_pack(seq_len: int, head_dim: int, impl: str = "auto") -> bool:
     """Packed-kernel dispatch: short sequences whose per-head score dots
     are too small for the MXU on their own (hardware: +4.1% on the full
-    ViT-B/32 encode vs the XLA einsum path). Engaged for every production
-    short tower (ViT-B/32 S=50, CLIP text S=77, MED/BERT text ≤ 77)."""
+    ViT-B/32 encode vs the XLA einsum path). Engages for maskless short
+    self-attention (ViT-B/32 S=50) and, via the causal variant, the CLIP
+    text towers (S=77). MED/BERT text carries per-example padding masks
+    and stays on the einsum path."""
     if seq_len > MAX_PACKED_SEQ or head_dim > MAX_PACKED_DIM:
         return False
     if impl == "packed":

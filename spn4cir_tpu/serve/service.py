@@ -97,16 +97,21 @@ class RetrievalService:
             dup = [n for n in names if n in self._name2gid]
             if dup:
                 raise KeyError(f"gallery already contains {dup[:3]}...")
-            new_index = GalleryIndex(
-                target=jnp.concatenate(
-                    [index.target,
-                     feats["target"].astype(index.target.dtype)], axis=0),
-                refer=np.concatenate(
-                    [index.refer, np.asarray(feats["refer"])], axis=0),
-                names=list(index.names) + list(names),
-            )
+            new_index = self._extend_index(index, feats, names)
             self.refresh_index(new_index)
         return len(new_index.names)
+
+    def _extend_index(self, index, feats, names: Sequence[str]):
+        """Build the grown index from an `index_features` dict. Subclass
+        hook: the sharded service rebuilds its padded/sharded layout here."""
+        return GalleryIndex(
+            target=jnp.concatenate(
+                [index.target,
+                 feats["target"].astype(index.target.dtype)], axis=0),
+            refer=np.concatenate(
+                [index.refer, np.asarray(feats["refer"])], axis=0),
+            names=list(index.names) + list(names),
+        )
 
     # -- query paths --------------------------------------------------------
     def query_by_name(self, reference_name: str, caption: str,

@@ -99,27 +99,15 @@ class ShardedRetrievalService(RetrievalService):
             index = ShardedGalleryIndex.from_index(index, self.mesh)
         super().refresh_index(index)
 
-    def add_images(self, names: Sequence[str], images) -> int:
-        if self.preprocess is None and not isinstance(images, np.ndarray):
-            raise RuntimeError("service built without a preprocess pipeline")
-        if not isinstance(images, np.ndarray):
-            images = np.stack([self.preprocess(im) for im in images])
-        feats = self.backbone.index_features(self.params, jnp.asarray(images))
-        with self._mutate_lock:
-            index = self.index
-            dup = [n for n in names if n in self._name2gid]
-            if dup:
-                raise KeyError(f"gallery already contains {dup[:3]}...")
-            new_index = ShardedGalleryIndex.from_arrays(
-                np.concatenate(
-                    [index.host_target,
-                     np.asarray(feats["target"]).astype(
-                         index.host_target.dtype)], axis=0),
-                np.concatenate([index.refer, np.asarray(feats["refer"])],
-                               axis=0),
-                list(index.names) + list(names), self.mesh)
-            self.refresh_index(new_index)
-        return len(new_index.names)
+    def _extend_index(self, index, feats, names: Sequence[str]):
+        return ShardedGalleryIndex.from_arrays(
+            np.concatenate(
+                [index.host_target,
+                 np.asarray(feats["target"]).astype(
+                     index.host_target.dtype)], axis=0),
+            np.concatenate([index.refer, np.asarray(feats["refer"])],
+                           axis=0),
+            list(index.names) + list(names), self.mesh)
 
     # -- distributed scoring -------------------------------------------------
     def _make_scorer(self, kk: int):

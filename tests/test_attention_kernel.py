@@ -114,6 +114,90 @@ def test_packed_grads_match_xla(bh, s, d, rng):
                                    rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
 
 
+# -- Causal packed kernel ----------------------------------------------------
+
+def _xla_causal_reference(q, k, v):
+    s = q.shape[1]
+    logits = jnp.einsum("bqd,bkd->bqk", q, k,
+                        preferred_element_type=jnp.float32)
+    mask = jnp.triu(jnp.full((s, s), -jnp.inf, jnp.float32), k=1)
+    weights = jax.nn.softmax(logits + mask, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", weights.astype(q.dtype), v)
+
+
+@pytest.mark.parametrize("bh,s,d", [
+    (24, 77, 64),    # CLIP text geometry (padded tokens sp=80)
+    (13, 50, 64),    # no token padding, padded head blocks
+    (2, 17, 32),     # tiny odd geometry
+])
+def test_packed_causal_forward_matches_xla(bh, s, d, rng):
+    from spn4cir_tpu.ops.attention_kernels import packed_causal_attention_pallas
+
+    q = jnp.asarray(rng.standard_normal((bh, s, d)), jnp.float32) * 0.3
+    k = jnp.asarray(rng.standard_normal((bh, s, d)), jnp.float32) * 0.3
+    v = jnp.asarray(rng.standard_normal((bh, s, d)), jnp.float32)
+    got = packed_causal_attention_pallas(q, k, v)
+    want = _xla_causal_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_causal_grads_match_xla(rng):
+    from spn4cir_tpu.ops.attention_kernels import packed_causal_attention_pallas
+
+    bh, s, d = 9, 77, 64
+    q = jnp.asarray(rng.standard_normal((bh, s, d)), jnp.float32) * 0.3
+    k = jnp.asarray(rng.standard_normal((bh, s, d)), jnp.float32) * 0.3
+    v = jnp.asarray(rng.standard_normal((bh, s, d)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((bh, s, d)), jnp.float32)
+
+    got = jax.grad(
+        lambda q, k, v: jnp.sum(packed_causal_attention_pallas(q, k, v) * cot),
+        argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(
+        lambda q, k, v: jnp.sum(_xla_causal_reference(q, k, v) * cot),
+        argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
+def test_module_causal_packed_matches_einsum(rng):
+    """A causal Transformer pinned to the packed kernel equals the einsum
+    path with the additive causal mask (the CLIP text tower dispatch),
+    incl. under remat (stage-1 grad-ckpt)."""
+    from spn4cir_tpu.models.layers import Transformer
+
+    x = jnp.asarray(rng.standard_normal((2, 21, 32)), jnp.float32)
+    mod_x = Transformer(num_layers=2, num_heads=4, fused="xla", causal=True)
+    params = mod_x.init(jax.random.PRNGKey(0), x)
+    want = mod_x.apply(params, x)
+    got = Transformer(num_layers=2, num_heads=4, fused="packed",
+                      causal=True).apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(mod):
+        return lambda p: jnp.sum(mod.apply(p, x) ** 2)
+
+    mod_r = Transformer(num_layers=2, num_heads=4, fused="packed",
+                        causal=True, remat=True)
+    g_want = jax.grad(loss(mod_x))(params)
+    g_got = jax.grad(loss(mod_r))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4),
+        g_got, g_want)
+
+
+def test_packed_rejects_long_sequences(rng):
+    from spn4cir_tpu.ops.attention_kernels import packed_attention_pallas
+
+    q = jnp.zeros((2, 600, 16), jnp.float32)
+    with pytest.raises(ValueError, match="short sequences"):
+        packed_attention_pallas(q, q, q)
+
+
 def test_pack_geometry_invariants():
     for s in (17, 50, 64, 77, 100, 128):
         sp, g, bhp = _pack_geometry(s, 13)
