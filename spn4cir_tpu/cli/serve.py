@@ -39,6 +39,11 @@ def serve_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
     p.add_argument("--serve_batch", type=int, default=0,
                    help="micro-batch size for coalescing concurrent queries "
                         "(0 = dispatch per query)")
+    p.add_argument("--gallery_dtype", default="float32",
+                   choices=["float32", "bfloat16", "int8"],
+                   help="resident gallery precision; int8 quantizes per "
+                        "row (4x the gallery per chip, dequant fused after "
+                        "the score matmul)")
     p.add_argument("--block", action="store_true", default=True,
                    help="block the main thread on the server (default)")
     p.add_argument("--no-block", dest="block", action="store_false",
@@ -66,7 +71,18 @@ def serve_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
     index = extract_index_features(backbone, params, classic,
                                    args.batch_size, num_workers=0,
                                    mesh=index_mesh)
-    print(f"gallery indexed: {len(index.names)} images")
+    if args.gallery_dtype != "float32":
+        import jax.numpy as jnp
+
+        from spn4cir_tpu.eval.retrieval import GalleryIndex
+        from spn4cir_tpu.ops.bank_kernels import quantize_bank
+
+        target = (quantize_bank(index.target) if args.gallery_dtype == "int8"
+                  else index.target.astype(jnp.bfloat16))
+        index = GalleryIndex(target=target, refer=index.refer,
+                             names=index.names)
+    print(f"gallery indexed: {len(index.names)} images "
+          f"({args.gallery_dtype})")
 
     kw = dict(preprocess=preprocess, default_k=args.default_k)
     if args.mesh_bank > 1:

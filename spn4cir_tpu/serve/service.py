@@ -45,6 +45,29 @@ def _round_up_k(k: int) -> int:
     return n
 
 
+def quantized_score_queries(queries, qbank) -> jnp.ndarray:
+    """Score against an int8 `QuantBank` gallery with dequant AFTER the
+    matmul: HBM reads stay int8 (4x the gallery per chip) and the
+    int8->f32 convert fuses into the matmul operand read. Exactly equals
+    scoring the dequantized gallery (per-row scales factor out of the
+    feature-axis contraction). Flat (M, D) -> cosine dot; 3-D (M, Q, D) ->
+    blip2 max-over-query (`infonce.max_query_scores`)."""
+    q = queries.astype(jnp.float32)
+    if qbank.ndim == 3:
+        sims = jnp.einsum("bd,mqd->bmq", q, qbank.values.astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
+        return jnp.max(sims * qbank.scales[None], axis=-1)
+    scores = jnp.dot(q, qbank.values.T.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return scores * qbank.scales[None, :]
+
+
+def _is_quant(target) -> bool:
+    from spn4cir_tpu.ops.bank_kernels import QuantBank
+
+    return isinstance(target, QuantBank)
+
+
 class RetrievalService:
     """Composed-image-retrieval queries against a fixed gallery index."""
 
@@ -104,10 +127,21 @@ class RetrievalService:
     def _extend_index(self, index, feats, names: Sequence[str]):
         """Build the grown index from an `index_features` dict. Subclass
         hook: the sharded service rebuilds its padded/sharded layout here."""
-        return GalleryIndex(
-            target=jnp.concatenate(
+        if _is_quant(index.target):
+            from spn4cir_tpu.ops.bank_kernels import QuantBank, quantize_bank
+
+            # per-row scales: quantizing the new rows alone is identical to
+            # re-quantizing the whole grown gallery
+            new = quantize_bank(feats["target"])
+            target = QuantBank(
+                jnp.concatenate([index.target.values, new.values], axis=0),
+                jnp.concatenate([index.target.scales, new.scales], axis=0))
+        else:
+            target = jnp.concatenate(
                 [index.target,
-                 feats["target"].astype(index.target.dtype)], axis=0),
+                 feats["target"].astype(index.target.dtype)], axis=0)
+        return GalleryIndex(
+            target=target,
             refer=np.concatenate(
                 [index.refer, np.asarray(feats["refer"])], axis=0),
             names=list(index.names) + list(names),
@@ -138,7 +172,10 @@ class RetrievalService:
         """Score `queries` against the gallery and return device (B, kk)
         (values, gids); per-row gids < 0 exclude nothing. Subclass hook:
         the sharded service replaces this with a distributed top-k."""
-        scores = self.backbone.score_queries(queries, index.target)
+        if _is_quant(index.target):
+            scores = quantized_score_queries(queries, index.target)
+        else:
+            scores = self.backbone.score_queries(queries, index.target)
         return self._topk(scores, jnp.asarray(gids), kk)
 
     def _run(self, index: GalleryIndex, refer, caption: str, k: Optional[int],

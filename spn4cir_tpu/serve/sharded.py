@@ -37,8 +37,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from spn4cir_tpu.parallel.mesh import AXIS_BANK, put_bank
-from spn4cir_tpu.serve.service import BatchingRetrievalService, RetrievalService
+from spn4cir_tpu.parallel.mesh import AXIS_BANK, bank_sharding, put_bank
+from spn4cir_tpu.serve.service import (
+    BatchingRetrievalService,
+    RetrievalService,
+    quantized_score_queries,
+)
 
 
 @dataclasses.dataclass
@@ -48,33 +52,55 @@ class ShardedGalleryIndex:
     unpadded features host-side so mutations (add_images / refresh) can
     rebuild the sharded layout without a device round-trip."""
 
-    target: jnp.ndarray        # (Mp, ...) device, rows sharded over 'bank'
+    target: object             # (Mp, ...) device array or int8 QuantBank,
+                               # rows (and scales) sharded over 'bank'
     refer: np.ndarray          # (M, ...) host, fusion lookup
     names: List[str]
-    host_target: np.ndarray    # (M, ...) host, unpadded
+    host_target: object        # (M, ...) host array / QuantBank, unpadded
 
     def refer_rows(self, gids: np.ndarray) -> jnp.ndarray:
         return jnp.asarray(self.refer[np.asarray(gids)])
 
     @classmethod
-    def from_arrays(cls, host_target: np.ndarray, refer: np.ndarray,
+    def from_arrays(cls, host_target, refer: np.ndarray,
                     names: Sequence[str], mesh: Mesh) -> "ShardedGalleryIndex":
+        """host_target: (M, ...) np array, or an int8 `QuantBank` of host
+        arrays (values + per-row scales shard together)."""
+        from spn4cir_tpu.ops.bank_kernels import QuantBank
+
         n = mesh.shape[AXIS_BANK]
         m = host_target.shape[0]
         assert m == len(names), (m, len(names))
         mp = -(-m // n) * n
-        padded = host_target
-        if mp != m:
-            padded = np.zeros((mp, *host_target.shape[1:]),
-                              host_target.dtype)
-            padded[:m] = host_target
-        return cls(target=put_bank(jnp.asarray(padded), mesh), refer=refer,
-                   names=list(names), host_target=host_target)
+
+        def pad(a):
+            if mp == m:
+                return a
+            out = np.zeros((mp, *a.shape[1:]), a.dtype)
+            out[:m] = a
+            return out
+
+        if isinstance(host_target, QuantBank):
+            target = jax.device_put(
+                QuantBank(jnp.asarray(pad(np.asarray(host_target.values))),
+                          jnp.asarray(pad(np.asarray(host_target.scales)))),
+                bank_sharding(mesh))
+        else:
+            target = put_bank(jnp.asarray(pad(host_target)), mesh)
+        return cls(target=target, refer=refer, names=list(names),
+                   host_target=host_target)
 
     @classmethod
     def from_index(cls, index, mesh: Mesh) -> "ShardedGalleryIndex":
-        return cls.from_arrays(np.asarray(index.target), index.refer,
-                               index.names, mesh)
+        from spn4cir_tpu.ops.bank_kernels import QuantBank
+
+        target = index.target
+        if isinstance(target, QuantBank):
+            host = QuantBank(np.asarray(target.values),
+                             np.asarray(target.scales))
+        else:
+            host = np.asarray(target)
+        return cls.from_arrays(host, index.refer, index.names, mesh)
 
 
 class ShardedRetrievalService(RetrievalService):
@@ -100,17 +126,30 @@ class ShardedRetrievalService(RetrievalService):
         super().refresh_index(index)
 
     def _extend_index(self, index, feats, names: Sequence[str]):
+        from spn4cir_tpu.ops.bank_kernels import QuantBank, quantize_bank
+
+        host = index.host_target
+        if isinstance(host, QuantBank):
+            new = quantize_bank(feats["target"])
+            grown = QuantBank(
+                np.concatenate([np.asarray(host.values),
+                                np.asarray(new.values)], axis=0),
+                np.concatenate([np.asarray(host.scales),
+                                np.asarray(new.scales)], axis=0))
+        else:
+            grown = np.concatenate(
+                [host, np.asarray(feats["target"]).astype(host.dtype)],
+                axis=0)
         return ShardedGalleryIndex.from_arrays(
-            np.concatenate(
-                [index.host_target,
-                 np.asarray(feats["target"]).astype(
-                     index.host_target.dtype)], axis=0),
+            grown,
             np.concatenate([index.refer, np.asarray(feats["refer"])],
                            axis=0),
             list(index.names) + list(names), self.mesh)
 
     # -- distributed scoring -------------------------------------------------
-    def _make_scorer(self, kk: int):
+    def _make_scorer(self, kk: int, quant: bool):
+        from spn4cir_tpu.parallel.loss import bank_in_spec
+
         mesh = self.mesh
         score_queries = self.backbone.score_queries
 
@@ -119,16 +158,18 @@ class ShardedRetrievalService(RetrievalService):
             m_local = tgt.shape[0]
             off = jax.lax.axis_index(AXIS_BANK).astype(jnp.int32) * m_local
             rows = off + jnp.arange(m_local, dtype=jnp.int32)
-            scores = score_queries(q, tgt)
+            scores = (quantized_score_queries(q, tgt) if quant
+                      else score_queries(q, tgt))
             scores = jnp.where(rows[None, :] < m_actual, scores, -jnp.inf)
             scores = jnp.where(rows[None, :] == gids[:, None], -jnp.inf,
                                scores)
             vals, idx = jax.lax.top_k(scores, min(kk, m_local))
             return vals, idx.astype(jnp.int32) + off
 
+        bank_spec = bank_in_spec(self.index.target) if quant else P(AXIS_BANK)
         sharded = jax.shard_map(
             local, mesh=mesh,
-            in_specs=(P(), P(AXIS_BANK), P(), P()),
+            in_specs=(P(), bank_spec, P(), P()),
             # concat per-shard (B, kk') candidates along dim 1
             out_specs=(P(None, AXIS_BANK), P(None, AXIS_BANK)))
 
@@ -141,9 +182,13 @@ class ShardedRetrievalService(RetrievalService):
         return run
 
     def _score_topk(self, index, queries, gids, kk: int):
-        scorer = self._scorer_cache.get(kk)
+        from spn4cir_tpu.ops.bank_kernels import QuantBank
+
+        quant = isinstance(index.target, QuantBank)
+        key = (kk, quant)
+        scorer = self._scorer_cache.get(key)
         if scorer is None:
-            scorer = self._scorer_cache[kk] = self._make_scorer(kk)
+            scorer = self._scorer_cache[key] = self._make_scorer(kk, quant)
         return scorer(queries, index.target,
                       jnp.asarray(np.asarray(gids), jnp.int32),
                       jnp.int32(len(index.names)))

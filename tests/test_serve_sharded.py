@@ -175,6 +175,75 @@ def test_serve_cli_sharded(tmp_path, rng):
         server.shutdown()
 
 
+def test_int8_gallery_matches_dequant_oracle(pair):
+    """int8 serving: scoring the QuantBank gallery (dequant fused after the
+    matmul) equals scoring its dequantized dense form — single-chip AND
+    sharded return identical ranked results, and add_images re-quantizes
+    per row exactly."""
+    from spn4cir_tpu.eval.retrieval import GalleryIndex
+    from spn4cir_tpu.ops.bank_kernels import quantize_bank
+
+    single, sharded = pair
+    bb, params = single.backbone, single.params
+    qbank = quantize_bank(single.index.target)
+    q_index = GalleryIndex(target=qbank, refer=single.index.refer,
+                           names=single.index.names)
+    oracle_index = GalleryIndex(target=qbank.dequantize(),
+                                refer=single.index.refer,
+                                names=single.index.names)
+    svc_q = RetrievalService(bb, params, q_index, preprocess=TF, default_k=5)
+    svc_o = RetrievalService(bb, params, oracle_index, preprocess=TF,
+                             default_k=5)
+    svc_qs = ShardedRetrievalService(bb, params, q_index, sharded.mesh,
+                                     preprocess=TF, default_k=5)
+    for name in single.index.names[:3]:
+        want = svc_o.query_by_name(name, "make it blue", k=4)
+        got = svc_q.query_by_name(name, "make it blue", k=4)
+        got_s = svc_qs.query_by_name(name, "make it blue", k=4)
+        assert [r["name"] for r in got] == [r["name"] for r in want]
+        assert [r["name"] for r in got_s] == [r["name"] for r in want]
+        np.testing.assert_allclose(
+            [r["score"] for r in got], [r["score"] for r in want],
+            rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            [r["score"] for r in got_s], [r["score"] for r in want],
+            rtol=1e-5, atol=1e-5)
+
+    # memory claim: the resident gallery really is int8 + one f32 scale/row
+    assert svc_qs.index.target.values.dtype == jnp.int8
+
+    # add_images: per-row quantization makes grow-then-query exact vs a
+    # gallery quantized whole
+    rng = np.random.RandomState(7)
+    imgs = np.stack([np.asarray(TF(
+        __import__("PIL.Image", fromlist=["Image"]).fromarray(
+            rng.randint(0, 256, (40, 40, 3), dtype=np.uint8))))
+        for _ in range(2)])
+    n1 = svc_q.add_images(["q_new_0", "q_new_1"], imgs)
+    n2 = svc_qs.add_images(["q_new_0", "q_new_1"], imgs)
+    assert n1 == n2 == len(single.index.names) + 2
+    ref = single.index.names[0]
+    got = svc_q.query_by_name(ref, "a fresh look", k=6)
+    got_s = svc_qs.query_by_name(ref, "a fresh look", k=6)
+    assert [r["name"] for r in got_s] == [r["name"] for r in got]
+
+
+def test_int8_maxquery_scores_match_oracle(rng):
+    """3-D (M, Q, D) quant gallery: max-over-query scoring with per-(m,q)
+    scales equals the dequantized oracle."""
+    from spn4cir_tpu.ops import infonce
+    from spn4cir_tpu.ops.bank_kernels import quantize_bank
+    from spn4cir_tpu.serve.service import quantized_score_queries
+
+    gallery = jnp.asarray(rng.standard_normal((11, 4, 8)), jnp.float32)
+    queries = jnp.asarray(rng.standard_normal((3, 8)), jnp.float32)
+    qbank = quantize_bank(gallery)
+    got = quantized_score_queries(queries, qbank)
+    want = infonce.max_query_scores(queries, qbank.dequantize())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_maxquery_gallery_shards(pair):
     """3-D (M, Q, D) galleries (blip2 max-over-query) shard row-wise and
     score identically through the distributed top-k."""
