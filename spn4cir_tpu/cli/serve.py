@@ -44,6 +44,11 @@ def serve_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
                    help="resident gallery precision; int8 quantizes per "
                         "row (4x the gallery per chip, dequant fused after "
                         "the score matmul)")
+    p.add_argument("--index_cache", default="",
+                   help="npz path for the encoded gallery index; loaded if "
+                        "present (restart without re-encoding), written "
+                        "after extraction otherwise — same semantics as "
+                        "--bank_path caching")
     p.add_argument("--block", action="store_true", default=True,
                    help="block the main thread on the server (default)")
     p.add_argument("--no-block", dest="block", action="store_false",
@@ -56,33 +61,46 @@ def serve_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
     preprocess = make_transform(backbone, args)
     params = load_or_init_params(backbone, args, key)
 
-    from spn4cir_tpu.data.datasets import CIRDataset
-    from spn4cir_tpu.eval.retrieval import extract_index_features
+    import os
 
-    index_mesh = None
-    if args.mesh_model > 1 or args.mesh_data > 1:
-        from spn4cir_tpu.parallel.tp import make_tp_mesh
+    from spn4cir_tpu.eval.retrieval import GalleryIndex, extract_index_features
 
-        index_mesh = make_tp_mesh(data=args.mesh_data or None,
-                                  model=args.mesh_model)
-    classic = CIRDataset(args.dataset, args.serve_split, "classic",
-                         preprocess, args.data_path,
-                         args.dress_types if args.dataset == "fiq" else None)
-    index = extract_index_features(backbone, params, classic,
-                                   args.batch_size, num_workers=0,
-                                   mesh=index_mesh)
-    if args.gallery_dtype != "float32":
-        import jax.numpy as jnp
+    cache = args.index_cache
+    if cache and os.path.exists(cache if cache.endswith(".npz")
+                                else cache + ".npz"):
+        index = GalleryIndex.load(cache)
+        print(f"gallery index loaded from cache: {len(index.names)} images")
+    else:
+        from spn4cir_tpu.data.datasets import CIRDataset
 
-        from spn4cir_tpu.eval.retrieval import GalleryIndex
-        from spn4cir_tpu.ops.bank_kernels import quantize_bank
+        index_mesh = None
+        if args.mesh_model > 1 or args.mesh_data > 1:
+            from spn4cir_tpu.parallel.tp import make_tp_mesh
 
-        target = (quantize_bank(index.target) if args.gallery_dtype == "int8"
-                  else index.target.astype(jnp.bfloat16))
-        index = GalleryIndex(target=target, refer=index.refer,
-                             names=index.names)
-    print(f"gallery indexed: {len(index.names)} images "
-          f"({args.gallery_dtype})")
+            index_mesh = make_tp_mesh(data=args.mesh_data or None,
+                                      model=args.mesh_model)
+        classic = CIRDataset(args.dataset, args.serve_split, "classic",
+                             preprocess, args.data_path,
+                             args.dress_types if args.dataset == "fiq"
+                             else None)
+        index = extract_index_features(backbone, params, classic,
+                                       args.batch_size, num_workers=0,
+                                       mesh=index_mesh)
+        if args.gallery_dtype != "float32":
+            import jax.numpy as jnp
+
+            from spn4cir_tpu.ops.bank_kernels import quantize_bank
+
+            target = (quantize_bank(index.target)
+                      if args.gallery_dtype == "int8"
+                      else index.target.astype(jnp.bfloat16))
+            index = GalleryIndex(target=target, refer=index.refer,
+                                 names=index.names)
+        if cache:
+            index.save(cache)
+            print(f"gallery index cached -> {cache}")
+        print(f"gallery indexed: {len(index.names)} images "
+              f"({args.gallery_dtype})")
 
     kw = dict(preprocess=preprocess, default_k=args.default_k)
     if args.mesh_bank > 1:

@@ -44,6 +44,39 @@ class GalleryIndex:
     def refer_rows(self, gids: np.ndarray) -> jnp.ndarray:
         return jnp.asarray(self.refer[np.asarray(gids)])
 
+    # -- persistence (serving restarts skip the gallery re-encode; same
+    # cache semantics as Bank: .npz, recompute only if missing) ------------
+    def save(self, path: str) -> None:
+        import os
+
+        from spn4cir_tpu.bank.bank import Bank
+        from spn4cir_tpu.ops.bank_kernels import QuantBank
+
+        path = Bank.cache_file(path)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        extra = {}
+        if isinstance(self.target, QuantBank):
+            extra = {"target": np.asarray(self.target.values),
+                     "target_scales": np.asarray(self.target.scales)}
+        else:
+            extra = {"target": np.asarray(self.target)}
+        np.savez_compressed(path, refer=self.refer,
+                            names=np.asarray(self.names), **extra)
+
+    @classmethod
+    def load(cls, path: str) -> "GalleryIndex":
+        from spn4cir_tpu.bank.bank import Bank
+        from spn4cir_tpu.ops.bank_kernels import QuantBank
+
+        data = np.load(Bank.cache_file(path))
+        if "target_scales" in data:
+            target = QuantBank(jnp.asarray(data["target"]),
+                               jnp.asarray(data["target_scales"]))
+        else:
+            target = jnp.asarray(data["target"])
+        return cls(target=target, refer=data["refer"],
+                   names=[str(n) for n in data["names"]])
+
 
 def _backbone_jit(backbone, key: str, make):
     """Per-backbone cache of jitted callables. A fresh `jax.jit(lambda ...)`

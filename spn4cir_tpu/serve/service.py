@@ -93,6 +93,26 @@ class RetrievalService:
         # serializes gallery mutations (read->build->swap); queries only
         # snapshot self.index/self._name2gid and never take it
         self._mutate_lock = threading.Lock()
+        # observability counters (served at GET /metrics); guarded by _lock
+        # alongside the dispatch they describe
+        self._stats = {"queries": 0, "dispatches": 0, "latency_ms_sum": 0.0}
+
+    def metrics(self) -> dict:
+        """Snapshot of serving counters + gallery facts."""
+        with self._lock:
+            stats = dict(self._stats)
+        q = stats["queries"]
+        total = stats.pop("latency_ms_sum")
+        stats["latency_ms_avg"] = round(total / q, 3) if q else 0.0
+        target = self.index.target
+        stats["gallery_size"] = len(self.index.names)
+        stats["gallery_dtype"] = str(getattr(target, "dtype", "?"))
+        return stats
+
+    def _record(self, n_queries: int, seconds: float) -> None:
+        self._stats["queries"] += n_queries
+        self._stats["dispatches"] += 1
+        self._stats["latency_ms_sum"] += seconds * 1e3
 
     # -- gallery management --------------------------------------------------
     def refresh_index(self, index: GalleryIndex) -> None:
@@ -180,13 +200,17 @@ class RetrievalService:
 
     def _run(self, index: GalleryIndex, refer, caption: str, k: Optional[int],
              exclude_gid: Optional[int]) -> List[dict]:
+        import time
+
         k = min(k or self.default_k, len(index.names))
         kk = min(_round_up_k(k), len(index.names))
+        t0 = time.monotonic()
         with self._lock:
             text = jnp.asarray(self.backbone.tokenize([caption]))
             query = self._fuse(refer, text)
             gid = -1 if exclude_gid is None else exclude_gid
             vals, idx = self._score_topk(index, query, np.asarray([gid]), kk)
+            self._record(1, time.monotonic() - t0)
         vals, idx = np.asarray(vals[0]), np.asarray(idx[0])
         return [{"name": index.names[int(i)], "score": float(v)}
                 for i, v in zip(idx[:k], vals[:k])]
@@ -213,6 +237,8 @@ def make_handler(service: RetrievalService):
             if self.path == "/healthz":
                 self._send(200, {"status": "ok",
                                  "gallery_size": len(service.index.names)})
+            elif self.path == "/metrics":
+                self._send(200, service.metrics())
             else:
                 self._send(404, {"error": "unknown path"})
 
@@ -334,10 +360,14 @@ class BatchingRetrievalService(RetrievalService):
             kmax = min(_round_up_k(max(
                 min(item[3] or self.default_k, len(index.names))
                 for item in group)), len(index.names))
+            import time
+
+            t0 = time.monotonic()
             with self._lock:
                 text = jnp.asarray(self.backbone.tokenize(captions))
                 queries = self._fuse(refer, text)
                 vals, idx = self._score_topk(index, queries, gids, kmax)
+                self._record(len(group), time.monotonic() - t0)
             vals, idx = np.asarray(vals), np.asarray(idx)
             self._batches_dispatched += 1
             for row, (_, gid, _, k, event, slot) in enumerate(group):

@@ -228,6 +228,76 @@ def test_int8_gallery_matches_dequant_oracle(pair):
     assert [r["name"] for r in got_s] == [r["name"] for r in got]
 
 
+def test_gallery_index_save_load_roundtrip(pair, tmp_path):
+    from spn4cir_tpu.eval.retrieval import GalleryIndex
+    from spn4cir_tpu.ops.bank_kernels import QuantBank, quantize_bank
+
+    single, _ = pair
+    # dense
+    p = str(tmp_path / "idx")
+    single.index.save(p)
+    loaded = GalleryIndex.load(p)
+    assert loaded.names == single.index.names
+    np.testing.assert_array_equal(np.asarray(loaded.target),
+                                  np.asarray(single.index.target))
+    np.testing.assert_array_equal(loaded.refer, single.index.refer)
+    # int8
+    q = GalleryIndex(target=quantize_bank(single.index.target),
+                     refer=single.index.refer, names=single.index.names)
+    pq = str(tmp_path / "idx_q8")
+    q.save(pq)
+    lq = GalleryIndex.load(pq)
+    assert isinstance(lq.target, QuantBank)
+    np.testing.assert_array_equal(np.asarray(lq.target.values),
+                                  np.asarray(q.target.values))
+    np.testing.assert_array_equal(np.asarray(lq.target.scales),
+                                  np.asarray(q.target.scales))
+
+
+def test_serve_cli_index_cache_and_metrics(tmp_path, rng):
+    """Second launch loads the cached index instead of re-encoding; the
+    /metrics endpoint reports query counters."""
+    import json
+    import urllib.request
+
+    from spn4cir_tpu.cli.serve import serve_main
+
+    root = make_fiq(str(tmp_path / "fiq"))
+    cache = str(tmp_path / "gallery_idx")
+    argv = ["--dataset", "fiq", "--data_path", root,
+            "--clip-model-name", "test-tiny", "--batch-size", "4",
+            "--dress_types", "dress", "--index_cache", cache,
+            "--gallery_dtype", "int8",
+            "--serve_host", "127.0.0.1", "--serve_port", "0", "--no-block"]
+    server1, svc1 = serve_main("clip", argv=argv)
+    server1.shutdown()
+    import os
+
+    assert os.path.exists(cache + ".npz")
+
+    server2, svc2 = serve_main("clip", argv=argv)  # cache-load path
+    try:
+        from spn4cir_tpu.ops.bank_kernels import QuantBank
+
+        assert isinstance(svc2.index.target, QuantBank)  # dtype survives
+        assert svc2.index.names == svc1.index.names
+        port = server2.server_address[1]
+        name = svc2.index.names[0]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/retrieve",
+            data=json.dumps({"reference_name": name,
+                             "caption": "shinier", "k": 3}).encode(),
+            headers={"Content-Type": "application/json"})
+        urllib.request.urlopen(req, timeout=60).read()
+        m = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=60).read())
+        assert m["queries"] == 1 and m["dispatches"] == 1
+        assert m["gallery_dtype"] == "int8"
+        assert m["latency_ms_avg"] > 0
+    finally:
+        server2.shutdown()
+
+
 def test_int8_maxquery_scores_match_oracle(rng):
     """3-D (M, Q, D) quant gallery: max-over-query scoring with per-(m,q)
     scales equals the dequantized oracle."""
