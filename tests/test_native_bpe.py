@@ -136,6 +136,17 @@ def test_stale_so_recovery(tok, tmp_path):
     so = native_bpe._SO
     backup = str(tmp_path / "bpe_backup.so")
     shutil.copyfile(so, backup)
+
+    def install(src):
+        # NEVER rewrite the .so in place: this pytest process (and any
+        # concurrent one) has it mmap'd via CDLL, and shutil.copyfile's
+        # O_TRUNC rewrite invalidates the mapped executable pages -> later
+        # native calls die with SIGBUS (this exact bug killed whole suite
+        # runs). os.replace swaps the directory entry to a NEW inode; the
+        # old mapping keeps the old inode alive and stays valid.
+        tmp = so + ".swap"
+        shutil.copyfile(src, tmp)
+        os.replace(tmp, so)
     stub_c = tmp_path / "stub.c"
     stub_c.write_text(
         "void* bpe_create(const char* a, const char* b) { return (void*)1; }\n"
@@ -146,7 +157,7 @@ def test_stale_so_recovery(tok, tmp_path):
     subprocess.run(["gcc", "-shared", "-fPIC", str(stub_c), "-o", stub_so],
                    check=True)
     try:
-        shutil.copyfile(stub_so, so)
+        install(stub_so)
         # mtime newer than the source: the plain rebuild guard won't fire
         os.utime(so, (os.path.getmtime(native_bpe._SRC) + 10,) * 2)
         probe = textwrap.dedent("""
@@ -165,4 +176,4 @@ def test_stale_so_recovery(tok, tmp_path):
                              capture_output=True, text=True, timeout=300)
         assert "RECOVERED" in out.stdout, (out.stdout, out.stderr[-2000:])
     finally:
-        shutil.copyfile(backup, so)
+        install(backup)
