@@ -211,7 +211,18 @@ def main():
     p.add_argument("--train", action="store_true",
                    help="also run the stage-2 recipe-scale steps")
     p.add_argument("--json", default="")
+    p.add_argument("--attn", default="auto", choices=["auto", "xla"],
+                   help="attention dispatch A/B: 'xla' pins every tower to "
+                        "the einsum path (disables the packed short-S and "
+                        "fused long-S Pallas kernels) so per-tower kernel "
+                        "wins can be measured with one flag flip")
     args = p.parse_args()
+
+    if args.attn == "xla":
+        from spn4cir_tpu.ops import attention_kernels as _ak
+
+        _ak.MAX_PACKED_SEQ = 0
+        _ak.MIN_FUSED_SEQ = 10 ** 9
 
     print("devices:", jax.devices(), flush=True)
     results = {}
