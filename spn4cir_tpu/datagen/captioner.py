@@ -108,7 +108,7 @@ def make_llava_captioner(params, *, tokenizer=None, tokenizer_path: str = "",
                          llava_size: str = "7b", category: str = "image",
                          word_num: int = 10, max_new_tokens: int = 64,
                          batch_size: int = 8, dtype=None,
-                         quantize_weights: bool = False):
+                         quantize_weights: bool = False, mesh=None):
     """The reference's CANONICAL captioning path — LLaVA-v1
     (zscir/captioner_llava.py:147-205 captions every published dataset with
     it) on the JAX CLIP-L tower + LLaMA decoder (models/llava.py).
@@ -144,7 +144,8 @@ def make_llava_captioner(params, *, tokenizer=None, tokenizer_path: str = "",
                int(getattr(tokenizer, "vocab_size", 128)), 128))
            if llava_size == "tiny" else LlavaConfig.v1_7b())
     cap = LlavaCaptioner(cfg, tokenizer,
-                         dtype=dtype if dtype is not None else jnp.float32)
+                         dtype=dtype if dtype is not None else jnp.float32,
+                         mesh=mesh)
     transform = ImageTransform("clip", cfg.vision.image_size)
     if params is None or params == "":
         params = cap.init_params(jax.random.PRNGKey(0))
@@ -184,8 +185,14 @@ def make_llava_captioner(params, *, tokenizer=None, tokenizer_path: str = "",
         params["params"]["language_model"] = lm
 
     # one transfer at load time: converted checkpoints are host numpy, and
-    # numpy jit arguments re-upload the full weight tree EVERY call
-    params = jax.device_put(params)
+    # numpy jit arguments re-upload the full weight tree EVERY call.
+    # With a mesh, the tree lands tensor-parallel-sharded instead (bf16 7B
+    # fits from 2×16 GB chips; decode weight reads ride N×HBM).
+    if mesh is not None:
+        from spn4cir_tpu.parallel.tp import shard_llava_params
+        params = shard_llava_params(params, mesh)
+    else:
+        params = jax.device_put(params)
 
     default_prompt = caption_prompt(category, word_num)
 

@@ -248,7 +248,7 @@ PROMPTS_BOTH = [
 
 def make_jax_generate_fn(params, cfg, tokenizer, *, max_new_tokens: int = 25,
                          top_k: int = 10, seed: int = 0,
-                         cache_dtype=None):
+                         cache_dtype=None, mesh=None):
     """TPU-native LM execution for the rewriter: the JAX LLaMA decoder
     (models/llama.py) with the reference's exact sampling semantics
     (zscir/llama_generate.py:55-63: do_sample=True, top_k=10, HF-default
@@ -267,6 +267,7 @@ def make_jax_generate_fn(params, cfg, tokenizer, *, max_new_tokens: int = 25,
     eos = tokenizer.eos_token_id
     rng_holder = {"rng": jax.random.PRNGKey(seed)}
     jit_cache: dict = {}
+    cache_sharding = _tp_cache_sharding(cfg, mesh)
 
     from spn4cir_tpu.models.llama import _embed_rows
 
@@ -278,6 +279,7 @@ def make_jax_generate_fn(params, cfg, tokenizer, *, max_new_tokens: int = 25,
                 p, cfg, e, eos_id=eos, pad_id=eos,
                 max_new_tokens=max_new_tokens, do_sample=True,
                 temperature=1.0, top_p=1.0, top_k=top_k, rng=r,
+                cache_sharding=cache_sharding,
                 **({} if cache_dtype is None
                    else {"cache_dtype": cache_dtype})))
         # embedding lookup stays on device (dense or int8 QuantKernel) —
@@ -296,10 +298,32 @@ def make_jax_generate_fn(params, cfg, tokenizer, *, max_new_tokens: int = 25,
     return generate
 
 
+def _tp_cache_sharding(cfg, mesh):
+    """KV-cache sharding for tensor-parallel generation (None otherwise)."""
+    if mesh is None:
+        return None
+    from spn4cir_tpu.parallel.tp import llama_cache_sharding
+    return llama_cache_sharding(cfg, mesh)
+
+
+def _place_llm_params(params, mesh):
+    """One weight transfer at load time: plain device_put single-chip, or
+    Megatron TP shards over the mesh 'model' axis (parallel/tp.py) — bf16
+    7B (13.4 GB, too big for one 16 GB chip) fits from 2 chips up, and
+    decode weight streaming rides N×HBM bandwidth."""
+    import jax
+
+    if mesh is None:
+        return jax.device_put(params)
+    from spn4cir_tpu.parallel.tp import shard_llama_params
+    return shard_llama_params(params, mesh)
+
+
 def make_jax_batch_generate_fn(params, cfg, tokenizer, *,
                                max_new_tokens: int = 25, top_k: int = 10,
                                seed: int = 0, batch_size: int = 8,
-                               len_bucket: int = 32, cache_dtype=None):
+                               len_bucket: int = 32, cache_dtype=None,
+                               mesh=None):
     """Batched TPU-native rewriting: many prompts per `llama_generate` call.
 
     The reference's HF pipeline rewrites one prompt per generate call
@@ -324,6 +348,7 @@ def make_jax_batch_generate_fn(params, cfg, tokenizer, *,
     eos = tokenizer.eos_token_id
     rng_holder = {"rng": jax.random.PRNGKey(seed)}
     jit_cache: dict = {}
+    cache_sharding = _tp_cache_sharding(cfg, mesh)
 
     def generate_batch(prompts: Sequence[str]) -> list:
         enc = [tokenizer.encode(p) for p in prompts]
@@ -349,7 +374,7 @@ def make_jax_batch_generate_fn(params, cfg, tokenizer, *,
                     p, cfg, e, eos_id=eos, pad_id=eos,
                     max_new_tokens=max_new_tokens, do_sample=True,
                     temperature=1.0, top_p=1.0, top_k=top_k, rng=r,
-                    attention_mask=m,
+                    attention_mask=m, cache_sharding=cache_sharding,
                     **({} if cache_dtype is None
                        else {"cache_dtype": cache_dtype})))
             embeds = _embed_rows(params["embed_tokens"],
@@ -393,7 +418,7 @@ def load_jax_rewriter(ckpt_path: str = "", tokenizer=None, *,
                       data: str = "fiq", mod_type: int = 0,
                       llm_type: int = 1, tiny: bool = False, seed: int = 0,
                       quantize_weights: bool = False, batch_size: int = 1,
-                      cache_dtype=None):
+                      cache_dtype=None, mesh=None):
     """End-to-end TPU-native rewriter: JAX LLaMA-2 decoder + the byte-exact
     prompt contract. `ckpt_path` is an HF LlamaForCausalLM state dict
     (torch); empty => random init (smoke runs). `tokenizer` defaults to the
@@ -430,7 +455,7 @@ def load_jax_rewriter(ckpt_path: str = "", tokenizer=None, *,
             params = quantize_llama_weights_host(params)
         # one transfer now — numpy jit args would re-upload the whole
         # weight tree on every rewrite call
-        params = jax.device_put(params)
+        params = _place_llm_params(params, mesh)
     elif not tiny:
         # a random-init 7B would silently write garbage rewrites into the
         # generated dataset (and ~27 GB of f32 would not even fit)
@@ -442,6 +467,10 @@ def load_jax_rewriter(ckpt_path: str = "", tokenizer=None, *,
         params = LlamaLM(cfg).init(
             jax.random.PRNGKey(0),
             input_ids=jnp.zeros((1, 4), jnp.int32))["params"]
+        if quantize_weights:
+            from spn4cir_tpu.models.llama import quantize_llama_weights
+            params = jax.jit(quantize_llama_weights)(params)
+        params = _place_llm_params(params, mesh)
     if cache_dtype is None and not tiny:
         # 7B production default: bf16 KV cache — halves cache HBM (the
         # BENCHMARKS.md rewriter numbers are measured in this config, and
@@ -452,11 +481,12 @@ def load_jax_rewriter(ckpt_path: str = "", tokenizer=None, *,
     if batch_size > 1:
         gen = make_jax_batch_generate_fn(
             params, cfg, tokenizer, max_new_tokens=max_new_tokens_for(data),
-            seed=seed, batch_size=batch_size, cache_dtype=cache_dtype)
+            seed=seed, batch_size=batch_size, cache_dtype=cache_dtype,
+            mesh=mesh)
         return make_llm_batch_rewriter(gen, data, mod_type, llm_type)
     gen = make_jax_generate_fn(params, cfg, tokenizer,
                                max_new_tokens=max_new_tokens_for(data),
-                               seed=seed, cache_dtype=cache_dtype)
+                               seed=seed, cache_dtype=cache_dtype, mesh=mesh)
     return make_llm_rewriter(gen, data, mod_type, llm_type)
 
 

@@ -125,9 +125,17 @@ class QuantKernel(NamedTuple):
     scales: jnp.ndarray  # (..., F) f32
 
 
-def _mm(x, w):
-    """x @ w for dense or QuantKernel weights (dequant-after-matmul)."""
+def _mm(x, w, use_kernel: bool = False):
+    """x @ w for dense or QuantKernel weights (dequant-after-matmul).
+
+    `use_kernel` routes int8 weights through the fused Pallas matmul
+    (ops/quant_matmul.py) — the XLA fallback's `.astype` materializes a
+    full-precision weight copy in HBM per call, ~5× the int8 read at 7B
+    decode. Auto-enabled by llama_generate on TPU single-device runs."""
     if isinstance(w, QuantKernel):
+        if use_kernel and w.values.ndim == 2:
+            from spn4cir_tpu.ops.quant_matmul import quant_matmul
+            return quant_matmul(x, w.values, w.scales)
         return (x @ w.values.astype(x.dtype)) * w.scales.astype(x.dtype)
     return x @ w
 
@@ -336,6 +344,7 @@ def llama_prefill(params: Dict[str, Any], cfg: LlamaConfig,
                   state: LlamaDecodeState, x: jnp.ndarray, *,
                   positions: Optional[jnp.ndarray] = None,
                   pad_mask: Optional[jnp.ndarray] = None,
+                  quant_kernel: bool = False,
                   ) -> Tuple[jnp.ndarray, LlamaDecodeState]:
     """Consume the whole prompt in ONE batched forward: x (B, P, D) input
     embeddings -> (last-position logits (B, vocab), cache filled for
@@ -365,14 +374,15 @@ def llama_prefill(params: Dict[str, Any], cfg: LlamaConfig,
         causal = jnp.broadcast_to(causal[None, None], (1, 1, plen, plen))
 
     layer = params["layers"]["layer"]
+    mm = lambda a, w: _mm(a, w, quant_kernel)  # noqa: E731
 
     def one_layer(x, xs):
         lp, ck, cv = xs
         h = rms_norm(x, lp["input_ln"]["scale"], cfg.rms_eps)
         at = lp["attn"]
-        q = _mm(h, at["q"]["kernel"]).reshape(batch, plen, cfg.num_heads, hd)
-        k = _mm(h, at["k"]["kernel"]).reshape(batch, plen, cfg.kv_heads, hd)
-        v = _mm(h, at["v"]["kernel"])
+        q = mm(h, at["q"]["kernel"]).reshape(batch, plen, cfg.num_heads, hd)
+        k = mm(h, at["k"]["kernel"]).reshape(batch, plen, cfg.kv_heads, hd)
+        v = mm(h, at["v"]["kernel"])
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         ck = jax.lax.dynamic_update_slice(
@@ -385,17 +395,17 @@ def llama_prefill(params: Dict[str, Any], cfg: LlamaConfig,
         logits = logits + causal
         w = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", w, vh).reshape(batch, plen, -1)
-        x = x + _mm(ctx, at["o"]["kernel"]).astype(x.dtype)
+        x = x + mm(ctx, at["o"]["kernel"]).astype(x.dtype)
         h = rms_norm(x, lp["post_ln"]["scale"], cfg.rms_eps)
-        gate = _mm(h, lp["gate"]["kernel"])
-        up = _mm(h, lp["up"]["kernel"])
-        x = x + _mm(jax.nn.silu(gate) * up,
-                    lp["down"]["kernel"]).astype(x.dtype)
+        gate = mm(h, lp["gate"]["kernel"])
+        up = mm(h, lp["up"]["kernel"])
+        x = x + mm(jax.nn.silu(gate) * up,
+                   lp["down"]["kernel"]).astype(x.dtype)
         return x, (ck, cv)
 
     x, (new_k, new_v) = jax.lax.scan(one_layer, x, (layer, state.k, state.v))
     last = rms_norm(x[:, -1], params["norm"]["scale"], cfg.rms_eps)
-    logits = _mm(last.astype(jnp.float32), params["lm_head"])
+    logits = mm(last.astype(jnp.float32), params["lm_head"])
     return logits, LlamaDecodeState(new_k, new_v)
 
 
@@ -404,6 +414,7 @@ def llama_decode_step(params: Dict[str, Any], cfg: LlamaConfig,
                       pos: jnp.ndarray, *,
                       rope_pos: Optional[jnp.ndarray] = None,
                       key_mask: Optional[jnp.ndarray] = None,
+                      quant_kernel: bool = False,
                       ) -> Tuple[jnp.ndarray, LlamaDecodeState]:
     """One incremental step: x (B, D) input embedding at cache position
     `pos` (scalar int32) -> (logits (B, vocab), updated state).
@@ -432,14 +443,15 @@ def llama_decode_step(params: Dict[str, Any], cfg: LlamaConfig,
             1.0 - key_mask.astype(jnp.float32))[:, None, :] * NEG_INF
 
     layer = params["layers"]["layer"]
+    mm = lambda a, w: _mm(a, w, quant_kernel)  # noqa: E731
 
     def one_layer(x, xs):
         lp, ck, cv = xs
         h = rms_norm(x, lp["input_ln"]["scale"], cfg.rms_eps)
         at = lp["attn"]
-        q = _mm(h, at["q"]["kernel"]).reshape(batch, cfg.num_heads, hd)
-        k = _mm(h, at["k"]["kernel"]).reshape(batch, cfg.kv_heads, hd)
-        v = _mm(h, at["v"]["kernel"])
+        q = mm(h, at["q"]["kernel"]).reshape(batch, cfg.num_heads, hd)
+        k = mm(h, at["k"]["kernel"]).reshape(batch, cfg.kv_heads, hd)
+        v = mm(h, at["v"]["kernel"])
         q = rope1(q)
         k = rope1(k)
         ck = jax.lax.dynamic_update_slice(
@@ -455,17 +467,17 @@ def llama_decode_step(params: Dict[str, Any], cfg: LlamaConfig,
         ctx = jnp.einsum("bhk,bkhd->bhd", w, vh).reshape(batch, -1)
         # keep the residual stream in its input dtype (bf16 weights would
         # otherwise promote x to f32 mid-scan and break the layer carry)
-        x = x + _mm(ctx, at["o"]["kernel"]).astype(x.dtype)
+        x = x + mm(ctx, at["o"]["kernel"]).astype(x.dtype)
         h = rms_norm(x, lp["post_ln"]["scale"], cfg.rms_eps)
-        gate = _mm(h, lp["gate"]["kernel"])
-        up = _mm(h, lp["up"]["kernel"])
-        x = x + _mm(jax.nn.silu(gate) * up,
-                    lp["down"]["kernel"]).astype(x.dtype)
+        gate = mm(h, lp["gate"]["kernel"])
+        up = mm(h, lp["up"]["kernel"])
+        x = x + mm(jax.nn.silu(gate) * up,
+                   lp["down"]["kernel"]).astype(x.dtype)
         return x, (ck, cv)
 
     x, (new_k, new_v) = jax.lax.scan(one_layer, x, (layer, state.k, state.v))
     x = rms_norm(x, params["norm"]["scale"], cfg.rms_eps)
-    logits = _mm(x.astype(jnp.float32), params["lm_head"])
+    logits = mm(x.astype(jnp.float32), params["lm_head"])
     return logits, LlamaDecodeState(new_k, new_v)
 
 
@@ -475,8 +487,9 @@ def llama_generate(params: Dict[str, Any], cfg: LlamaConfig,
                    temperature: float = 1.0, top_p: float = 1.0,
                    top_k: int = 0, cache_dtype=jnp.float32,
                    rng: Optional[jax.Array] = None,
-                   attention_mask: Optional[jnp.ndarray] = None
-                   ) -> jnp.ndarray:
+                   attention_mask: Optional[jnp.ndarray] = None,
+                   cache_sharding=None,
+                   quant_kernel: Optional[bool] = None) -> jnp.ndarray:
     """Generate continuations of an embedded prompt.
 
     inputs_embeds: (B, P, D) — the prompt as embeddings (image features may
@@ -498,9 +511,24 @@ def llama_generate(params: Dict[str, Any], cfg: LlamaConfig,
     length P (the captioner's one-shared-prompt case)."""
     from spn4cir_tpu.models.generation import top_k_filter, top_p_filter
 
+    if quant_kernel is None:
+        # fused int8 matmuls (ops/quant_matmul.py) on single-device TPU
+        # runs; under tensor parallelism GSPMD would treat the opaque
+        # pallas_call as replicated and all-gather the weight shards, so
+        # TP keeps the XLA path (its dequant cost amortizes over N chips)
+        quant_kernel = (jax.default_backend() == "tpu"
+                        and cache_sharding is None)
+
     batch, prompt_len, _ = inputs_embeds.shape
     total = prompt_len + max_new_tokens
     state = init_llama_state(cfg, batch, total, dtype=cache_dtype)
+    if cache_sharding is not None:
+        # tensor-parallel runs (parallel/tp.py:shard_llama_params): pin the
+        # KV cache's head dim to the k/v projections' column shards so GSPMD
+        # never materializes a replicated (L, B, S, D_kv) cache
+        state = LlamaDecodeState(
+            jax.lax.with_sharding_constraint(state.k, cache_sharding),
+            jax.lax.with_sharding_constraint(state.v, cache_sharding))
     if rng is None:
         rng = jax.random.PRNGKey(0)
     embed_table = params["embed_tokens"]
@@ -530,7 +558,8 @@ def llama_generate(params: Dict[str, Any], cfg: LlamaConfig,
     # rows [0, prompt_len)), then a scan of only max_new_tokens-1 decode
     # steps — not prompt_len + max_new_tokens sequential steps
     logits0, state = llama_prefill(params, cfg, state, inputs_embeds,
-                                   positions=positions, pad_mask=am)
+                                   positions=positions, pad_mask=am,
+                                   quant_kernel=quant_kernel)
     rng, sub = jax.random.split(rng)
     tok0 = sample_from(logits0, sub)
     out = jnp.full((batch, max_new_tokens), pad_id, jnp.int32)
@@ -543,7 +572,7 @@ def llama_generate(params: Dict[str, Any], cfg: LlamaConfig,
         logits, state = llama_decode_step(
             params, cfg, state, x, prompt_len + i - 1,
             rope_pos=None if lengths is None else lengths + i - 1,
-            key_mask=valid)
+            key_mask=valid, quant_kernel=quant_kernel)
         rng, sub = jax.random.split(rng)
         nxt = sample_from(logits, sub)
         nxt = jnp.where(finished, pad_id, nxt)

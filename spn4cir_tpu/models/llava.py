@@ -227,11 +227,19 @@ class LlavaCaptioner:
     decode(List[int])->str, bos_token_id, eos_token_id — satisfied by HF
     LLaMA tokenizers and by the test-local tiny tokenizer."""
 
-    def __init__(self, cfg: LlavaConfig, tokenizer, dtype=jnp.float32):
+    def __init__(self, cfg: LlavaConfig, tokenizer, dtype=jnp.float32,
+                 mesh=None):
         self.cfg = cfg
         self.tok = tokenizer
         self.module = LlavaModule(cfg, dtype)
         self._jit_cache: Dict[Any, Any] = {}
+        self._cache_sharding = None
+        if mesh is not None:
+            # tensor-parallel captioning: params sharded by
+            # parallel/tp.py:shard_llava_params; pin the KV cache to the
+            # k/v column shards
+            from spn4cir_tpu.parallel.tp import llama_cache_sharding
+            self._cache_sharding = llama_cache_sharding(cfg.llama, mesh)
 
     def init_params(self, rng):
         v = self.cfg.vision
@@ -263,7 +271,7 @@ class LlavaCaptioner:
                     lm_params, self.cfg.llama, embeds, eos_id=eos,
                     pad_id=eos, max_new_tokens=max_new_tokens,
                     do_sample=True, temperature=temperature, top_p=top_p,
-                    rng=rng)
+                    rng=rng, cache_sharding=self._cache_sharding)
 
             self._jit_cache[key] = jax.jit(run)
         out = self._jit_cache[key](

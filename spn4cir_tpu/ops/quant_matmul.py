@@ -1,0 +1,101 @@
+"""Fused int8 weight-streaming matmul for the datagen LMs (models/llama.py).
+
+    y = (x @ values) * scales        # values (D, F) int8, scales (F,) f32
+
+Why a kernel: XLA on TPU does not fuse elementwise producers into dot
+operands, so the `_mm` fallback's `values.astype(x.dtype)` materializes a
+full-precision copy of every weight matrix in HBM on every call. At 7B
+decode — one weight-streaming pass per generated token — that turns each
+int8 read into read-int8 + write-bf16 + read-bf16 (~5× the int8 bytes),
+which is exactly what weight-only quantization was supposed to avoid
+(quantize_llama_weights: per-output-channel scales, dequant after the
+contraction). This kernel streams the int8 blocks HBM→VMEM and converts
+in-registers: HBM weight traffic is the int8 read alone.
+
+Geometry: grid over F blocks only; x rides whole in VMEM (decode x is
+(B≤16, D) — a few hundred KB; prefill flattens (B, P, D) to (B·P, D)).
+Each output column depends only on its own weight column, so ragged F
+needs no masking — Pallas clips the edge block's stores. No VJP: the LMs
+are inference-only (captioner/rewriter); training never sees QuantKernel.
+
+Reference counterpart being outperformed: the HF torch pipeline runs the
+LM in fp16 with no quantization at all (zscir/llama_generate.py:34-41).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUBLANES = 8
+DEFAULT_BLOCK_F = 512
+DEFAULT_BLOCK_B = 128  # prefill flattens (B, P, D): block the row axis too
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return _cdiv(x, m) * m
+
+
+def _kernel(x_ref, w_ref, s_ref, o_ref):
+    x = x_ref[:]
+    w = w_ref[:].astype(x.dtype)  # int8 -> compute dtype, in VMEM/registers
+    acc = jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[:] = (acc * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def quant_matmul(x: jnp.ndarray, values: jnp.ndarray, scales: jnp.ndarray,
+                 block_f: int = DEFAULT_BLOCK_F,
+                 block_b: int = DEFAULT_BLOCK_B) -> jnp.ndarray:
+    """(..., D) @ int8 (D, F) with per-column f32 scales -> (..., F) in
+    x.dtype. Matches `(x @ values.astype(x.dtype)) * scales.astype(x.dtype)`
+    (models/llama.py:_mm) with f32 accumulation.
+
+    Grid: (row blocks, F blocks); D rides whole per block (7B worst case
+    f32 x (128, 11008) + int8 w (11008, 512) ≈ 11 MB VMEM). Decode's
+    (B≤16, D) x is a single row block; prefill's flattened (B·P, D) tiles."""
+    d, f = values.shape
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, d)
+    b = x2.shape[0]
+    bb = min(block_b, _round_up(b, SUBLANES))
+    bp = _round_up(b, bb)
+    if bp != b:
+        x2 = jnp.pad(x2, ((0, bp - b), (0, 0)))
+    bf = min(block_f, _round_up(f, LANES))
+    # F outermost: each int8 weight block streams HBM->VMEM exactly ONCE
+    # (row blocks revisit it in the inner loop); x re-reads per F block are
+    # negligible next to the weights (decode x is one row block anyway)
+    grid = (_cdiv(f, bf), bp // bb)
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb, d), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, bf), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bf), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, bf), lambda j, i: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, f), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=_interpret(),
+    )(x2, values, scales.reshape(1, f))
+    return out[:b].reshape(*lead, f)

@@ -113,3 +113,119 @@ def make_tp_encode(encode_fn, params, mesh: Mesh):
         out_shardings=NamedSharding(mesh, P(AXIS_DATA)),
     )
     return fn, sharded
+
+
+# ---------------------------------------------------------------------------
+# LLaMA / LLaVA (the datagen LMs — models/llama.py raw param trees)
+# ---------------------------------------------------------------------------
+#
+# Same Megatron inference pattern, different tree naming: attn q/k/v and MLP
+# gate/up are column-parallel (heads / FFN width sharded), attn o and MLP
+# down row-parallel (one psum per block, inserted by GSPMD), lm_head
+# column-parallel over vocab (sampling all-gathers a (B, V) f32 row — tiny
+# next to weight traffic). embed_tokens shards its HIDDEN dim: lookups are
+# row gathers, so sharding rows would all-gather the table; sharding D keeps
+# the gather local and saves ~230 MB/chip at 7B on 8 chips. Works on dense
+# AND weight-only int8 trees (QuantKernel leaves: values shard like the
+# kernel; per-output-channel scales travel with column shards, replicate on
+# row shards whose scales span the unsharded output dim). At 7B every
+# sharded dim (heads 32, FFN 11008, vocab 32000, D 4096) divides any
+# power-of-two model axis ≤ 32; indivisible dims fall back to replicated.
+
+_LLAMA_COLUMN = frozenset({"q", "k", "v", "gate", "up"})
+_LLAMA_ROW = frozenset({"o", "down"})
+
+
+def _llama_walk(node, name, n):
+    from spn4cir_tpu.models.llama import QuantKernel
+
+    def last(x):
+        return (P(*([None] * (x.ndim - 1)), AXIS_MODEL)
+                if x.shape[-1] % n == 0 else P())
+
+    def row2(x):
+        return (P(*([None] * (x.ndim - 2)), AXIS_MODEL, None)
+                if x.ndim >= 2 and x.shape[-2] % n == 0 else P())
+
+    def kernel_spec(w, column):
+        if isinstance(w, QuantKernel):
+            return (QuantKernel(last(w.values), last(w.scales)) if column
+                    else QuantKernel(row2(w.values), P()))
+        return last(w) if column else row2(w)
+
+    if isinstance(node, dict):
+        out = {}
+        for k, v in node.items():
+            if k in _LLAMA_COLUMN and isinstance(v, dict) and "kernel" in v:
+                out[k] = {kk: (kernel_spec(vv, True) if kk == "kernel"
+                               else P()) for kk, vv in v.items()}
+            elif k in _LLAMA_ROW and isinstance(v, dict) and "kernel" in v:
+                out[k] = {kk: (kernel_spec(vv, False) if kk == "kernel"
+                               else P()) for kk, vv in v.items()}
+            else:
+                out[k] = _llama_walk(v, k, n)
+        return out
+    if name == "embed_tokens":
+        if isinstance(node, QuantKernel):
+            return QuantKernel(last(node.values), P())
+        return last(node)
+    if name == "lm_head":
+        return kernel_spec(node, True)
+    return jax.tree_util.tree_map(lambda _: P(), node)
+
+
+def llama_param_specs(params, mesh: Mesh):
+    """PartitionSpec tree for a LlamaLM param tree (dense or int8)."""
+    return _llama_walk(params, None, mesh.shape[AXIS_MODEL])
+
+
+def _specs_to_shardings(specs, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec), specs,
+        is_leaf=lambda x: isinstance(x, P))
+
+
+def llama_param_shardings(params, mesh: Mesh):
+    return _specs_to_shardings(llama_param_specs(params, mesh), mesh)
+
+
+def shard_llama_params(params, mesh: Mesh):
+    """Place a LlamaLM param tree on the mesh with TP shardings. At 7B the
+    per-chip footprint drops to weights/N (+ replicated embeds slice): bf16
+    13.4 GB fits 2×16 GB chips; decode weight reads ride N×HBM."""
+    return jax.tree_util.tree_map(
+        lambda x, sh: jax.device_put(x, sh), params,
+        llama_param_shardings(params, mesh))
+
+
+def llama_cache_sharding(cfg, mesh: Mesh):
+    """NamedSharding for the (L, B, S, kv_heads*head_dim) KV cache: heads
+    follow the column-parallel k/v projections. None when indivisible
+    (GSPMD then picks; results stay correct)."""
+    width = cfg.kv_heads * cfg.head_dim
+    if width % mesh.shape[AXIS_MODEL]:
+        return None
+    return NamedSharding(mesh, P(None, None, None, AXIS_MODEL))
+
+
+def llava_param_specs(params, mesh: Mesh):
+    """Specs for a full LlavaModule tree: encoder-tower TP rules on the
+    vision trunk (models/layers.py naming), replicated mm_projector, LLaMA
+    rules on the language model."""
+    p = params["params"]
+    return {"params": {
+        "vision_tower": tp_param_specs(p["vision_tower"], mesh),
+        "mm_projector": jax.tree_util.tree_map(lambda _: P(),
+                                               p["mm_projector"]),
+        "language_model": llama_param_specs(p["language_model"], mesh),
+    }}
+
+
+def llava_param_shardings(params, mesh: Mesh):
+    return _specs_to_shardings(llava_param_specs(params, mesh), mesh)
+
+
+def shard_llava_params(params, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda x, sh: jax.device_put(x, sh), params,
+        llava_param_shardings(params, mesh))

@@ -139,3 +139,118 @@ def test_tp_med_bert_matches_single_device(rng):
     got = jax.jit(mod.apply)(sharded, ids, mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# LLaMA / LLaVA tensor parallelism (the datagen LMs)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_llama():
+    from spn4cir_tpu.models.llama import LlamaConfig, LlamaLM
+
+    cfg = LlamaConfig.tiny(vocab_size=128)
+    params = LlamaLM(cfg).init(
+        jax.random.PRNGKey(0), input_ids=jnp.zeros((1, 4), jnp.int32)
+    )["params"]
+    return cfg, params
+
+
+def _greedy_stream(params, cfg, embeds, cache_sharding=None):
+    from spn4cir_tpu.models.llama import llama_generate
+
+    return np.asarray(jax.jit(lambda p, e: llama_generate(
+        p, cfg, e, eos_id=127, pad_id=127, max_new_tokens=12,
+        cache_sharding=cache_sharding))(params, embeds))
+
+
+def test_tp_llama_generate_matches_single_device(tiny_llama, rng):
+    from spn4cir_tpu.parallel.tp import (llama_cache_sharding,
+                                         shard_llama_params)
+
+    cfg, params = tiny_llama
+    mesh = make_tp_mesh(data=2, model=4)
+    embeds = jnp.asarray(
+        rng.standard_normal((2, 6, cfg.hidden_size)), jnp.float32)
+    want = _greedy_stream(params, cfg, embeds)
+    sharded = shard_llama_params(params, mesh)
+    got = _greedy_stream(sharded, cfg, embeds,
+                         cache_sharding=llama_cache_sharding(cfg, mesh))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_tp_llama_int8_generate_matches_single_device(tiny_llama, rng):
+    from spn4cir_tpu.models.llama import quantize_llama_weights
+    from spn4cir_tpu.parallel.tp import (llama_cache_sharding,
+                                         shard_llama_params)
+
+    cfg, params = tiny_llama
+    qparams = jax.jit(quantize_llama_weights)(params)
+    mesh = make_tp_mesh(data=2, model=4)
+    embeds = jnp.asarray(
+        rng.standard_normal((2, 6, cfg.hidden_size)), jnp.float32)
+    want = _greedy_stream(qparams, cfg, embeds)
+    sharded = shard_llama_params(qparams, mesh)
+    got = _greedy_stream(sharded, cfg, embeds,
+                         cache_sharding=llama_cache_sharding(cfg, mesh))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_tp_llama_params_actually_sharded(tiny_llama):
+    from spn4cir_tpu.parallel.tp import shard_llama_params
+
+    cfg, params = tiny_llama
+    mesh = make_tp_mesh(data=2, model=4)
+    sharded = shard_llama_params(params, mesh)
+    layer = sharded["layers"]["layer"]
+
+    q = layer["attn"]["q"]["kernel"]
+    assert q.addressable_shards[0].data.shape[-1] == q.shape[-1] // 4
+    down = layer["down"]["kernel"]
+    assert down.addressable_shards[0].data.shape[-2] == down.shape[-2] // 4
+    head = sharded["lm_head"]
+    assert head.addressable_shards[0].data.shape[-1] == head.shape[-1] // 4
+    emb = sharded["embed_tokens"]
+    assert emb.addressable_shards[0].data.shape[-1] == emb.shape[-1] // 4
+    ln = layer["input_ln"]["scale"]
+    assert ln.addressable_shards[0].data.shape == ln.shape
+
+
+def test_tp_rewriter_matches_single_device():
+    """load_jax_rewriter(mesh=...) produces the same rewrites (the sampled
+    top_k=10 stream is deterministic for a fixed seed/jax build)."""
+    from spn4cir_tpu.datagen.llm_rewrite import load_jax_rewriter
+
+    plain = load_jax_rewriter(tiny=True, seed=3, batch_size=2)
+    mesh = make_tp_mesh(data=2, model=4)
+    tp = load_jax_rewriter(tiny=True, seed=3, batch_size=2, mesh=mesh)
+    pairs = [("a red dress", "a blue gown"), ("a shirt", "a striped top")]
+    assert tp.rewrite_batch(pairs) == plain.rewrite_batch(pairs)
+
+
+def test_tp_llava_captioner_matches_single_device(rng):
+    """Tiny LLaVA captions under (2, 4) TP == single-device captions
+    (T=0.01 sampling is near-argmax; fixed rng => deterministic)."""
+    from spn4cir_tpu.datagen.captioner import make_llava_captioner
+    from spn4cir_tpu.parallel.tp import shard_llava_params
+
+    cap, transform, batched = make_llava_captioner(
+        None, llava_size="tiny", batch_size=2)
+    images = [rng.standard_normal(
+        (cap.cfg.vision.image_size, cap.cfg.vision.image_size, 3)
+    ).astype(np.float32) for _ in range(2)]
+    want = batched(images, rng=jax.random.PRNGKey(7))
+
+    mesh = make_tp_mesh(data=2, model=4)
+    cap_tp, _, batched_tp = make_llava_captioner(
+        None, llava_size="tiny", batch_size=2, mesh=mesh)
+    got = batched_tp(images, rng=jax.random.PRNGKey(7))
+    assert got == want
+
+    # and the language model really is sharded
+    params = cap.init_params(jax.random.PRNGKey(0))
+    sharded = shard_llava_params(params, mesh)
+    q = sharded["params"]["language_model"]["layers"]["layer"]["attn"]["q"][
+        "kernel"]
+    assert q.addressable_shards[0].data.shape[-1] == q.shape[-1] // 4

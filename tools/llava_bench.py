@@ -63,6 +63,9 @@ def main():
                    help="text tokens in the prompt (55 ~ llava_v1 FIQ)")
     p.add_argument("--new_tokens", type=int, default=32)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--quant_kernel", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="fused int8 Pallas matmul (ops/quant_matmul.py); auto = on for single-device TPU")
     p.add_argument("--weights", default="bf16", choices=["bf16", "int8"],
                    help="int8 = weight-only quantized LM (halves weight "
                         "HBM: 13.4 -> 6.7 GB at 7B; decode is weight-"
@@ -126,10 +129,11 @@ def main():
         k, (B, prompt_len, cfg.llama.hidden_size), jnp.bfloat16) * 0.02)(
         jax.random.PRNGKey(3))
 
+    qk = {"auto": None, "on": True, "off": False}[args.quant_kernel]
     gen = jax.jit(lambda p, e, r: llama_generate(
         p, cfg.llama, e, eos_id=2, pad_id=2,
         max_new_tokens=args.new_tokens, do_sample=True, temperature=0.01,
-        top_p=0.01, cache_dtype=jnp.bfloat16, rng=r))
+        top_p=0.01, cache_dtype=jnp.bfloat16, rng=r, quant_kernel=qk))
     out = gen(lparams, embeds, jax.random.PRNGKey(4))
     force(out)
     times = []

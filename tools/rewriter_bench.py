@@ -48,6 +48,9 @@ def main():
     p.add_argument("--new_tokens", type=int, default=25,
                    help="max_new_tokens_for('fiq') == 25")
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--quant_kernel", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="fused int8 Pallas matmul (ops/quant_matmul.py); auto = on for single-device TPU")
     p.add_argument("--weights", default="int8", choices=["bf16", "int8"])
     args = p.parse_args()
 
@@ -78,7 +81,9 @@ def main():
 
     gen_kw = dict(eos_id=2, pad_id=2, max_new_tokens=T, do_sample=True,
                   temperature=1.0, top_p=1.0, top_k=10,
-                  cache_dtype=jnp.bfloat16)  # load_jax_rewriter's 7B default
+                  cache_dtype=jnp.bfloat16,  # load_jax_rewriter's 7B default
+                  quant_kernel={"auto": None, "on": True,
+                                "off": False}[args.quant_kernel])
 
     def bench(fn, *xs):
         out = fn(*xs)

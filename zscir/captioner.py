@@ -37,6 +37,10 @@ if __name__ == "__main__":
                    help="LLaMA tokenizer dir/file for --mllm llava")
     p.add_argument("--llava_size", default="7b", choices=["7b", "tiny"])
     p.add_argument("--max_new_tokens", type=int, default=64)
+    p.add_argument("--mesh_model", type=int, default=0,
+                   help="tensor-parallel the LLaVA model over this many "
+                        "chips (parallel/tp.py Megatron shards; bf16 7B "
+                        "fits from 2x16 GB chips)")
     p.add_argument("--blip_size", default="base")
     p.add_argument("--bert_vocab", default="", help="WordPiece vocab path "
                    "(or SPN4CIR_BERT_VOCAB)")
@@ -62,11 +66,18 @@ if __name__ == "__main__":
         # loop mirrors the reference (captioner_llava.py:173-190 captions
         # each fiq dress type with its own prompt) via batched_fn's prompt
         # override
+        mesh = None
+        if args.mesh_model > 1:
+            import jax
+
+            from spn4cir_tpu.parallel.tp import make_tp_mesh
+            mesh = make_tp_mesh(data=1, model=args.mesh_model,
+                                devices=jax.devices()[:args.mesh_model])
         _, transform, batched_fn = make_llava_captioner(
             args.ckpt, tokenizer_path=args.tokenizer_path,
             llava_size=args.llava_size, category=args.category,
             word_num=args.word_num, max_new_tokens=args.max_new_tokens,
-            batch_size=args.batch_size)
+            batch_size=args.batch_size, mesh=mesh)
         it_list = []
         if args.dataset == "fiq":
             groups = [(dt, dt) for dt in args.dress_types.split(",")]

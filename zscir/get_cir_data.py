@@ -49,6 +49,10 @@ if __name__ == "__main__":
                    help=">1 rewrites in left-padded device batches of this "
                         "size (jax backends; decode at 7B is weight-bound, "
                         "so B prompts cost ~one prompt's HBM traffic)")
+    p.add_argument("--mesh_model", type=int, default=0,
+                   help="tensor-parallel the jax LM over this many chips "
+                        "(Megatron shards via parallel/tp.py; bf16 7B "
+                        "fits from 2x16 GB chips, decode rides NxHBM)")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args()
     data_path = args.data_path or ("fashionIQ_dataset" if args.dataset == "fiq"
@@ -78,10 +82,18 @@ if __name__ == "__main__":
             if args.llm_tokenizer:
                 from transformers import AutoTokenizer
                 tok = AutoTokenizer.from_pretrained(args.llm_tokenizer)
+            mesh = None
+            if args.mesh_model > 1:
+                import jax
+
+                from spn4cir_tpu.parallel.tp import make_tp_mesh
+                mesh = make_tp_mesh(
+                    data=1, model=args.mesh_model,
+                    devices=jax.devices()[:args.mesh_model])
             rewriter = load_jax_rewriter(
                 args.llm_ckpt, tok, data=args.dataset,
                 tiny=(args.llm_backend == "jax-tiny"), seed=args.seed,
-                batch_size=args.llm_batch)
+                batch_size=args.llm_batch, mesh=mesh)
     triplets = generate_extended_triplets(
         ds, name2cap, k=args.k, total_cap=args.K,
         prompt_ids=[int(x) for x in args.p_list.split(",")],
