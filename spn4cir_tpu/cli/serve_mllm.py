@@ -28,8 +28,10 @@ def main(argv: Optional[list] = None):
     p.add_argument("--blip_size", default="base")
     p.add_argument("--bert_vocab", default="",
                    help="WordPiece vocab path (blip)")
-    p.add_argument("--category", default="image")
-    p.add_argument("--word_num", type=int, default=10)
+    p.add_argument("--category", default="image",
+                   help="default-prompt subject (llava only)")
+    p.add_argument("--word_num", type=int, default=10,
+                   help="default-prompt word budget (llava only)")
     p.add_argument("--max_new_tokens", type=int, default=64)
     p.add_argument("--batch_size", type=int, default=8,
                    help="device batch (= micro-batch coalescing cap)")
@@ -48,13 +50,14 @@ def main(argv: Optional[list] = None):
     from spn4cir_tpu.datagen.captioner import caption_prompt
     from spn4cir_tpu.serve.mllm import CaptionService, serve_captions
 
+    if args.mllm == "blip" and (args.quantize_int8 or args.mesh_model > 1):
+        raise SystemExit("--quantize_int8/--mesh_model apply to the LLaVA "
+                         "backend only (BLIP-base fits any chip in full "
+                         "precision)")
     mesh = None
     if args.mesh_model > 1:
-        import jax
-
-        from spn4cir_tpu.parallel.tp import make_tp_mesh
-        mesh = make_tp_mesh(data=1, model=args.mesh_model,
-                            devices=jax.devices()[:args.mesh_model])
+        from spn4cir_tpu.parallel.tp import make_model_mesh
+        mesh = make_model_mesh(args.mesh_model)
 
     if args.mllm == "llava":
         from spn4cir_tpu.datagen.captioner import make_llava_captioner
@@ -71,6 +74,7 @@ def main(argv: Optional[list] = None):
         _, transform, batched_fn = make_blip_captioner(
             args.ckpt, blip_size=args.blip_size,
             bert_vocab_path=args.bert_vocab or None,
+            max_length=args.max_new_tokens,
             batch_size=args.batch_size)
 
     # BLIP's batched_fn has no prompt parameter (fixed "a picture of"
@@ -81,7 +85,8 @@ def main(argv: Optional[list] = None):
     service = CaptionService(
         batched_fn, transform, model_name=args.mllm,
         max_batch=args.batch_size, max_delay_s=args.max_delay_ms / 1000.0,
-        default_prompt=default_prompt)
+        default_prompt=default_prompt,
+        supports_prompt=(args.mllm == "llava"))
     server = serve_captions(service, args.host, args.port)
     print(f"caption service ({args.mllm}) on {args.host}:{args.port}",
           flush=True)

@@ -85,7 +85,8 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
     train_ds = CIRDataset(args.dataset, "train", "relative", preprocess,
                           args.data_path, args.dress_types, plus=args.plus,
                           llmcap=args.llmcap, use_cc=args.use_cc,
-                          extend_suffix=backbone.extend_suffix, seed=args.seed)
+                          extend_suffix=backbone.extend_suffix, seed=args.seed,
+                          replace_extended=backbone.replace_extended)
 
     # --- bank extraction (cached) ---
     # --mesh_model tensor-shards the frozen tower Megatron-style for this

@@ -58,7 +58,15 @@ class CIRDataset:
         fiq_val_type: int = 0,
         val_ret_train: bool = False,
         seed: Optional[int] = None,
+        replace_extended: bool = False,
     ):
+        """`replace_extended` reproduces the zscir loaders' zero-shot train
+        semantics: the generated triplets (cap.extend_zs / cap.cc) REPLACE
+        the human train triplets instead of extending them, and load
+        unconditionally on the train split — the reference has no flag gate
+        (`zscir/data_utils.py:151-157`, `data_utils_bank.py:152-158`
+        assign, where `clip4cir/data_utils.py:152-162` appends). Without
+        it, "zero-shot" training would silently see human CIR labels."""
         if dress_types is None:
             dress_types = list(DRESS_TYPES)
         for dt in dress_types:
@@ -83,6 +91,8 @@ class CIRDataset:
         self.imagenames: List[str] = []
         self.imagepaths: List[str] = []
 
+        self._replace_extended = replace_extended
+        self._cc_name2path: Dict[str, str] = {}
         if data_name == "fiq":
             self._load_fiq(plus, llmcap, extend_suffix, use_cc)
         else:
@@ -102,15 +112,33 @@ class CIRDataset:
             with open(os.path.join(cap_dir, f"cap.{dt}.{self.split}.json")) as f:
                 raw.extend(json.load(f))
         self.N = len(raw)
-        if self.split == "train" and plus:
-            name = (f"cap.cc.train.json" if use_cc else
-                    f"cap.extend_{extend_suffix}{'_llm' if llmcap else ''}.train.json")
-            with open(os.path.join(cap_dir, name)) as f:
-                extend = json.load(f)
-            if llmcap:
-                for t in extend:
-                    t["captions"] = [t["llm_caption"]]
-            raw.extend(extend)
+        cc_internal = None
+        if self.split == "train" and (plus or self._replace_extended):
+            if use_cc:
+                # reference CC schema: triplets carry full external image
+                # PATHS (zscir/data_utils.py:159 skips the name join)
+                cc_internal = self._cc_triplets(
+                    self._load_extend_file(
+                        os.path.join(cap_dir, "cap.cc.train.json")))
+                if self._replace_extended:
+                    raw = []
+                    self.N = 0  # cc captions pick by random.choice (:267)
+            else:
+                name = (f"cap.extend_{extend_suffix}"
+                        f"{'_llm' if llmcap else ''}.train.json")
+                extend = self._load_extend_file(os.path.join(cap_dir, name))
+                if llmcap:
+                    for t in extend:
+                        t["captions"] = [t["llm_caption"]]
+                if self._replace_extended:
+                    # zscir: generated triplets ARE the train set. The fiq
+                    # two-caption randomization applies to the generated
+                    # template variants (zscir getitem :252-254) — N spans
+                    # them.
+                    raw = extend
+                    self.N = len(raw)
+                else:
+                    raw.extend(extend)
         self.triplets = [
             {
                 "reference": os.path.join(self.image_path, f"{t['candidate']}.png"),
@@ -121,6 +149,8 @@ class CIRDataset:
             }
             for t in raw
         ]
+        if cc_internal is not None:
+            self.triplets.extend(cc_internal)
         self.image_names: List[str] = []
         for dt in self.dress_types:
             with open(os.path.join(self.data_path, "image_splits",
@@ -143,6 +173,39 @@ class CIRDataset:
             os.path.join(self.image_path, f"{n}.png") for n in self._gallery_names
         ]
 
+    def _cc_triplets(self, entries: List[dict]) -> List[dict]:
+        """CC triplets to the internal form. They already carry full image
+        paths (ref get_cir_data.py:205-213) — record a name→path map so
+        bank extraction resolves CC images without the dataset-dir join."""
+        for t in entries:
+            self._cc_name2path[t["reference_name"]] = t["reference"]
+            self._cc_name2path[t["target_name"]] = t["target"]
+        return [{
+            "reference": t["reference"],
+            "reference_name": t["reference_name"],
+            "target": t["target"],
+            "target_name": t["target_name"],
+            "captions": (t["captions"] if isinstance(t["captions"], list)
+                         else [t["captions"]]),
+            "pairid": t.get("pairid", 0),
+            "group_members": ["xxx"],
+        } for t in entries]
+
+    def _load_extend_file(self, path: str) -> List[dict]:
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            if self._replace_extended:
+                # the reference crashes the same way here, just less
+                # helpfully: zs training has no human-triplet fallback
+                raise FileNotFoundError(
+                    f"{path} not found — zero-shot training runs on "
+                    "GENERATED triplets only (reference "
+                    "zscir/data_utils.py:151-157); run the datagen "
+                    "pipeline (captioner -> srm -> get_cir_data) first")
+            raise
+
     def _load_cirr(self, plus, llmcap, extend_suffix, use_cc):
         cap_dir = os.path.join(self.data_path, "cirr", "captions")
         splits_dir = os.path.join(self.data_path, "cirr", "image_splits")
@@ -152,15 +215,27 @@ class CIRDataset:
         with open(os.path.join(splits_dir, f"split.rc2.{self.split}.json")) as f:
             self.name_to_relpath: Dict[str, str] = json.load(f)
         self.N = len(raw)
-        if self.split == "train" and plus:
-            name = (f"cap.rc2.cc.json" if use_cc else
-                    f"cap.rc2.train.extend_{extend_suffix}{'_llm' if llmcap else ''}.json")
-            with open(os.path.join(cap_dir, name)) as f:
-                extend = json.load(f)
-            if llmcap:
-                for t in extend:
-                    t["caption"] = [t["llm_caption"]]
-            raw.extend(extend)
+        cc_internal = None
+        if self.split == "train" and (plus or self._replace_extended):
+            if use_cc:
+                cc_internal = self._cc_triplets(
+                    self._load_extend_file(
+                        os.path.join(cap_dir, "cap.rc2.train.cc.json")))
+                if self._replace_extended:
+                    raw = []
+            else:
+                name = (f"cap.rc2.train.extend_{extend_suffix}"
+                        f"{'_llm' if llmcap else ''}.json")
+                extend = self._load_extend_file(os.path.join(cap_dir, name))
+                if llmcap:
+                    for t in extend:
+                        t["caption"] = [t["llm_caption"]]
+                if self._replace_extended:
+                    # zscir cirr: generated-only train set (data_utils.py:
+                    # 184-193 assignment)
+                    raw = extend
+                else:
+                    raw.extend(extend)
         self.triplets = [
             {
                 "reference": os.path.join(self.image_path, self.name_to_relpath[t["reference"]]),
@@ -174,6 +249,8 @@ class CIRDataset:
             }
             for t in raw
         ]
+        if cc_internal is not None:
+            self.triplets.extend(cc_internal)
         self._gallery_names = list(self.name_to_relpath.keys())
         self._gallery_paths = [
             os.path.join(self.image_path, self.name_to_relpath[n])
@@ -198,15 +275,15 @@ class CIRDataset:
                 self.imagename2id[tn] = iid
                 iid += 1
                 self.imagenames.append(tn)
-        if self.data_name == "fiq":
-            self.imagepaths = [
-                os.path.join(self.image_path, f"{n}.png") for n in self.imagenames
-            ]
-        else:
-            self.imagepaths = [
-                os.path.join(self.image_path, self.name_to_relpath[n])
-                for n in self.imagenames
-            ]
+        def _path_for(n: str) -> str:
+            # CC images carry their own (external) paths
+            if n in self._cc_name2path:
+                return self._cc_name2path[n]
+            if self.data_name == "fiq":
+                return os.path.join(self.image_path, f"{n}.png")
+            return os.path.join(self.image_path, self.name_to_relpath[n])
+
+        self.imagepaths = [_path_for(n) for n in self.imagenames]
         opt = os.path.join(self.data_path, "optimized_images.json")
         if os.path.exists(opt):
             with open(opt) as f:

@@ -41,16 +41,36 @@ def caption_images(
 
 def write_it_list(it_list: List[dict], data_name: str, mllm: str,
                   word_num: int, out_root: str = "mm_data",
-                  prefix: Optional[str] = None) -> str:
+                  prefix: Optional[str] = None,
+                  filename: Optional[str] = None) -> str:
     """Reference filename contract: mm_data/{ds}/{ds}_it_{mllm}_{k}.json
-    (ref captioner_llava.py:173-205 / get_cir_data.py:35,110)."""
+    (ref captioner_llava.py:173-205 / get_cir_data.py:35,110); `filename`
+    overrides for the CC shard shape mm_data/zs/cc_it_{id}_{mllm}_{k}.json
+    (captioner_llava.py:204)."""
     prefix = prefix or {"fiq": "fashioniq", "cirr": "cirr"}.get(data_name, data_name)
     folder = os.path.join(out_root, data_name)
     os.makedirs(folder, exist_ok=True)
-    path = os.path.join(folder, f"{prefix}_it_{mllm}_{word_num}.json")
+    path = os.path.join(
+        folder, filename or f"{prefix}_it_{mllm}_{word_num}.json")
     with open(path, "w") as f:
         json.dump(it_list, f)
     return path
+
+
+def load_cc_shard(path: str) -> List[dict]:
+    """A CC3M shard (`part_{id}.data`, one JSON per line: url / image path /
+    per-language captions — ref data_process.py:42-54 get_cc_it) ->
+    it-list entries {"image_id": url, "image_path": path, "caption": en}."""
+    out: List[dict] = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            d = json.loads(line)
+            out.append({"image_id": d["url"], "image_path": d["image"],
+                        "caption": d["caption"]["en"]})
+    return out
 
 
 def make_blip_captioner(params, *, blip_size: str = "base",

@@ -143,8 +143,8 @@ def write_extended_triplets(dataset, triplets: List[dict], model_tag: str,
 
 
 def generate_cc_triplets(
-    cc_captions: Dict[str, str],
-    data_name: str,
+    cc_items,
+    data_name: str = "fiq",
     *,
     k: int = 1,
     prompt_ids: Sequence[int] = (0,),
@@ -153,27 +153,36 @@ def generate_cc_triplets(
     seed: Optional[int] = None,
 ) -> List[dict]:
     """Out-of-domain (CC3M-style) triplet generation (ref get_cir_data.get_cc
-    :180-223): partners sampled among the external captioned images; output
-    schema matches the in-domain extended triplets so `--use_cc` consumes it
-    (cap.cc.train.json / cap.rc2.cc.json)."""
+    :180-223): partners sampled uniformly among the external captioned
+    images.
+
+    `cc_items`: captioned it-list entries ({"image_id", "image_path",
+    "caption"} — the captioner's CC output), or a {name: caption} dict
+    (ids double as paths). Output triplets carry the reference's CC schema —
+    full image PATHS in reference/target plus reference_name/target_name
+    (get_cir_data.py:205-213): CC images live outside the dataset image
+    dirs, so the loader consumes these paths verbatim instead of joining
+    names (zscir/data_utils.py:159 `if not use_cc` gate). One schema for
+    both datasets."""
     rng = random.Random(seed)
-    names = list(cc_captions.keys())
-    n = len(names)
+    if isinstance(cc_items, dict):
+        cc_items = [{"image_id": k_, "image_path": k_, "caption": v}
+                    for k_, v in cc_items.items()]
+    n = len(cc_items)
     out: List[dict] = []
-    for i, name1 in enumerate(names):
+    for i, it in enumerate(cc_items):
         for j in sample_partners(i, n, k, rng):
-            name2 = names[j]
-            caption1, caption2 = cc_captions[name1], cc_captions[name2]
-            captions = get_captions(caption1, caption2, prompt_ids)
-            if data_name == "fiq":
-                out.append({"candidate": name1, "target": name2,
-                            "captions": captions,
-                            "caption1": caption1, "caption2": caption2})
-            else:
-                out.append({"reference": name1, "target_hard": name2,
-                            "caption": captions, "pairid": 0,
-                            "img_set": {"members": ["xxx"]},
-                            "caption1": caption1, "caption2": caption2})
+            jt = cc_items[j]
+            caption1, caption2 = it["caption"], jt["caption"]
+            out.append({
+                "reference": it["image_path"],
+                "reference_name": it["image_id"],
+                "target": jt["image_path"],
+                "target_name": jt["image_id"],
+                "captions": get_captions(caption1, caption2, prompt_ids),
+                "caption1": caption1,
+                "caption2": caption2,
+            })
     if total_cap > 0 and len(out) > total_cap:
         out = rng.sample(out, total_cap)
     _apply_llm_rewrite(out, llm_rewrite)
@@ -181,10 +190,14 @@ def generate_cc_triplets(
 
 
 def write_cc_triplets(data_path: str, data_name: str, triplets: List[dict]) -> str:
+    """Reference filenames: `get_cir_data.py:216-220` — fiq
+    cap.cc.train.json, cirr cap.rc2.train.cc.json (consumed back by
+    zscir/data_utils.py:153,190)."""
     if data_name == "fiq":
         path = os.path.join(data_path, "captions", "cap.cc.train.json")
     else:
-        path = os.path.join(data_path, "cirr", "captions", "cap.rc2.cc.json")
+        path = os.path.join(data_path, "cirr", "captions",
+                            "cap.rc2.train.cc.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         f.write(json.dumps(triplets))

@@ -268,6 +268,9 @@ def make_jax_generate_fn(params, cfg, tokenizer, *, max_new_tokens: int = 25,
     rng_holder = {"rng": jax.random.PRNGKey(seed)}
     jit_cache: dict = {}
     cache_sharding = _tp_cache_sharding(cfg, mesh)
+    # TP params must stay on the XLA matmul path even when the cache
+    # sharding fell back to None (indivisible kv width)
+    quant_kernel = False if mesh is not None else None
 
     from spn4cir_tpu.models.llama import _embed_rows
 
@@ -279,7 +282,7 @@ def make_jax_generate_fn(params, cfg, tokenizer, *, max_new_tokens: int = 25,
                 p, cfg, e, eos_id=eos, pad_id=eos,
                 max_new_tokens=max_new_tokens, do_sample=True,
                 temperature=1.0, top_p=1.0, top_k=top_k, rng=r,
-                cache_sharding=cache_sharding,
+                cache_sharding=cache_sharding, quant_kernel=quant_kernel,
                 **({} if cache_dtype is None
                    else {"cache_dtype": cache_dtype})))
         # embedding lookup stays on device (dense or int8 QuantKernel) —
@@ -349,6 +352,7 @@ def make_jax_batch_generate_fn(params, cfg, tokenizer, *,
     rng_holder = {"rng": jax.random.PRNGKey(seed)}
     jit_cache: dict = {}
     cache_sharding = _tp_cache_sharding(cfg, mesh)
+    quant_kernel = False if mesh is not None else None
 
     def generate_batch(prompts: Sequence[str]) -> list:
         enc = [tokenizer.encode(p) for p in prompts]
@@ -375,6 +379,7 @@ def make_jax_batch_generate_fn(params, cfg, tokenizer, *,
                     max_new_tokens=max_new_tokens, do_sample=True,
                     temperature=1.0, top_p=1.0, top_k=top_k, rng=r,
                     attention_mask=m, cache_sharding=cache_sharding,
+                    quant_kernel=quant_kernel,
                     **({} if cache_dtype is None
                        else {"cache_dtype": cache_dtype})))
             embeds = _embed_rows(params["embed_tokens"],

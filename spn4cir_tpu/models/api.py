@@ -45,6 +45,10 @@ class CIRBackbone(abc.ABC):
     #: (`cap.extend_{suffix}.train.json`, SURVEY.md §8 quirk 1)
     name: str = ""
     extend_suffix: str = ""
+    #: zscir semantics: generated triplets REPLACE the human train set
+    #: (zero-shot — zscir/data_utils.py:151-157 assigns where clip4cir
+    #: appends) and load unconditionally on the train split
+    replace_extended: bool = False
     #: input resolution for the image tower
     input_dim: int = 224
     #: default --transform flag value (reference CLI parity)

@@ -133,4 +133,8 @@ def _build_zs_cir(clip_model_name: str = "ViT-L/14", tau: float = 0.01, **kw) ->
     b = ClipCIR(clip_model_name=clip_model_name, tau=tau, **kw)
     b.name = "zs"
     b.extend_suffix = "zs"
+    # zero-shot trains on generated triplets ONLY (quirk: the zscir loaders
+    # REPLACE the human train triplets with cap.extend_zs / cap.cc and do
+    # so without a flag gate — zscir/data_utils.py:151-157)
+    b.replace_extended = True
     return b

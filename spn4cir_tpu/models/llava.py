@@ -234,6 +234,8 @@ class LlavaCaptioner:
         self.module = LlavaModule(cfg, dtype)
         self._jit_cache: Dict[Any, Any] = {}
         self._cache_sharding = None
+        # TP params stay on the XLA matmul path (None = auto single-device)
+        self._quant_kernel = False if mesh is not None else None
         if mesh is not None:
             # tensor-parallel captioning: params sharded by
             # parallel/tp.py:shard_llava_params; pin the KV cache to the
@@ -271,7 +273,8 @@ class LlavaCaptioner:
                     lm_params, self.cfg.llama, embeds, eos_id=eos,
                     pad_id=eos, max_new_tokens=max_new_tokens,
                     do_sample=True, temperature=temperature, top_p=top_p,
-                    rng=rng, cache_sharding=self._cache_sharding)
+                    rng=rng, cache_sharding=self._cache_sharding,
+                    quant_kernel=self._quant_kernel)
 
             self._jit_cache[key] = jax.jit(run)
         out = self._jit_cache[key](

@@ -115,6 +115,13 @@ def make_tp_encode(encode_fn, params, mesh: Mesh):
     return fn, sharded
 
 
+def make_model_mesh(model: int) -> Mesh:
+    """(1, model) mesh over the first `model` devices — the datagen CLIs'
+    --mesh_model shape (pure TP; datagen batch stays per-process)."""
+    return make_tp_mesh(data=1, model=model,
+                        devices=jax.devices()[:model])
+
+
 # ---------------------------------------------------------------------------
 # LLaMA / LLaVA (the datagen LMs — models/llama.py raw param trees)
 # ---------------------------------------------------------------------------

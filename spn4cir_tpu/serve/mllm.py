@@ -46,7 +46,8 @@ class CaptionService:
     def __init__(self, batched_fn: Callable, transform,
                  model_name: str = "llava", *, max_batch: int = 8,
                  max_delay_s: float = 0.02,
-                 default_prompt: Optional[str] = None):
+                 default_prompt: Optional[str] = None,
+                 supports_prompt: bool = True):
         import queue
 
         self.batched_fn = batched_fn
@@ -55,7 +56,9 @@ class CaptionService:
         self.max_batch = max_batch
         self.max_delay_s = max_delay_s
         self.default_prompt = default_prompt
+        self.supports_prompt = supports_prompt
         self._queue: "queue.Queue" = queue.Queue()
+        self._lock = threading.Lock()  # counters; handler threads race
         self._requests = 0
         self._images = 0
         self._batches = 0
@@ -69,12 +72,19 @@ class CaptionService:
                 ) -> List[str]:
         """PIL images (or preprocessed arrays) -> caption strings. Blocks
         until the coalescing worker dispatches the batch."""
+        if prompt is not None and not self.supports_prompt:
+            # BLIP's batched_fn has no prompt parameter (fixed decoder
+            # prompt); reject HERE so one bad request can't poison a batch
+            raise ValueError(
+                f"model {self.model_name!r} does not take per-request "
+                "prompts")
         arrays = [im if isinstance(im, np.ndarray)
                   else np.asarray(self.transform(im)) for im in images]
         event = threading.Event()
         slot: dict = {}
         self._queue.put((arrays, prompt, event, slot))
-        self._requests += 1
+        with self._lock:
+            self._requests += 1
         event.wait()
         if "error" in slot:
             raise slot["error"]
@@ -111,26 +121,38 @@ class CaptionService:
                     break
             try:
                 self._run_batch(batch)
-            except Exception as exc:
+            except Exception as exc:  # backstop: never strand a waiter —
+                # but never clobber requests a finished group delivered
                 for _, _, event, slot in batch:
-                    slot["error"] = exc
-                    event.set()
+                    if not event.is_set():
+                        slot["error"] = exc
+                        event.set()
 
     def _run_batch(self, batch):
         # one device dispatch per distinct prompt (compiled geometry is
-        # per-prompt); requests sharing a prompt ride the same call
+        # per-prompt); requests sharing a prompt ride the same call. A
+        # group's failure reaches only ITS waiters (other prompts' requests
+        # in the same coalesced batch still succeed).
         by_prompt: dict = {}
         for item in batch:
             key = item[1] if item[1] is not None else self.default_prompt
             by_prompt.setdefault(key, []).append(item)
         for prompt, group in by_prompt.items():
             images = [im for item in group for im in item[0]]
-            t0 = time.monotonic()
-            caps = (self.batched_fn(images) if prompt is None
-                    else self.batched_fn(images, prompt=prompt))
-            self._seconds += time.monotonic() - t0
-            self._batches += 1
-            self._images += len(images)
+            try:
+                t0 = time.monotonic()
+                caps = (self.batched_fn(images) if prompt is None
+                        else self.batched_fn(images, prompt=prompt))
+                dt = time.monotonic() - t0
+            except Exception as exc:
+                for _, _, event, slot in group:
+                    slot["error"] = exc
+                    event.set()
+                continue
+            with self._lock:
+                self._seconds += dt
+                self._batches += 1
+                self._images += len(images)
             lo = 0
             for arrays, _, event, slot in group:
                 slot["captions"] = list(caps[lo: lo + len(arrays)])
@@ -164,26 +186,30 @@ def make_caption_handler(service: CaptionService):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length))
-                if self.path == "/caption":
-                    from PIL import Image
-
-                    prompt = req.get("prompt")
-                    if "images_b64" in req:
-                        images = [Image.open(io.BytesIO(base64.b64decode(b)))
-                                  for b in req["images_b64"]]
-                        caps = service.caption(images, prompt)
-                        self._send(200, {"captions": caps})
-                    elif "image_b64" in req:
-                        raw = base64.b64decode(req["image_b64"])
-                        caps = service.caption(
-                            [Image.open(io.BytesIO(raw))], prompt)
-                        self._send(200, {"caption": caps[0]})
-                    else:
-                        raise KeyError("need image_b64 or images_b64")
-                else:
+                if self.path != "/caption":
                     self._send(404, {"error": "unknown path"})
-            except KeyError as exc:
-                self._send(400, {"error": str(exc)})
+                    return
+                # validate the request shape up front — a KeyError escaping
+                # from model internals must surface as a 500, not a 400
+                if "images_b64" not in req and "image_b64" not in req:
+                    self._send(400, {"error": "need image_b64 or "
+                                              "images_b64"})
+                    return
+                from PIL import Image
+
+                prompt = req.get("prompt")
+                if "images_b64" in req:
+                    images = [Image.open(io.BytesIO(base64.b64decode(b)))
+                              for b in req["images_b64"]]
+                    caps = service.caption(images, prompt)
+                    self._send(200, {"captions": caps})
+                else:
+                    raw = base64.b64decode(req["image_b64"])
+                    caps = service.caption(
+                        [Image.open(io.BytesIO(raw))], prompt)
+                    self._send(200, {"caption": caps[0]})
+            except ValueError as exc:  # bad payload (prompt unsupported,
+                self._send(400, {"error": str(exc)})  # undecodable image)
             except Exception as exc:  # pragma: no cover
                 self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
 

@@ -339,10 +339,13 @@ class BatchingRetrievalService(RetrievalService):
                     break
             try:
                 self._run_batch(batch)
-            except Exception as exc:  # propagate to all waiters
+            except Exception as exc:  # propagate to still-waiting waiters
+                # (never clobber groups an earlier index snapshot already
+                # delivered — their callers may not have read the slot yet)
                 for _, _, _, _, event, slot in batch:
-                    slot["error"] = exc
-                    event.set()
+                    if not event.is_set():
+                        slot["error"] = exc
+                        event.set()
 
     def _run_batch(self, batch):
         import numpy as np

@@ -280,3 +280,49 @@ def test_train_cli_blip2_mesh_dropout(fiq_root, tmp_path, monkeypatch):
         "--output_path", str(tmp_path / "out_mesh_drop"),
     ])
     assert best >= 0
+
+
+def test_zs_trains_on_generated_triplets_only(tmp_path, monkeypatch):
+    """zscir quirk: the generated triplets REPLACE the human train set
+    (zero-shot — zscir/data_utils.py:151-157 assigns, no --plus gate),
+    unlike clip4cir's append. Also proves the zs CLI trains end-to-end
+    without --plus, exactly as the reference README recipes run it."""
+    from spn4cir_tpu.data.datasets import CIRDataset
+    from spn4cir_tpu.data.transforms import ImageTransform
+
+    monkeypatch.chdir(tmp_path)
+    root = make_fiq(str(tmp_path / "fiq"), extend_suffix="zs")
+    tf = ImageTransform("targetpad", 32)
+    human = CIRDataset("fiq", "train", "relative", tf, root, ["dress"])
+    ds = CIRDataset("fiq", "train", "relative", tf, root, ["dress"],
+                    extend_suffix="zs", replace_extended=True)
+    with open(os.path.join(root, "captions",
+                           "cap.extend_zs.train.json")) as f:
+        generated = json.load(f)
+    assert len(ds) == len(generated)  # human triplets gone
+    assert len(human) > 0 and len(ds) != len(human) + len(generated)
+    # fiq randomized two-caption combination applies to generated captions
+    assert ds.N == len(generated)
+
+    best = train_main("zs", [
+        "--dataset", "fiq",
+        "--data_path", root,
+        "--dress_types", "dress",
+        "--clip-model-name", "test-tiny",
+        "--num-epochs", "1",
+        "--batch-size", "4",
+        "--learning-rate", "1e-3",
+        "--loss_impl", "xla",
+        "--output_path", str(tmp_path / "out_zs"),
+    ])
+    assert best > 0
+
+
+def test_zs_missing_generated_data_errors_helpfully(tmp_path):
+    from spn4cir_tpu.data.datasets import CIRDataset
+    from spn4cir_tpu.data.transforms import ImageTransform
+
+    root = make_fiq(str(tmp_path / "fiq"), extended=False)
+    with pytest.raises(FileNotFoundError, match="GENERATED triplets"):
+        CIRDataset("fiq", "train", "relative", ImageTransform("targetpad", 32),
+                   root, ["dress"], extend_suffix="zs", replace_extended=True)

@@ -228,15 +228,24 @@ def test_rewrite_post_process():
 def test_generate_cc_triplets(tmp_path):
     from spn4cir_tpu.datagen.generate import generate_cc_triplets, write_cc_triplets
 
-    cc = {f"cc_img{i}": f"caption {i}" for i in range(6)}
-    trips = generate_cc_triplets(cc, "fiq", k=1, seed=0)
+    items = [{"image_id": f"http://cc/{i}", "image_path": f"/cc/img{i}.jpg",
+              "caption": f"caption {i}"} for i in range(6)]
+    trips = generate_cc_triplets(items, "fiq", k=1, seed=0)
     assert len(trips) == 6
-    assert {"candidate", "target", "captions"} <= set(trips[0])
+    # the reference CC schema: full PATHS in reference/target + names
+    # (get_cir_data.py:205-213)
+    assert trips[0]["reference"].startswith("/cc/")
+    assert trips[0]["reference_name"].startswith("http://cc/")
+    assert isinstance(trips[0]["captions"], list)
     root = make_fiq(str(tmp_path / "fiq"), extended=False)
     path = write_cc_triplets(root, "fiq", trips)
     assert path.endswith("cap.cc.train.json")
-    cc_cirr = generate_cc_triplets(cc, "cirr", k=1, seed=0)
-    assert cc_cirr[0]["img_set"]["members"] == ["xxx"]
+    path2 = write_cc_triplets(root, "cirr", trips)
+    assert path2.endswith("cap.rc2.train.cc.json")
+    # dict form still accepted (ids double as paths)
+    legacy = generate_cc_triplets({f"cc{i}": f"c {i}" for i in range(4)},
+                                  "fiq", k=1, seed=0)
+    assert legacy[0]["reference"] == legacy[0]["reference_name"]
 
 
 def test_zscir_datagen_cli_scripts(tmp_path, monkeypatch):
@@ -425,3 +434,60 @@ def test_converted_msgpack_rewriter_roundtrip(tmp_path):
                                  seed=0, quantize_weights=True)
     out = rewriter("a red dress", "a blue gown")
     assert isinstance(out, str) and out
+
+
+def test_cc_datagen_chain(tmp_path, monkeypatch):
+    """The README's CC recipe end-to-end: captioner --cir_data cc over a
+    part_{id}.data shard (data_process.py get_cc_it contract) ->
+    get_cir_data --data ccfiq -> cap.cc.train.json consumed by the zs
+    loader with path-carrying triplets."""
+    import subprocess
+    import sys
+
+    root = make_fiq(str(tmp_path / "fiq"), extended=False)
+    monkeypatch.chdir(tmp_path)
+    # fake CC3M shard: jsonl with url/image/caption.en, images from the
+    # fixture (stand-ins for external CC files)
+    from spn4cir_tpu.data.datasets import CIRDataset
+    from spn4cir_tpu.data.transforms import ImageTransform
+
+    base = CIRDataset("fiq", "train", "relative",
+                      ImageTransform("targetpad", 32), root, ["dress"])
+    shard = tmp_path / "part_0.data"
+    with open(shard, "w") as f:
+        for i, (name, path) in enumerate(
+                zip(base.imagenames[:4], base.imagepaths[:4])):
+            f.write(json.dumps({"url": f"http://cc/{i}", "image": path,
+                                "caption": {"en": f"cc caption {i}"}}) + "\n")
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    r = subprocess.run([sys.executable, os.path.join(repo, "zscir/captioner.py"),
+                        "--cir_data", "cc", "--cc_id", "0",
+                        "--cc_path", str(tmp_path / "part_{}.data"),
+                        "--mllm", "stub", "--k", "5"],
+                       capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    it_path = tmp_path / "mm_data" / "zs" / "cc_it_0_stub_5.json"
+    assert it_path.exists()
+    with open(it_path) as f:
+        entries = json.load(f)
+    assert all({"image_id", "image_path", "caption"} <= set(e)
+               for e in entries)
+
+    r = subprocess.run([sys.executable,
+                        os.path.join(repo, "zscir/get_cir_data.py"),
+                        "--data", "ccfiq", "--data_path", root,
+                        "--mllm", "stub", "--word_num", "5", "--k", "1"],
+                       capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    cc_file = os.path.join(root, "captions", "cap.cc.train.json")
+    assert os.path.exists(cc_file)
+
+    # consumed back by the zs loader: generated-only, paths carried verbatim
+    zs = CIRDataset("fiq", "train", "relative",
+                    ImageTransform("targetpad", 32), root, ["dress"],
+                    use_cc=True, replace_extended=True)
+    assert len(zs) == 4
+    assert zs.triplets[0]["reference"] in base.imagepaths[:4]
+    assert zs.imagepaths  # id maps resolve through the cc name->path map

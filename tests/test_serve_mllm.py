@@ -100,6 +100,72 @@ def test_caption_http_endpoints(tiny_service, rng):
         server.shutdown()
 
 
+def test_caption_prompt_rejected_when_unsupported(rng):
+    """A prompt against a no-prompt backend 400s without poisoning the
+    batch (the BLIP batched_fn takes no prompt kwarg)."""
+    from spn4cir_tpu.serve.mllm import CaptionService, serve_captions
+
+    def batched_fn(images):  # BLIP-shaped: no prompt parameter
+        return ["a picture"] * len(images)
+
+    svc = CaptionService(batched_fn, lambda im: np.asarray(im),
+                         model_name="blip", max_batch=2, max_delay_s=0.001,
+                         supports_prompt=False)
+    server = serve_captions(svc, host="127.0.0.1", port=0)
+    try:
+        port = server.server_address[1]
+        body = json.dumps({"image_b64": _png_b64(rng),
+                           "prompt": "nope"}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/caption", data=body,
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req)
+        assert exc_info.value.code == 400
+        # prompt-less requests still work
+        body = json.dumps({"image_b64": _png_b64(rng)}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/caption", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            assert json.load(r)["caption"] == "a picture"
+    finally:
+        server.shutdown()
+
+
+def test_caption_group_failure_isolated(rng):
+    """One prompt group's failure must not clobber another group's
+    delivered results in the same coalesced batch."""
+    from spn4cir_tpu.serve.mllm import CaptionService
+
+    def batched_fn(images, prompt=None):
+        if prompt == "bad":
+            raise RuntimeError("boom")
+        return ["ok"] * len(images)
+
+    svc = CaptionService(batched_fn, lambda im: np.asarray(im),
+                         max_batch=4, max_delay_s=0.05)
+    img = np.zeros((4, 4, 3), np.uint8)
+    results = {}
+
+    def good():
+        results["good"] = svc.caption([img], "fine")
+
+    def bad():
+        try:
+            svc.caption([img], "bad")
+        except RuntimeError as exc:
+            results["bad"] = str(exc)
+
+    threads = [threading.Thread(target=good), threading.Thread(target=bad)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results["good"] == ["ok"]
+    assert results["bad"] == "boom"
+
+
 def test_serve_mllm_cli_tiny():
     from spn4cir_tpu.cli.serve_mllm import main
 

@@ -125,7 +125,10 @@ def test_bert_vocab_from_file(tmp_path):
 
 
 def test_use_cc_dataset(tmp_path):
-    """zscir --use_cc consumes cap.cc.train.json (FIQ) / cap.rc2.cc.json."""
+    """zscir --use_cc consumes cap.cc.train.json (FIQ) / cap.rc2.train.cc
+    .json; CC triplets carry full external image PATHS (the reference skips
+    the name join for them, zscir/data_utils.py:159) and REPLACE the human
+    triplets under the zs loader semantics."""
     import json as _json
 
     from spn4cir_tpu.data.datasets import CIRDataset
@@ -135,15 +138,30 @@ def test_use_cc_dataset(tmp_path):
     root = make_fiq(str(tmp_path / "fiq"), extended=False)
     base = CIRDataset("fiq", "train", "relative",
                       ImageTransform("targetpad", 32), root, ["dress"])
-    cc = [{"candidate": base.imagenames[0], "target": base.imagenames[1],
+    # external CC images: paths live OUTSIDE the dataset image dir
+    cc = [{"reference": os.path.join(root, "images",
+                                     f"{base.imagenames[0]}.png"),
+           "reference_name": "http://cc/0",
+           "target": os.path.join(root, "images",
+                                  f"{base.imagenames[1]}.png"),
+           "target_name": "http://cc/1",
            "captions": ["cc style caption"]}]
     with open(os.path.join(root, "captions", "cap.cc.train.json"), "w") as f:
         _json.dump(cc, f)
     ds = CIRDataset("fiq", "train", "relative",
                     ImageTransform("targetpad", 32), root, ["dress"],
                     plus=True, use_cc=True)
-    assert len(ds) == len(base) + 1
+    assert len(ds) == len(base) + 1  # non-zs: appended
     assert ds.triplets[-1]["captions"] == ["cc style caption"]
+    # CC names resolve to their carried paths in the id maps
+    assert ds.imagepaths[ds.imagename2id["http://cc/0"]] == cc[0]["reference"]
+
+    zs = CIRDataset("fiq", "train", "relative",
+                    ImageTransform("targetpad", 32), root, ["dress"],
+                    use_cc=True, replace_extended=True)
+    assert len(zs) == 1  # zs: generated-only train set
+    assert zs.N == 0  # cc captions pick by random.choice
+    assert zs.triplets[0]["reference"] == cc[0]["reference"]
 
 
 def test_optimizer_never_touches_stats_or_logit_scale():

@@ -1,7 +1,9 @@
 """Thin CLI wrapper over the shared datagen core. Reference counterpart:
 zscir/captioner_llava.py + captioner_blip.py (prompt + it-list contract;
 `--mllm blip` runs the JAX BLIP captioner, `--mllm stub` the model-free
-fallback)."""
+fallback). Accepts the reference's own spellings: `--cir_data {fiq,cirr,cc}`
+(alias of --dataset), `--k` (alias of --word_num), `--cc_id N` for the CC3M
+shards (captioner_llava.py:196-205)."""
 
 import os
 import sys
@@ -10,18 +12,21 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import argparse
 
+import numpy as np
 from PIL import Image
 
 from spn4cir_tpu.data.datasets import CIRDataset
 from spn4cir_tpu.data.transforms import ImageTransform
 from spn4cir_tpu.datagen.captioner import (caption_images,
                                            caption_images_batched,
+                                           load_cc_shard,
                                            make_blip_captioner,
                                            stub_captioner, write_it_list)
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
-    p.add_argument("--dataset", required=True, choices=["fiq", "cirr"])
+    p.add_argument("--dataset", "--cir_data", dest="dataset", required=True,
+                   choices=["fiq", "cirr", "cc"])
     p.add_argument("--data_path", default="")
     p.add_argument("--dress_types", default="dress,shirt,toptee")
     p.add_argument("--mllm", default="stub", choices=["stub", "blip", "llava"],
@@ -47,14 +52,26 @@ if __name__ == "__main__":
     p.add_argument("--num_beams", type=int, default=3)
     p.add_argument("--nucleus", action="store_true")
     p.add_argument("--batch_size", type=int, default=32)
-    p.add_argument("--word_num", type=int, default=10)
+    p.add_argument("--word_num", "--k", dest="word_num", type=int, default=10)
     p.add_argument("--category", default="image")
+    p.add_argument("--cc_id", type=int, default=0,
+                   help="CC3M shard id for --cir_data cc (README captions "
+                        "shards 0..192 in steps of 32)")
+    p.add_argument("--cc_path", default="pretrain_data/cc3m/part_{}.data",
+                   help="CC shard path template ('{}' = --cc_id); one JSON "
+                        "per line with url/image/caption.en "
+                        "(ref data_process.py:42-54)")
     args = p.parse_args()
-    data_path = args.data_path or ("fashionIQ_dataset" if args.dataset == "fiq"
-                                   else "cirr_dataset")
-    ds = CIRDataset(args.dataset, "train", "relative",
-                    ImageTransform("targetpad", 224), data_path,
-                    args.dress_types.split(",") if args.dataset == "fiq" else None)
+
+    if args.dataset == "cc":
+        entries = load_cc_shard(args.cc_path.format(args.cc_id))
+    else:
+        data_path = args.data_path or (
+            "fashionIQ_dataset" if args.dataset == "fiq" else "cirr_dataset")
+        ds = CIRDataset(args.dataset, "train", "relative",
+                        ImageTransform("targetpad", 224), data_path,
+                        args.dress_types.split(",")
+                        if args.dataset == "fiq" else None)
 
     if args.mllm == "llava":
         import functools
@@ -68,55 +85,77 @@ if __name__ == "__main__":
         # override
         mesh = None
         if args.mesh_model > 1:
-            import jax
-
-            from spn4cir_tpu.parallel.tp import make_tp_mesh
-            mesh = make_tp_mesh(data=1, model=args.mesh_model,
-                                devices=jax.devices()[:args.mesh_model])
+            from spn4cir_tpu.parallel.tp import make_model_mesh
+            mesh = make_model_mesh(args.mesh_model)
         _, transform, batched_fn = make_llava_captioner(
             args.ckpt, tokenizer_path=args.tokenizer_path,
             llava_size=args.llava_size, category=args.category,
             word_num=args.word_num, max_new_tokens=args.max_new_tokens,
             batch_size=args.batch_size, mesh=mesh)
-        it_list = []
-        if args.dataset == "fiq":
-            groups = [(dt, dt) for dt in args.dress_types.split(",")]
+        if args.dataset == "cc":
+            # caption the shard images; entries keep their image_path so
+            # get_cir_data's CC mode can emit path-carrying triplets
+            caps = batched_fn([
+                np.asarray(transform(Image.open(e["image_path"])))
+                for e in entries])
+            it_list = [{**e, "caption": c} for e, c in zip(entries, caps)]
         else:
-            groups = [(None, args.category)]
-        for dress_type, category in groups:
-            def images():
-                sub = (CIRDataset(args.dataset, "train", "relative",
-                                  ImageTransform("targetpad", 224), data_path,
-                                  [dress_type])
-                       if dress_type is not None else ds)
-                for name, path in zip(sub.imagenames, sub.imagepaths):
-                    yield name, transform(Image.open(path))
+            it_list = []
+            groups = ([(dt, dt) for dt in args.dress_types.split(",")]
+                      if args.dataset == "fiq" else [(None, args.category)])
+            for dress_type, category in groups:
+                def images():
+                    sub = (CIRDataset(args.dataset, "train", "relative",
+                                      ImageTransform("targetpad", 224),
+                                      data_path, [dress_type])
+                           if dress_type is not None else ds)
+                    for name, path in zip(sub.imagenames, sub.imagepaths):
+                        yield name, transform(Image.open(path))
 
-            fn = functools.partial(
-                batched_fn, prompt=caption_prompt(category, args.word_num))
-            it_list.extend(caption_images_batched(
-                images(), fn, batch_size=args.batch_size))
+                fn = functools.partial(
+                    batched_fn,
+                    prompt=caption_prompt(category, args.word_num))
+                it_list.extend(caption_images_batched(
+                    images(), fn, batch_size=args.batch_size))
     elif args.mllm == "blip":
         _, transform, batched_fn = make_blip_captioner(
             args.ckpt, blip_size=args.blip_size,
             bert_vocab_path=args.bert_vocab or None,
             use_nucleus_sampling=args.nucleus, num_beams=args.num_beams,
             batch_size=args.batch_size)
+        if args.dataset == "cc":
+            caps = batched_fn([
+                np.asarray(transform(Image.open(e["image_path"])))
+                for e in entries])
+            it_list = [{**e, "caption": c} for e, c in zip(entries, caps)]
+        else:
+            def images():
+                for name, path in zip(ds.imagenames, ds.imagepaths):
+                    yield name, transform(Image.open(path))
 
-        def images():
-            for name, path in zip(ds.imagenames, ds.imagepaths):
-                yield name, transform(Image.open(path))
-
-        it_list = caption_images_batched(images(), batched_fn,
-                                         batch_size=args.batch_size)
+            it_list = caption_images_batched(images(), batched_fn,
+                                             batch_size=args.batch_size)
     else:
-        def images():
-            import numpy as np
-            for name, path in zip(ds.imagenames, ds.imagepaths):
-                yield name, np.asarray(Image.open(path).convert("RGB"))
+        if args.dataset == "cc":
+            from spn4cir_tpu.datagen.captioner import caption_prompt
 
-        it_list = caption_images(images(), stub_captioner,
-                                 category=args.category,
-                                 num_words=args.word_num)
-    out = write_it_list(it_list, args.dataset, args.mllm, args.word_num)
+            prompt = caption_prompt(args.category, args.word_num)
+            it_list = [{**e, "caption": stub_captioner(
+                np.asarray(Image.open(e["image_path"]).convert("RGB")),
+                prompt)} for e in entries]
+        else:
+            def images():
+                for name, path in zip(ds.imagenames, ds.imagepaths):
+                    yield name, np.asarray(Image.open(path).convert("RGB"))
+
+            it_list = caption_images(images(), stub_captioner,
+                                     category=args.category,
+                                     num_words=args.word_num)
+    if args.dataset == "cc":
+        # reference CC filename: mm_data/zs/cc_it_{id}_{mllm}_{k}.json
+        out = write_it_list(
+            it_list, "zs", args.mllm, args.word_num,
+            filename=f"cc_it_{args.cc_id}_{args.mllm}_{args.word_num}.json")
+    else:
+        out = write_it_list(it_list, args.dataset, args.mllm, args.word_num)
     print(f"wrote {len(it_list)} captions -> {out}")
