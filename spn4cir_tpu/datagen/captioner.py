@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Callable, Iterable, List, Optional
+from typing import Callable, Dict, Iterable, List, Optional
 
 import numpy as np
 
@@ -237,21 +237,67 @@ def make_llava_captioner(params, *, tokenizer=None, tokenizer_path: str = "",
     return cap, transform, batched_fn
 
 
+def load_caption_checkpoint(path: str) -> Dict[str, str]:
+    """Partial-progress sidecar (one JSON per line: {"image_id", "caption"})
+    -> {image_id: caption}. Tolerates a torn final line (the process died
+    mid-write)."""
+    done: Dict[str, str] = {}
+    if not path or not os.path.exists(path):
+        return done
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue  # torn tail from a kill mid-write
+            done[d["image_id"]] = d["caption"]
+    return done
+
+
 def caption_images_batched(names_and_images: Iterable, batched_fn,
-                           batch_size: int = 32) -> List[dict]:
+                           batch_size: int = 32,
+                           checkpoint_path: str = "",
+                           already: Optional[Dict[str, str]] = None
+                           ) -> List[dict]:
     """Batched it-list builder (device-efficient variant of caption_images;
-    same output contract)."""
-    names, images, it_list = [], [], []
-    for name, image in names_and_images:
-        names.append(name)
-        images.append(np.asarray(image))
-        if len(images) == batch_size:
-            for n, c in zip(names, batched_fn(images)):
-                it_list.append({"image_id": n, "caption": c})
-            names, images = [], []
-    if images:
+    same output contract).
+
+    Preemption resume for the long 7B jobs (captioning all ~46k train
+    images is an hour-plus of device time; the reference restarts from
+    zero): with `checkpoint_path`, every finished batch is appended to a
+    jsonl sidecar immediately, and `already` (from
+    `load_caption_checkpoint`) seeds the output — pass it AND filter the
+    input iterator by its keys so skipped images are never decoded."""
+    it_list = [{"image_id": n, "caption": c}
+               for n, c in (already or {}).items()]
+    ckpt = open(checkpoint_path, "a") if checkpoint_path else None
+
+    def flush(names, images):
         for n, c in zip(names, batched_fn(images)):
-            it_list.append({"image_id": n, "caption": c})
+            entry = {"image_id": n, "caption": c}
+            it_list.append(entry)
+            if ckpt is not None:
+                ckpt.write(json.dumps(entry) + "\n")
+        if ckpt is not None:
+            ckpt.flush()
+            os.fsync(ckpt.fileno())
+
+    names, images = [], []
+    try:
+        for name, image in names_and_images:
+            names.append(name)
+            images.append(np.asarray(image))
+            if len(images) == batch_size:
+                flush(names, images)
+                names, images = [], []
+        if images:
+            flush(names, images)
+    finally:
+        if ckpt is not None:
+            ckpt.close()
     return it_list
 
 

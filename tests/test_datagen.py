@@ -491,3 +491,72 @@ def test_cc_datagen_chain(tmp_path, monkeypatch):
     assert len(zs) == 4
     assert zs.triplets[0]["reference"] in base.imagepaths[:4]
     assert zs.imagepaths  # id maps resolve through the cc name->path map
+
+
+def test_caption_resume_checkpoint(tmp_path):
+    """Preemption resume: finished batches survive in the jsonl sidecar; a
+    rerun seeds from it and never re-captions (the reference restarts its
+    hour-plus MLLM jobs from zero)."""
+    from spn4cir_tpu.datagen.captioner import (caption_images_batched,
+                                               load_caption_checkpoint)
+
+    ckpt = str(tmp_path / "part.jsonl")
+    calls = {"n": 0}
+
+    def flaky(images):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("preempted")
+        return [f"cap{i}" for i in range(len(images))]
+
+    imgs = [(f"im{i}", np.zeros((2, 2, 3))) for i in range(4)]
+    with pytest.raises(RuntimeError):
+        caption_images_batched(iter(imgs), flaky, batch_size=2,
+                               checkpoint_path=ckpt)
+    done = load_caption_checkpoint(ckpt)
+    assert set(done) == {"im0", "im1"}
+
+    rest = [(n, im) for n, im in imgs if n not in done]
+    out = caption_images_batched(iter(rest), lambda ims: ["x"] * len(ims),
+                                 batch_size=2, checkpoint_path=ckpt,
+                                 already=done)
+    assert {e["image_id"] for e in out} == {"im0", "im1", "im2", "im3"}
+    assert len(load_caption_checkpoint(ckpt)) == 4
+    # a torn final line (killed mid-write) is tolerated
+    with open(ckpt, "a") as f:
+        f.write('{"image_id": "bro')
+    assert len(load_caption_checkpoint(ckpt)) == 4
+
+
+def test_captioner_cli_resume_skips_decoding(tmp_path, monkeypatch):
+    """A complete sidecar short-circuits the run entirely: the CLI finishes
+    even with the image files GONE (proof it never re-decodes)."""
+    import subprocess
+    import sys
+
+    root = make_fiq(str(tmp_path / "fiq"), extended=False)
+    monkeypatch.chdir(tmp_path)
+    ds = CIRDataset("fiq", "train", "relative", TF, root, ["dress"])
+    os.makedirs(tmp_path / "mm_data" / "fiq", exist_ok=True)
+    sidecar = tmp_path / "mm_data" / "fiq" / \
+        ".fashioniq_it_llava_5.json.partial.jsonl"
+    with open(sidecar, "w") as f:
+        for n in ds.imagenames:
+            f.write(json.dumps({"image_id": n, "caption": f"done {n}"}) + "\n")
+    for p in ds.imagepaths:
+        os.remove(p)
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable,
+                        os.path.join(repo, "zscir/captioner_llava.py"),
+                        "--cir_data", "fiq", "--data_path", root,
+                        "--dress_types", "dress", "--llava_size", "tiny",
+                        "--batch_size", "2", "--k", "5"],
+                       capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "resuming" in r.stdout
+    with open(tmp_path / "mm_data" / "fiq" /
+              "fashioniq_it_llava_5.json") as f:
+        out = json.load(f)
+    assert {e["image_id"]: e["caption"] for e in out} == {
+        n: f"done {n}" for n in ds.imagenames}

@@ -19,6 +19,7 @@ from spn4cir_tpu.data.datasets import CIRDataset
 from spn4cir_tpu.data.transforms import ImageTransform
 from spn4cir_tpu.datagen.captioner import (caption_images,
                                            caption_images_batched,
+                                           load_caption_checkpoint,
                                            load_cc_shard,
                                            make_blip_captioner,
                                            stub_captioner, write_it_list)
@@ -61,7 +62,31 @@ if __name__ == "__main__":
                    help="CC shard path template ('{}' = --cc_id); one JSON "
                         "per line with url/image/caption.en "
                         "(ref data_process.py:42-54)")
+    p.add_argument("--caption_ckpt", default="auto",
+                   help="preemption resume for the hour-plus 7B jobs: "
+                        "finished batches append to this jsonl sidecar "
+                        "immediately; a rerun skips them without decoding. "
+                        "'auto' = alongside the output, '' = off")
     args = p.parse_args()
+
+    # resolve the output filename early: the resume sidecar sits next to it
+    if args.dataset == "cc":
+        out_folder, out_name = "zs", (
+            f"cc_it_{args.cc_id}_{args.mllm}_{args.word_num}.json")
+    else:
+        out_folder = args.dataset
+        prefix = {"fiq": "fashioniq", "cirr": "cirr"}[args.dataset]
+        out_name = f"{prefix}_it_{args.mllm}_{args.word_num}.json"
+    if args.caption_ckpt == "auto":
+        ckpt_path = os.path.join("mm_data", out_folder,
+                                 f".{out_name}.partial.jsonl")
+    else:
+        ckpt_path = args.caption_ckpt
+    if ckpt_path:
+        os.makedirs(os.path.dirname(ckpt_path) or ".", exist_ok=True)
+    done = load_caption_checkpoint(ckpt_path)
+    if done:
+        print(f"resuming: {len(done)} captions already in {ckpt_path}")
 
     if args.dataset == "cc":
         entries = load_cc_shard(args.cc_path.format(args.cc_id))
@@ -95,10 +120,17 @@ if __name__ == "__main__":
         if args.dataset == "cc":
             # caption the shard images; entries keep their image_path so
             # get_cir_data's CC mode can emit path-carrying triplets
-            caps = batched_fn([
-                np.asarray(transform(Image.open(e["image_path"])))
-                for e in entries])
-            it_list = [{**e, "caption": c} for e, c in zip(entries, caps)]
+            todo = [e for e in entries if e["image_id"] not in done]
+            run = caption_images_batched(
+                ((e["image_id"],
+                  np.asarray(transform(Image.open(e["image_path"]))))
+                 for e in todo),
+                batched_fn, batch_size=args.batch_size,
+                checkpoint_path=ckpt_path)
+            capmap = dict(done)
+            capmap.update({r["image_id"]: r["caption"] for r in run})
+            it_list = [{**e, "caption": capmap[e["image_id"]]}
+                       for e in entries]
         else:
             it_list = []
             groups = ([(dt, dt) for dt in args.dress_types.split(",")]
@@ -110,13 +142,16 @@ if __name__ == "__main__":
                                       data_path, [dress_type])
                            if dress_type is not None else ds)
                     for name, path in zip(sub.imagenames, sub.imagepaths):
+                        if name in done:  # resume: skip without decoding
+                            continue
                         yield name, transform(Image.open(path))
 
                 fn = functools.partial(
                     batched_fn,
                     prompt=caption_prompt(category, args.word_num))
                 it_list.extend(caption_images_batched(
-                    images(), fn, batch_size=args.batch_size))
+                    images(), fn, batch_size=args.batch_size,
+                    checkpoint_path=ckpt_path))
     elif args.mllm == "blip":
         _, transform, batched_fn = make_blip_captioner(
             args.ckpt, blip_size=args.blip_size,
@@ -124,17 +159,27 @@ if __name__ == "__main__":
             use_nucleus_sampling=args.nucleus, num_beams=args.num_beams,
             batch_size=args.batch_size)
         if args.dataset == "cc":
-            caps = batched_fn([
-                np.asarray(transform(Image.open(e["image_path"])))
-                for e in entries])
-            it_list = [{**e, "caption": c} for e, c in zip(entries, caps)]
+            todo = [e for e in entries if e["image_id"] not in done]
+            run = caption_images_batched(
+                ((e["image_id"],
+                  np.asarray(transform(Image.open(e["image_path"]))))
+                 for e in todo),
+                batched_fn, batch_size=args.batch_size,
+                checkpoint_path=ckpt_path)
+            capmap = dict(done)
+            capmap.update({r["image_id"]: r["caption"] for r in run})
+            it_list = [{**e, "caption": capmap[e["image_id"]]}
+                       for e in entries]
         else:
             def images():
                 for name, path in zip(ds.imagenames, ds.imagepaths):
+                    if name in done:
+                        continue
                     yield name, transform(Image.open(path))
 
             it_list = caption_images_batched(images(), batched_fn,
-                                             batch_size=args.batch_size)
+                                             batch_size=args.batch_size,
+                                             checkpoint_path=ckpt_path)
     else:
         if args.dataset == "cc":
             from spn4cir_tpu.datagen.captioner import caption_prompt
@@ -151,11 +196,10 @@ if __name__ == "__main__":
             it_list = caption_images(images(), stub_captioner,
                                      category=args.category,
                                      num_words=args.word_num)
-    if args.dataset == "cc":
-        # reference CC filename: mm_data/zs/cc_it_{id}_{mllm}_{k}.json
-        out = write_it_list(
-            it_list, "zs", args.mllm, args.word_num,
-            filename=f"cc_it_{args.cc_id}_{args.mllm}_{args.word_num}.json")
-    else:
-        out = write_it_list(it_list, args.dataset, args.mllm, args.word_num)
+    if args.dataset != "cc" and done:
+        have = {it["image_id"] for it in it_list}
+        it_list.extend({"image_id": n, "caption": c}
+                       for n, c in done.items() if n not in have)
+    out = write_it_list(it_list, out_folder, args.mllm, args.word_num,
+                        filename=out_name)
     print(f"wrote {len(it_list)} captions -> {out}")
