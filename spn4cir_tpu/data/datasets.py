@@ -119,7 +119,7 @@ class CIRDataset:
                 # PATHS (zscir/data_utils.py:159 skips the name join)
                 cc_internal = self._cc_triplets(
                     self._load_extend_file(
-                        os.path.join(cap_dir, "cap.cc.train.json")))
+                        os.path.join(cap_dir, "cap.cc.train.json")), llmcap)
                 if self._replace_extended:
                     raw = []
                     self.N = 0  # cc captions pick by random.choice (:267)
@@ -173,20 +173,29 @@ class CIRDataset:
             os.path.join(self.image_path, f"{n}.png") for n in self._gallery_names
         ]
 
-    def _cc_triplets(self, entries: List[dict]) -> List[dict]:
+    def _cc_triplets(self, entries: List[dict],
+                     llmcap: bool = False) -> List[dict]:
         """CC triplets to the internal form. They already carry full image
         paths (ref get_cir_data.py:205-213) — record a name→path map so
-        bank extraction resolves CC images without the dataset-dir join."""
+        bank extraction resolves CC images without the dataset-dir join.
+        `llmcap` substitutes the LLaMA-rewritten caption, same as the
+        in-domain extended files."""
         for t in entries:
             self._cc_name2path[t["reference_name"]] = t["reference"]
             self._cc_name2path[t["target_name"]] = t["target"]
+
+        def caps(t):
+            if llmcap:
+                return [t["llm_caption"]]
+            return (t["captions"] if isinstance(t["captions"], list)
+                    else [t["captions"]])
+
         return [{
             "reference": t["reference"],
             "reference_name": t["reference_name"],
             "target": t["target"],
             "target_name": t["target_name"],
-            "captions": (t["captions"] if isinstance(t["captions"], list)
-                         else [t["captions"]]),
+            "captions": caps(t),
             "pairid": t.get("pairid", 0),
             "group_members": ["xxx"],
         } for t in entries]
@@ -220,9 +229,11 @@ class CIRDataset:
             if use_cc:
                 cc_internal = self._cc_triplets(
                     self._load_extend_file(
-                        os.path.join(cap_dir, "cap.rc2.train.cc.json")))
+                        os.path.join(cap_dir, "cap.rc2.train.cc.json")),
+                    llmcap)
                 if self._replace_extended:
                     raw = []
+                    self.N = 0
             else:
                 name = (f"cap.rc2.train.extend_{extend_suffix}"
                         f"{'_llm' if llmcap else ''}.json")
@@ -234,6 +245,7 @@ class CIRDataset:
                     # zscir cirr: generated-only train set (data_utils.py:
                     # 184-193 assignment)
                     raw = extend
+                    self.N = len(raw)
                 else:
                     raw.extend(extend)
         self.triplets = [
@@ -288,6 +300,14 @@ class CIRDataset:
         if os.path.exists(opt):
             with open(opt) as f:
                 self.imagenames, self.imagepaths, self.imagename2id = json.load(f)
+            # the dedup map covers only DATASET images; re-append CC names
+            # (external paths) or the first --use_cc batch KeyErrors on its
+            # imagename2id lookup
+            for n, p in self._cc_name2path.items():
+                if n not in self.imagename2id:
+                    self.imagename2id[n] = len(self.imagenames)
+                    self.imagenames.append(n)
+                    self.imagepaths.append(p)
 
     def _build_unlabeled(self):
         """Unlabeled negative pool (negplus ablation,

@@ -189,27 +189,36 @@ def make_caption_handler(service: CaptionService):
                 if self.path != "/caption":
                     self._send(404, {"error": "unknown path"})
                     return
-                # validate the request shape up front — a KeyError escaping
-                # from model internals must surface as a 500, not a 400
+                # classify client errors EXPLICITLY up front — exceptions
+                # escaping from model internals (KeyError, ValueError,
+                # whatever) must surface as 500s, not 400s
                 if "images_b64" not in req and "image_b64" not in req:
                     self._send(400, {"error": "need image_b64 or "
                                               "images_b64"})
                     return
+                prompt = req.get("prompt")
+                if prompt is not None and not service.supports_prompt:
+                    self._send(400, {"error": f"model "
+                                     f"{service.model_name!r} does not "
+                                     "take per-request prompts"})
+                    return
                 from PIL import Image
 
-                prompt = req.get("prompt")
-                if "images_b64" in req:
+                try:
+                    blobs = (req["images_b64"] if "images_b64" in req
+                             else [req["image_b64"]])
                     images = [Image.open(io.BytesIO(base64.b64decode(b)))
-                              for b in req["images_b64"]]
-                    caps = service.caption(images, prompt)
+                              for b in blobs]
+                    for im in images:
+                        im.load()  # force decode errors out HERE (-> 400)
+                except Exception as exc:
+                    self._send(400, {"error": f"undecodable image: {exc}"})
+                    return
+                caps = service.caption(images, prompt)
+                if "images_b64" in req:
                     self._send(200, {"captions": caps})
                 else:
-                    raw = base64.b64decode(req["image_b64"])
-                    caps = service.caption(
-                        [Image.open(io.BytesIO(raw))], prompt)
                     self._send(200, {"caption": caps[0]})
-            except ValueError as exc:  # bad payload (prompt unsupported,
-                self._send(400, {"error": str(exc)})  # undecodable image)
             except Exception as exc:  # pragma: no cover
                 self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
 

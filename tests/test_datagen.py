@@ -539,7 +539,7 @@ def test_captioner_cli_resume_skips_decoding(tmp_path, monkeypatch):
     ds = CIRDataset("fiq", "train", "relative", TF, root, ["dress"])
     os.makedirs(tmp_path / "mm_data" / "fiq", exist_ok=True)
     sidecar = tmp_path / "mm_data" / "fiq" / \
-        ".fashioniq_it_llava_5.json.partial.jsonl"
+        ".fashioniq_it_llava_5.json.nockpt.partial.jsonl"
     with open(sidecar, "w") as f:
         for n in ds.imagenames:
             f.write(json.dumps({"image_id": n, "caption": f"done {n}"}) + "\n")

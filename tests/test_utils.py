@@ -206,3 +206,34 @@ def test_optimizer_never_touches_stats_or_logit_scale():
         assert not np.allclose(
             np.asarray(new_state.params["params"]["text"]["token_embedding"]),
             np.asarray(variables["params"]["text"]["token_embedding"]))
+
+
+def test_use_cc_with_dedup_map_and_llmcap(tmp_path):
+    """Two review regressions: (a) optimized_images.json must not wipe CC
+    names out of the id maps; (b) --llmcap substitutes llm_caption for CC
+    triplets like the in-domain extended files."""
+    import json as _json
+
+    from spn4cir_tpu.data.datasets import CIRDataset
+    from spn4cir_tpu.data.transforms import ImageTransform
+    from spn4cir_tpu.datagen.dedup import deduplicate
+    from tests.fixtures import make_fiq
+
+    root = make_fiq(str(tmp_path / "fiq"), extended=False)
+    base = CIRDataset("fiq", "train", "relative",
+                      ImageTransform("targetpad", 32), root, ["dress"])
+    deduplicate(base, root)  # writes optimized_images.json
+    cc = [{"reference": base.imagepaths[0], "reference_name": "http://cc/0",
+           "target": base.imagepaths[1], "target_name": "http://cc/1",
+           "captions": ["template cap"], "llm_caption": "LLM REWRITTEN"}]
+    with open(os.path.join(root, "captions", "cap.cc.train.json"), "w") as f:
+        _json.dump(cc, f)
+    ds = CIRDataset("fiq", "train", "relative",
+                    ImageTransform("targetpad", 32), root, ["dress"],
+                    use_cc=True, llmcap=True, replace_extended=True)
+    # (a) id maps resolve the CC names even with the dedup override loaded
+    assert ds.imagepaths[ds.imagename2id["http://cc/0"]] == base.imagepaths[0]
+    row = ds[0]  # train relative getitem: must not KeyError
+    # (b) llm_caption substituted
+    assert ds.triplets[0]["captions"] == ["LLM REWRITTEN"]
+    assert row[0] is not None

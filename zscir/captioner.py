@@ -78,8 +78,12 @@ if __name__ == "__main__":
         prefix = {"fiq": "fashioniq", "cirr": "cirr"}[args.dataset]
         out_name = f"{prefix}_it_{args.mllm}_{args.word_num}.json"
     if args.caption_ckpt == "auto":
+        # the sidecar name carries the checkpoint basename: captions from a
+        # DIFFERENT model must not satisfy a resume (same-path re-converts
+        # still need --caption_ckpt '' or a deleted sidecar)
+        tag = os.path.basename(args.ckpt.rstrip("/")) or "nockpt"
         ckpt_path = os.path.join("mm_data", out_folder,
-                                 f".{out_name}.partial.jsonl")
+                                 f".{out_name}.{tag}.partial.jsonl")
     else:
         ckpt_path = args.caption_ckpt
     if ckpt_path:
@@ -90,6 +94,7 @@ if __name__ == "__main__":
 
     if args.dataset == "cc":
         entries = load_cc_shard(args.cc_path.format(args.cc_id))
+        remaining = [e for e in entries if e["image_id"] not in done]
     else:
         data_path = args.data_path or (
             "fashionIQ_dataset" if args.dataset == "fiq" else "cirr_dataset")
@@ -97,52 +102,74 @@ if __name__ == "__main__":
                         ImageTransform("targetpad", 224), data_path,
                         args.dress_types.split(",")
                         if args.dataset == "fiq" else None)
+        remaining = [n for n in ds.imagenames if n not in done]
 
-    if args.mllm == "llava":
-        import functools
+    # a fully-resumed run never loads the (multi-GB) model
+    transform = batched_fn = None
+    if remaining and args.mllm == "llava":
+        from spn4cir_tpu.datagen.captioner import make_llava_captioner
 
-        from spn4cir_tpu.datagen.captioner import (caption_prompt,
-                                                   make_llava_captioner)
-
-        # load/convert the (multi-GB) model ONCE; the per-category prompt
-        # loop mirrors the reference (captioner_llava.py:173-190 captions
-        # each fiq dress type with its own prompt) via batched_fn's prompt
-        # override
         mesh = None
         if args.mesh_model > 1:
             from spn4cir_tpu.parallel.tp import make_model_mesh
             mesh = make_model_mesh(args.mesh_model)
+        # load/convert the model ONCE; fiq's per-dress-type prompts ride
+        # batched_fn's prompt override (ref captioner_llava.py:173-190)
         _, transform, batched_fn = make_llava_captioner(
             args.ckpt, tokenizer_path=args.tokenizer_path,
             llava_size=args.llava_size, category=args.category,
             word_num=args.word_num, max_new_tokens=args.max_new_tokens,
             batch_size=args.batch_size, mesh=mesh)
-        if args.dataset == "cc":
-            # caption the shard images; entries keep their image_path so
-            # get_cir_data's CC mode can emit path-carrying triplets
-            todo = [e for e in entries if e["image_id"] not in done]
+    elif remaining and args.mllm == "blip":
+        _, transform, batched_fn = make_blip_captioner(
+            args.ckpt, blip_size=args.blip_size,
+            bert_vocab_path=args.bert_vocab or None,
+            use_nucleus_sampling=args.nucleus, num_beams=args.num_beams,
+            batch_size=args.batch_size)
+
+    if args.dataset == "cc":
+        # one backend-independent pass; entries keep their image_path so
+        # get_cir_data's CC mode emits path-carrying triplets
+        if not remaining:
+            run = []
+        elif args.mllm == "stub":
+            from spn4cir_tpu.datagen.captioner import caption_prompt
+
+            prompt = caption_prompt(args.category, args.word_num)
+            run = [{"image_id": e["image_id"], "caption": stub_captioner(
+                np.asarray(Image.open(e["image_path"]).convert("RGB")),
+                prompt)} for e in remaining]
+        else:
             run = caption_images_batched(
                 ((e["image_id"],
                   np.asarray(transform(Image.open(e["image_path"]))))
-                 for e in todo),
+                 for e in remaining),
                 batched_fn, batch_size=args.batch_size,
                 checkpoint_path=ckpt_path)
-            capmap = dict(done)
-            capmap.update({r["image_id"]: r["caption"] for r in run})
-            it_list = [{**e, "caption": capmap[e["image_id"]]}
-                       for e in entries]
-        else:
+        capmap = dict(done)
+        capmap.update({r["image_id"]: r["caption"] for r in run})
+        it_list = [{**e, "caption": capmap[e["image_id"]]} for e in entries]
+    else:
+        remaining_set = set(remaining)
+        if args.mllm == "llava":
+            import functools
+
+            from spn4cir_tpu.datagen.captioner import caption_prompt
+
             it_list = []
             groups = ([(dt, dt) for dt in args.dress_types.split(",")]
                       if args.dataset == "fiq" else [(None, args.category)])
             for dress_type, category in groups:
+                if not remaining_set:
+                    break
+
                 def images():
                     sub = (CIRDataset(args.dataset, "train", "relative",
                                       ImageTransform("targetpad", 224),
                                       data_path, [dress_type])
                            if dress_type is not None else ds)
                     for name, path in zip(sub.imagenames, sub.imagepaths):
-                        if name in done:  # resume: skip without decoding
+                        if name not in remaining_set:  # resume: no decode
                             continue
                         yield name, transform(Image.open(path))
 
@@ -152,42 +179,16 @@ if __name__ == "__main__":
                 it_list.extend(caption_images_batched(
                     images(), fn, batch_size=args.batch_size,
                     checkpoint_path=ckpt_path))
-    elif args.mllm == "blip":
-        _, transform, batched_fn = make_blip_captioner(
-            args.ckpt, blip_size=args.blip_size,
-            bert_vocab_path=args.bert_vocab or None,
-            use_nucleus_sampling=args.nucleus, num_beams=args.num_beams,
-            batch_size=args.batch_size)
-        if args.dataset == "cc":
-            todo = [e for e in entries if e["image_id"] not in done]
-            run = caption_images_batched(
-                ((e["image_id"],
-                  np.asarray(transform(Image.open(e["image_path"]))))
-                 for e in todo),
-                batched_fn, batch_size=args.batch_size,
-                checkpoint_path=ckpt_path)
-            capmap = dict(done)
-            capmap.update({r["image_id"]: r["caption"] for r in run})
-            it_list = [{**e, "caption": capmap[e["image_id"]]}
-                       for e in entries]
-        else:
+        elif args.mllm == "blip":
             def images():
                 for name, path in zip(ds.imagenames, ds.imagepaths):
-                    if name in done:
+                    if name not in remaining_set:
                         continue
                     yield name, transform(Image.open(path))
 
-            it_list = caption_images_batched(images(), batched_fn,
-                                             batch_size=args.batch_size,
-                                             checkpoint_path=ckpt_path)
-    else:
-        if args.dataset == "cc":
-            from spn4cir_tpu.datagen.captioner import caption_prompt
-
-            prompt = caption_prompt(args.category, args.word_num)
-            it_list = [{**e, "caption": stub_captioner(
-                np.asarray(Image.open(e["image_path"]).convert("RGB")),
-                prompt)} for e in entries]
+            it_list = ([] if not remaining_set else caption_images_batched(
+                images(), batched_fn, batch_size=args.batch_size,
+                checkpoint_path=ckpt_path))
         else:
             def images():
                 for name, path in zip(ds.imagenames, ds.imagepaths):
@@ -196,10 +197,10 @@ if __name__ == "__main__":
             it_list = caption_images(images(), stub_captioner,
                                      category=args.category,
                                      num_words=args.word_num)
-    if args.dataset != "cc" and done:
-        have = {it["image_id"] for it in it_list}
-        it_list.extend({"image_id": n, "caption": c}
-                       for n, c in done.items() if n not in have)
+        if done:
+            have = {it["image_id"] for it in it_list}
+            it_list.extend({"image_id": n, "caption": c}
+                           for n, c in done.items() if n not in have)
     out = write_it_list(it_list, out_folder, args.mllm, args.word_num,
                         filename=out_name)
     print(f"wrote {len(it_list)} captions -> {out}")

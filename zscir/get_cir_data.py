@@ -76,14 +76,19 @@ if __name__ == "__main__":
     data_path = args.data_path or ("fashionIQ_dataset" if base == "fiq"
                                    else "cirr_dataset")
     if use_cc:
+        # CC partners sample uniformly (ref get_cc :199-205); fail loud
+        # rather than silently discard the SRM rank window / refer filter
+        if args.refer or args.i2i_rank >= 0:
+            raise SystemExit("--refer/--i2i_rank do not apply to the CC "
+                             "modes (out-of-domain partners sample "
+                             "uniformly, ref get_cir_data.py:199-205)")
         # CC shard it-lists (captioner --cir_data cc output); default: every
         # shard matching the reference filename shape
         import glob
 
         pats = (args.it_list.split(",") if args.it_list else
                 [f"mm_data/zs/cc_it_*_{args.mllm}_{args.word_num}.json"])
-        paths = sorted(p_ for pat in pats for p_ in glob.glob(pat)) or [
-            p_ for p_ in pats if os.path.exists(p_)]
+        paths = sorted(p_ for pat in pats for p_ in glob.glob(pat))
         if not paths:
             raise SystemExit(f"no CC it-lists found for {pats} — run "
                              "zscir/captioner.py --cir_data cc first")
