@@ -237,3 +237,25 @@ def test_use_cc_with_dedup_map_and_llmcap(tmp_path):
     # (b) llm_caption substituted
     assert ds.triplets[0]["captions"] == ["LLM REWRITTEN"]
     assert row[0] is not None
+
+
+def test_env_jax_platforms_outranks_plugin_override():
+    """spn4cir_tpu import puts an explicitly-set JAX_PLATFORMS env var back
+    in charge when a plugin sitecustomize config.update()'d it away (the
+    axon TPU plugin does; CLIs were un-forceable to CPU and hung on a dead
+    tunnel)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'tpu')  # plugin-style override\n"
+        "import spn4cir_tpu\n"
+        "assert jax.config.jax_platforms == 'cpu', jax.config.jax_platforms\n"
+        "print('restored')\n")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=env, timeout=120,
+                       cwd=os.path.join(os.path.dirname(__file__), ".."))
+    assert r.returncode == 0, r.stderr[-1000:]
+    assert "restored" in r.stdout
