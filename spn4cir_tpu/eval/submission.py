@@ -42,11 +42,19 @@ def generate_cirr_test_dicts(
         scores, refer, jnp.asarray(preds["member_gids"]), 3))
     names = np.asarray(index.names)
     pairids = preds["pairid"]
+    refer_np = np.asarray(preds["refer_gid"])
+    # the reference REMOVES the masked reference row entirely
+    # (cirr_test_submission.py:95-99 reshapes to M-1); with k >= gallery
+    # size the -inf-masked id would otherwise surface at the list tail —
+    # invisible at CIRR scale (top-50 of ~2.3k) but a schema difference on
+    # small galleries
     pairid_to_pred = {
-        str(int(pid)): names[row].tolist() for pid, row in zip(pairids, top50)
+        str(int(pid)): names[row[row != rg]].tolist()
+        for pid, rg, row in zip(pairids, refer_np, top50)
     }
     pairid_to_group = {
-        str(int(pid)): names[row].tolist() for pid, row in zip(pairids, top3)
+        str(int(pid)): names[row[row != rg]].tolist()
+        for pid, rg, row in zip(pairids, refer_np, top3)
     }
     return pairid_to_pred, pairid_to_group
 

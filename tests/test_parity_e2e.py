@@ -109,8 +109,11 @@ def ref_modules():
     """Import the reference's clip4cir modules (flat-name imports)."""
     _stub_torchvision()
     sys.path.insert(0, REF_DIR)
-    names = ["clip", "data_utils", "utils", "validate"]
+    names = ["clip", "data_utils", "utils", "validate", "models",
+             "cirr_test_submission"]
     saved = {n: sys.modules.get(n) for n in names}
+    for n in names:
+        sys.modules.pop(n, None)  # flat names may be held by other suites
     try:
         mods = {n: importlib.import_module(n) for n in names}
         _force_inprocess_dataloaders(mods)
@@ -312,3 +315,78 @@ def test_topk_order_parity(tmp_path_factory, ref_modules, shared_model):
     ours_sorted = np.array(classic_ours.gallery_names)[
         np.argsort(-scores, axis=-1, kind="stable")]
     np.testing.assert_array_equal(ours_sorted, ref_sorted)
+
+
+def test_cirr_submission_parity(tmp_path_factory, ref_modules, shared_model):
+    """The CIRR test-server submission dicts — pairid -> top-50 global and
+    top-3 subset names — byte-equal to the reference's own
+    cirr_test_submission.generate_cirr_test_dicts on the test1 split."""
+    from pathlib import Path
+
+    from spn4cir_tpu.data.datasets import CIRDataset
+    from spn4cir_tpu.data.transforms import ImageTransform
+    from spn4cir_tpu.eval.retrieval import extract_index_features
+    from spn4cir_tpu.eval.submission import generate_cirr_test_dicts
+
+    bb, params, shim = shared_model
+    parent = tmp_path_factory.mktemp("cirr_sub")
+    root = make_cirr(str(parent / "cirr_dataset"), n_images=30, n_val=12,
+                     extended=False)
+    tf = ImageTransform("targetpad", bb.input_dim)
+
+    data_utils = ref_modules["data_utils"]
+    sub = ref_modules["cirr_test_submission"]
+    old_base = data_utils.base_path
+    data_utils.base_path = Path(parent)  # quirk SURVEY.md §8.6
+    try:
+        classic = data_utils.CIRDataset("cirr", "test1", "classic",
+                                        TorchPreprocess(tf), root)
+        idx_feats, idx_names = ref_modules["utils"].extract_index_features(
+            classic, shim, device=torch.device("cpu"))
+        relative = data_utils.CIRDataset("cirr", "test1", "relative",
+                                         TorchPreprocess(tf), root)
+        want_pred, want_group = sub.generate_cirr_test_dicts(
+            relative, shim, idx_feats, idx_names)
+    finally:
+        data_utils.base_path = old_base
+
+    from spn4cir_tpu.eval.retrieval import (generate_val_predictions,
+                                            query_scores)
+
+    classic_ours = CIRDataset("cirr", "test1", "classic", tf, root)
+    relative_ours = CIRDataset("cirr", "test1", "relative", tf, root)
+    index = extract_index_features(bb, params, classic_ours, 8,
+                                   num_workers=0)
+    got_pred, got_group = generate_cirr_test_dicts(bb, params, relative_ours,
+                                                   index, 8)
+
+    # tie-aware order equality: at tiny geometry two distinct gallery rows
+    # can collide to the SAME f32 score on one side while differing by an
+    # ulp on the other (different contraction order); rank order within an
+    # exact tie is meaningless, so ties may permute — everything else must
+    # match positionally
+    preds = generate_val_predictions(bb, params, relative_ours, index, 8)
+    scores = np.asarray(query_scores(bb, preds, index))
+    name_to_col = {n: i for i, n in enumerate(classic_ours.gallery_names)}
+    pid_to_row = {str(int(p)): i for i, p in enumerate(preds["pairid"])}
+
+    def assert_order_modulo_ties(pid, ours, ref):
+        assert sorted(ours) == sorted(ref), pid
+        row = scores[pid_to_row[pid]]
+        i = 0
+        while i < len(ours):
+            s = row[name_to_col[ours[i]]]
+            j = i
+            while j < len(ours) and row[name_to_col[ours[j]]] == s:
+                j += 1
+            assert sorted(ours[i:j]) == sorted(ref[i:j]), (pid, i, j)
+            i = j
+
+    assert set(got_pred) == set(want_pred)
+    for pid, ref_names in want_pred.items():
+        assert_order_modulo_ties(pid, [str(x) for x in got_pred[pid]],
+                                 ref_names)
+    assert set(got_group) == set(want_group)
+    for pid, ref_names in want_group.items():
+        assert_order_modulo_ties(pid, [str(x) for x in got_group[pid]],
+                                 ref_names)
