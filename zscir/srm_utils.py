@@ -60,6 +60,16 @@ if __name__ == "__main__":
     p.add_argument("--tiny_srm", action="store_true",
                    help="test-geometry SRM with random weights (smoke runs)")
     p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--zs_triplets", action="store_true",
+                   help="score the GENERATED train set (cap.extend_zs / "
+                        "cap.cc) exactly as the reference does — its "
+                        "srm_utils imports zscir/data_utils.py, whose train "
+                        "split unconditionally REPLACES the human triplets "
+                        "(quirk SURVEY.md par.8.16/8.18). Default scores the "
+                        "human triplets so the emitted image ids stay "
+                        "coherent with get_cir_data's rank-window ids "
+                        "(which come from the human-triplet id space, "
+                        "data_utils_gen.py)")
     p.add_argument("--out", default="srm.npz")
     p.add_argument("--sims_out", default="sims.npz")
     p.add_argument("--k_negatives", type=int, default=1000)
@@ -77,7 +87,9 @@ if __name__ == "__main__":
 
     def make_ds(preprocess):
         return CIRDataset(args.dataset, "train", "relative", preprocess,
-                          data_path, dress)
+                          data_path, dress,
+                          replace_extended=args.zs_triplets,
+                          extend_suffix="zs")
 
     # -- CLIP role (cross-modal i2t/t2i, ref :102-106) --
     bb = build_backbone("clip", clip_model_name=args.clip_model_name)
