@@ -134,7 +134,8 @@ def ref_modules():
     _stub_torchvision()
     _install_lavis()
     sys.path.insert(0, REF_DIR)
-    names = ["data_utils", "utils", "validate", "models"]
+    names = ["data_utils", "utils", "validate", "models",
+             "cirr_test_submission"]
     saved = {n: sys.modules.get(n) for n in names}
     for n in names:
         sys.modules.pop(n, None)
@@ -147,7 +148,8 @@ def ref_modules():
     sys.modules["models"] = models_stub
     try:
         mods = {n: importlib.import_module(n)
-                for n in ["data_utils", "utils", "validate"]}
+                for n in ["data_utils", "utils", "validate",
+                          "cirr_test_submission"]}
         _force_inprocess_dataloaders(mods)
         yield mods
     finally:
@@ -335,3 +337,85 @@ def test_blip2_cirr_recall_parity(tmp_path_factory, ref_modules,
                       ("group_recall_at3", want_gr3)]:
         assert got[key] == pytest.approx(want, abs=1e-4), (key, got[key],
                                                            want)
+
+
+def test_blip2_cirr_submission_parity(tmp_path_factory, ref_modules,
+                                      shared_model):
+    """The CIRR test-server submission dicts through blip2's max-over-query
+    `inference` scoring path, vs the reference's own
+    blip24cir/cirr_test_submission.generate_cirr_test_dicts — equal modulo
+    exact-score ties (see test_parity_e2e for the tie rationale)."""
+    from pathlib import Path
+
+    from spn4cir_tpu.data.datasets import CIRDataset
+    from spn4cir_tpu.data.transforms import ImageTransform
+    from spn4cir_tpu.eval.retrieval import (extract_index_features,
+                                            generate_val_predictions,
+                                            query_scores)
+    from spn4cir_tpu.eval.submission import generate_cirr_test_dicts
+
+    bb, params, wrapper = shared_model
+    parent = tmp_path_factory.mktemp("cirr_sub")
+    root = make_cirr(str(parent / "cirr_dataset"), n_images=30, n_val=12,
+                     extended=False)
+    tf = ImageTransform("targetpad", bb.input_dim)
+
+    data_utils = ref_modules["data_utils"]
+    sub = ref_modules["cirr_test_submission"]
+    old_base = data_utils.base_path
+    data_utils.base_path = Path(parent)  # quirk SURVEY.md §8.6
+    try:
+        classic = data_utils.CIRDataset("cirr", "test1", "classic",
+                                        TorchPreprocess(tf), root)
+        idx_feats, idx_names = _ref_extract_index(ref_modules, classic,
+                                                  wrapper)
+        relative = data_utils.CIRDataset("cirr", "test1", "relative",
+                                         TorchPreprocess(tf), root)
+        want_pred, want_group = sub.generate_cirr_test_dicts(
+            relative, wrapper, idx_feats, idx_names,
+            wrapper.txt_processors)
+    finally:
+        data_utils.base_path = old_base
+
+    classic_ours = CIRDataset("cirr", "test1", "classic", tf, root)
+    relative_ours = CIRDataset("cirr", "test1", "relative", tf, root)
+    index = extract_index_features(bb, params, classic_ours, 8,
+                                   num_workers=0)
+    got_pred, got_group = generate_cirr_test_dicts(bb, params, relative_ours,
+                                                   index, 8)
+
+    import numpy as np
+
+    preds = generate_val_predictions(bb, params, relative_ours, index, 8)
+    scores = np.asarray(query_scores(bb, preds, index))
+    name_to_col = {n: i for i, n in enumerate(classic_ours.gallery_names)}
+    pid_to_row = {str(int(p)): i for i, p in enumerate(preds["pairid"])}
+
+    # unlike the clip4cir submission test (exact bit-ties), the blip2
+    # scoring path runs a full Q-Former fusion forward on each side —
+    # torch-vs-XLA f32 contraction noise is ~1e-7 on these logits
+    # (test_blip24cir activation parity), so scores closer than EPS_TIE
+    # can legitimately swap; EPS_TIE is far below any rank-meaningful gap
+    EPS_TIE = 1e-5
+
+    def assert_order_modulo_ties(pid, ours, ref):
+        assert sorted(ours) == sorted(ref), pid
+        row = scores[pid_to_row[pid]]
+        i = 0
+        while i < len(ours):
+            j = i
+            while (j < len(ours) and
+                   abs(row[name_to_col[ours[j]]]
+                       - row[name_to_col[ours[i]]]) < EPS_TIE):
+                j += 1
+            assert sorted(ours[i:j]) == sorted(ref[i:j]), (pid, i, j)
+            i = j
+
+    assert set(got_pred) == set(want_pred)
+    for pid, ref_names in want_pred.items():
+        assert_order_modulo_ties(pid, [str(x) for x in got_pred[pid]],
+                                 ref_names)
+    assert set(got_group) == set(want_group)
+    for pid, ref_names in want_group.items():
+        assert_order_modulo_ties(pid, [str(x) for x in got_group[pid]],
+                                 ref_names)
