@@ -70,9 +70,10 @@ def sampled_neg_infonce(
 ) -> jnp.ndarray:
     """InfoNCE over `neg_num` pre-sampled bank negatives + the positive.
 
-    neg_idx: (B, neg_num) int indices into the bank (sampled on host; the
-    reference samples with randint and does not exclude the positive —
-    behavior preserved). Positive sits in column 0.
+    neg_idx: (B, neg_num) int indices into the bank, sampled on host
+    WITHOUT replacement and excluding the positive (the reference's
+    `random.sample` distribution, clip4cir/models.py:109-113 — see
+    train.stage2.sample_negatives). Positive sits in column 0.
     """
     pos = jnp.take(target_bank, labels, axis=0)  # (B, D)
     negs = jnp.take(target_bank, neg_idx.reshape(-1), axis=0).reshape(

@@ -107,6 +107,31 @@ def make_lr_schedule(kind: str, base_lr: float, steps_per_epoch: int,
     raise ValueError(f"unknown lr schedule {kind!r}")
 
 
+def sample_negatives(rng, pos_ids, num_images: int, neg_num: int) -> np.ndarray:
+    """Uniform negative ids WITHOUT replacement, excluding each row's
+    positive — the reference's draw distribution (`random.sample` over
+    range(M) minus the positive, clip4cir/models.py:109-113).
+
+    Implemented as first-k-distinct of an iid uniform stream over M-1
+    values (distributionally identical to sampling without replacement),
+    then shifted past the positive; vectorized per row."""
+    if neg_num >= num_images:
+        raise ValueError(f"neg_num={neg_num} must be < num_images={num_images}")
+    pos_ids = np.asarray(pos_ids)
+    out = np.empty((len(pos_ids), neg_num), np.int64)
+    for i, pos in enumerate(pos_ids):
+        vals = np.empty(0, np.int64)
+        while vals.size < neg_num:
+            draw = rng.randint(0, num_images - 1,
+                               size=max(2 * (neg_num - vals.size), 16))
+            cat = np.concatenate([vals, draw])
+            _, first = np.unique(cat, return_index=True)
+            vals = cat[np.sort(first)]  # distinct, first-appearance order
+        row = vals[:neg_num]
+        out[i] = row + (row >= pos)
+    return out
+
+
 @functools.partial(jax.jit, static_argnums=(0, 4))
 def stage2_train_step(
     backbone: CIRBackbone,
@@ -175,9 +200,8 @@ def train_epoch(
                     (int(neg_seed) * 100_003 + step) % (2**32))
             else:
                 rng = neg_rng or np.random
-            dev_batch["neg_idx"] = jnp.asarray(
-                rng.randint(0, bank.num_images,
-                            size=(len(raw["captions"]), neg_num)))
+            dev_batch["neg_idx"] = jnp.asarray(sample_negatives(
+                rng, raw["target_image_id"], bank.num_images, neg_num))
         step_rng = (None if dropout_rng is None
                     else jax.random.fold_in(dropout_rng, step))
         state, loss = stage2_train_step(backbone, state, bank.target,

@@ -118,3 +118,36 @@ def test_bank_infonce_grad_flows(rng):
 def test_l2_normalize():
     x = jnp.array([[3.0, 4.0]])
     np.testing.assert_allclose(np.asarray(l2_normalize(x)), [[0.6, 0.8]], rtol=1e-6)
+
+
+def test_sample_negatives_distribution():
+    """Host negative sampling matches the reference's draw semantics
+    (random.sample over range(M) minus the positive,
+    clip4cir/models.py:109-113): distinct within a row, never the positive,
+    uniform over the rest, stateless-reproducible."""
+    from spn4cir_tpu.train.stage2 import sample_negatives
+
+    M, NEG = 23, 7
+    pos = np.array([0, 5, 22, 11])
+    rng = np.random.RandomState(7)
+    out = sample_negatives(rng, pos, M, NEG)
+    assert out.shape == (4, NEG)
+    for i, p in enumerate(pos):
+        row = out[i]
+        assert len(set(row.tolist())) == NEG, "duplicates within a row"
+        assert p not in row, "positive sampled as negative"
+        assert row.min() >= 0 and row.max() < M
+
+    # reproducible from the same seed
+    out2 = sample_negatives(np.random.RandomState(7), pos, M, NEG)
+    np.testing.assert_array_equal(out, out2)
+
+    # every non-positive id reachable (coverage over many draws)
+    rng = np.random.RandomState(0)
+    seen = set()
+    for _ in range(300):
+        seen.update(sample_negatives(rng, np.array([3]), 10, 4)[0].tolist())
+    assert seen == set(range(10)) - {3}
+
+    with pytest.raises(ValueError):
+        sample_negatives(np.random.RandomState(0), np.array([0]), 4, 4)
