@@ -25,7 +25,15 @@ def _t(x) -> np.ndarray:
     import torch
 
     if isinstance(x, torch.Tensor):
-        return x.detach().to(torch.float32).cpu().numpy()
+        x32 = x.detach().to(torch.float32).cpu()
+        arr = x32.numpy()
+        if x32.data_ptr() == x.data_ptr():
+            # .numpy() on an fp32 CPU tensor is a VIEW of the live parameter
+            # storage (and jnp.asarray zero-copies aligned host arrays), so a
+            # later in-place torch opt.step() would silently mutate the
+            # converted tree. Own the memory.
+            arr = arr.copy()
+        return arr
     return np.asarray(x, np.float32)
 
 
@@ -33,7 +41,7 @@ def _set(tree: Dict, path, value):
     node = tree
     for key in path[:-1]:
         node = node.setdefault(key, {})
-    node[path[-1]] = jnp.asarray(value)
+    node[path[-1]] = jnp.asarray(value)  # _t() guarantees owned memory
 
 
 def convert_clip_state_dict(sd: Dict[str, Any], num_vision_layers: int,
