@@ -276,6 +276,43 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
         print(f"mesh: data={mesh.shape['data']} bank={mesh.shape['bank']}"
               + (f" model={mesh.shape['model']}" if train_mesh_model > 1
                  else ""))
+    elif args.wo_bank and use_mesh:
+        # stage-1 over a (data[, model]) mesh: the live-tower regime is
+        # where data parallelism pays most (both image towers encode every
+        # step). No bank axis exists — stage-1 negatives are the batch.
+        import inspect
+
+        from spn4cir_tpu.parallel.train import make_sharded_stage1_step
+
+        if args.mesh_bank > 1:
+            raise SystemExit("--wo_bank (stage-1) has no bank axis; shard "
+                             "with --mesh_data / --mesh_model")
+        s1_mesh_dropout = bool(args.dropout) and not args.neg_type and (
+            "dropout_rng"
+            in inspect.signature(backbone.stage1_loss).parameters)
+        if jax.process_count() > 1:
+            from spn4cir_tpu.parallel.mesh import make_hybrid_mesh
+
+            mesh = make_hybrid_mesh(bank=1, model=train_mesh_model)
+        else:
+            mesh = make_mesh(data=args.mesh_data or None, bank=1,
+                             model=train_mesh_model)
+        if train_mesh_model > 1:
+            from spn4cir_tpu.parallel.train import tp_state_shardings
+
+            template = state
+            state = jax.device_put(state, tp_state_shardings(state, mesh))
+            sharded_step = make_sharded_stage1_step(
+                backbone, mesh, state_template=template,
+                with_dropout=s1_mesh_dropout, neg_type=args.neg_type)
+        else:
+            state = replicate(state, mesh)
+            sharded_step = make_sharded_stage1_step(
+                backbone, mesh, with_dropout=s1_mesh_dropout,
+                neg_type=args.neg_type)
+        print(f"mesh: data={mesh.shape['data']}"
+              + (f" model={mesh.shape['model']}" if train_mesh_model > 1
+                 else "") + " (stage-1)")
 
     # --- preemption resume (fixes the reference's no-resume gap, SURVEY §5) ---
     # Checkpoint keys are GLOBAL steps (epoch * steps_per_epoch + step):
@@ -326,7 +363,7 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
     trace_ctx = profiler_trace(args.profile_dir or None)
     trace_ctx.__enter__()
     for epoch in range(start_epoch, getattr(args, "num_epochs")):
-        if mesh is not None:
+        if mesh is not None and not args.wo_bank:
             from spn4cir_tpu.data.datasets import iter_train_bank as _itb
 
             # device-resident loss accumulation: no per-step host sync
@@ -374,6 +411,7 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
                                   start_step=ep_start),
                 neg_type=args.neg_type, dropout_rng=s1_dropout,
                 step_hook=make_step_hook(epoch), start_step=ep_start,
+                sharded_step=sharded_step, mesh=mesh,
                 log_fn=lambda step, loss: logger.log(step, epoch=epoch, loss=loss))
         else:
             # only backbones whose stage2_loss takes a dropout rng get one —

@@ -123,6 +123,63 @@ def make_sharded_stage2_step(backbone: CIRBackbone, mesh: Mesh, tau=None,
     )
 
 
+def make_sharded_stage1_step(backbone: CIRBackbone, mesh: Mesh,
+                             state_template=None,
+                             with_dropout: bool = False,
+                             neg_type: int = 0):
+    """Build a jitted (state, batch) -> (state, loss) stage-1 step over a
+    (data[, model]) mesh — the scale-out form of
+    `spn4cir_tpu.train.stage1.stage1_train_step`.
+
+    Stage 1 (`--wo_bank`, ref clip4cir/models.py:146-161) trains BOTH image
+    towers live, so it is tower-compute-bound — exactly the regime where
+    data parallelism pays. Batch arrays (both image stacks + text ids)
+    shard over 'data'; the in-batch InfoNCE couples every query with every
+    target in the GLOBAL batch (the B x B logits matmul), and GSPMD inserts
+    the all-gather for the target rows plus the gradient all-reduce over
+    'data' — the same math LAVIS hand-writes as `all_gather_with_grad`
+    (blip24cir/lavis/models/base_model.py:220-236). There is no bank axis:
+    stage-1 negatives are the batch itself.
+
+    A 'model' mesh axis composes Megatron TP on the towers exactly as in
+    `make_sharded_stage2_step` (pass `state_template`). `neg_type` routes
+    to the negtype-ablation loss (ref train_negtype.py). `with_dropout`:
+    batch carries a replicated 'dropout_rng' (MED-family stage-1 parity)."""
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        def loss_fn(params):
+            if neg_type:
+                return backbone.stage1_negtype_loss(
+                    params, batch["refer_images"], batch["target_images"],
+                    batch["text_ids"], neg_type)
+            kw = ({"dropout_rng": batch["dropout_rng"]} if with_dropout
+                  else {})
+            return backbone.stage1_loss(
+                params, batch["refer_images"], batch["target_images"],
+                batch["text_ids"], **kw)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+        assert state_template is not None, (
+            "a 'model' mesh axis needs state_template to derive TP "
+            "shardings")
+        ssh = tp_state_shardings(state_template, mesh)
+    else:
+        ssh = rep
+    batch_sh = {"refer_images": bsh, "target_images": bsh, "text_ids": bsh}
+    if with_dropout:
+        batch_sh["dropout_rng"] = rep
+    return jax.jit(
+        step,
+        in_shardings=(ssh, batch_sh),
+        out_shardings=(ssh, rep),
+    )
+
+
 def make_sharded_gallery_encode(backbone: CIRBackbone, mesh: Mesh, params):
     """Data-parallel gallery encoding: images sharded over 'data', features
     gathered (mirrors `extract_index_features`, SURVEY.md §7 decision 5)."""

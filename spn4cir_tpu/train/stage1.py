@@ -70,13 +70,20 @@ def train_epoch_stage1(
     log_fn: Callable[[int, float], None] = lambda step, loss: None,
     step_hook=None,
     start_step: int = 0,
+    sharded_step=None,
+    mesh=None,
 ):
     """Host loop over `iter_train_images` batches (drops padded tails).
     Loss accumulates on device; host sync only every `log_every` steps.
     `dropout_rng` (split per step) enables MED-family train-mode dropout.
     `step_hook(step_in_epoch, state)` fires after every step — the live-
     encode stage-1 epochs are where mid-epoch checkpoints matter most;
-    `start_step` offsets numbering on mid-epoch resume."""
+    `start_step` offsets numbering on mid-epoch resume.
+
+    `sharded_step` + `mesh` (parallel.train.make_sharded_stage1_step)
+    dispatch each batch data-sharded over the mesh instead of single-chip;
+    neg_type/dropout are baked into the sharded step at build time, so
+    they must match what was passed to the builder."""
     loss_sum, count = None, 0
     for step, raw in enumerate(batches, start=start_step):
         if (raw["triplet_idx"] < 0).any():
@@ -90,8 +97,16 @@ def train_epoch_stage1(
         # start_step reproduces the exact per-step rng stream
         step_rng = (None if dropout_rng is None
                     else jax.random.fold_in(dropout_rng, step))
-        state, loss = stage1_train_step(backbone, state, batch, neg_type,
-                                        step_rng)
+        if sharded_step is not None:
+            from spn4cir_tpu.parallel.mesh import replicate, shard_batch
+
+            batch = shard_batch(batch, mesh)
+            if step_rng is not None:
+                batch["dropout_rng"] = replicate(step_rng, mesh)
+            state, loss = sharded_step(state, batch)
+        else:
+            state, loss = stage1_train_step(backbone, state, batch, neg_type,
+                                            step_rng)
         loss_sum = loss if loss_sum is None else loss_sum + loss
         count += 1
         if log_every and step % log_every == 0:

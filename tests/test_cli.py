@@ -326,3 +326,36 @@ def test_zs_missing_generated_data_errors_helpfully(tmp_path):
     with pytest.raises(FileNotFoundError, match="GENERATED triplets"):
         CIRDataset("fiq", "train", "relative", ImageTransform("targetpad", 32),
                    root, ["dress"], extend_suffix="zs", replace_extended=True)
+
+
+def test_train_cli_stage1_mesh(fiq_root, tmp_path, monkeypatch):
+    """--wo_bank (stage-1, live image towers) composes with the mesh:
+    data-parallel over 4 devices + TP over 2. Before round 3 this silently
+    trained single-device."""
+    monkeypatch.chdir(tmp_path)
+    best = train_main("clip", [
+        "--dataset", "fiq",
+        "--data_path", fiq_root,
+        "--dress_types", "dress",
+        "--clip-model-name", "test-tiny",
+        "--num-epochs", "1",
+        "--batch-size", "4",
+        "--wo_bank",
+        "--mesh_data", "4", "--mesh_model", "2",
+        "--output_path", str(tmp_path / "out"),
+    ])
+    assert best >= 0
+
+
+def test_train_cli_stage1_mesh_bank_refused(fiq_root, tmp_path, monkeypatch):
+    """Stage-1 has no bank axis; --mesh_bank must fail loudly, not silently
+    misconfigure the mesh."""
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(SystemExit, match="no bank axis"):
+        train_main("clip", [
+            "--dataset", "fiq", "--data_path", fiq_root,
+            "--dress_types", "dress", "--clip-model-name", "test-tiny",
+            "--num-epochs", "1", "--batch-size", "4",
+            "--wo_bank", "--mesh_bank", "2",
+            "--output_path", str(tmp_path / "out"),
+        ])

@@ -335,3 +335,113 @@ def test_sharded_step_dropout_matches_single_chip():
                            batch)
     assert abs(float(loss) - want) < 1e-5, (float(loss), want)
     assert int(new_state.step) == 1
+
+
+# ---------------------------------------------------------------------------
+# Stage-1 (--wo_bank) over the mesh
+# ---------------------------------------------------------------------------
+
+def _stage1_inputs(bb, rng, b=8):
+    refer = jnp.asarray(
+        rng.randn(b, bb.input_dim, bb.input_dim, 3).astype(np.float32))
+    target = jnp.asarray(
+        rng.randn(b, bb.input_dim, bb.input_dim, 3).astype(np.float32))
+    text = jnp.asarray(bb.tokenize([f"caption {i}" for i in range(b)]))
+    return {"refer_images": refer, "target_images": target, "text_ids": text}
+
+
+@pytest.mark.parametrize("data,model", [(8, 1), (4, 2)])
+def test_sharded_stage1_step_matches_single(rng, data, model):
+    """Data-parallel (and data x TP) stage-1: the in-batch InfoNCE couples
+    every query with the GLOBAL batch, so K sharded steps must reproduce
+    the single-chip losses and final params exactly."""
+    from spn4cir_tpu.parallel.train import (make_sharded_stage1_step,
+                                            tp_state_shardings)
+    from spn4cir_tpu.train.stage1 import create_stage1_state, stage1_train_step
+
+    bb = build_backbone("clip", clip_model_name="test-tiny", tau=0.05)
+    params = bb.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh(data=data, model=model)
+    batches = [_stage1_inputs(bb, rng) for _ in range(3)]
+
+    state1 = create_stage1_state(bb, params, 1e-3)
+    single_losses = []
+    for batch in batches:
+        state1, loss = stage1_train_step(bb, state1, batch)
+        single_losses.append(float(loss))
+
+    state_m = create_stage1_state(bb, params, 1e-3)
+    if model > 1:
+        template = state_m
+        state_m = jax.device_put(state_m, tp_state_shardings(state_m, mesh))
+        step = make_sharded_stage1_step(bb, mesh, state_template=template)
+    else:
+        state_m = replicate(state_m, mesh)
+        step = make_sharded_stage1_step(bb, mesh)
+    mesh_losses = []
+    for batch in batches:
+        state_m, loss = step(state_m, shard_batch(batch, mesh))
+        mesh_losses.append(float(loss))
+
+    np.testing.assert_allclose(mesh_losses, single_losses, atol=2e-5,
+                               rtol=1e-5)
+    # params: AdamW normalizes by sqrt(v)+eps, so a ~1e-7 reduction-order
+    # difference in a near-zero gradient flips an O(lr) update — exact
+    # equality is unattainable across collective orders. Losses matching
+    # at steps 2-3 already prove step-1/2 params were equivalent; this
+    # bound catches structural divergence (a missing all-gather shifts
+    # params by O(lr * K)).
+    flat1 = jax.tree_util.tree_map(np.asarray, state1.params)
+    flatm = jax.tree_util.tree_map(np.asarray, state_m.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-3),
+        flat1, flatm)
+
+
+def test_sharded_stage1_negtype_matches_single(rng):
+    """--neg_type composes with the mesh: the 4-flavor ablation losses are
+    batch-global matmuls; the sharded value must equal single-chip."""
+    from spn4cir_tpu.parallel.train import make_sharded_stage1_step
+    from spn4cir_tpu.train.stage1 import create_stage1_state, stage1_train_step
+
+    bb = build_backbone("clip", clip_model_name="test-tiny", tau=0.05)
+    params = bb.init_params(jax.random.PRNGKey(1))
+    mesh = make_mesh(data=8)
+    batch = _stage1_inputs(bb, rng)
+
+    state1 = create_stage1_state(bb, params, 1e-3)
+    _, want = stage1_train_step(bb, state1, batch, 6)
+
+    state_m = replicate(create_stage1_state(bb, params, 1e-3), mesh)
+    step = make_sharded_stage1_step(bb, mesh, neg_type=6)
+    _, got = step(state_m, shard_batch(batch, mesh))
+    assert float(got) == pytest.approx(float(want), abs=2e-5)
+
+
+def test_sharded_stage1_dropout_matches_single_chip(rng):
+    """MED-family stage-1 dropout on the mesh: replicated key, counter-based
+    PRNG -> the sharded train-mode loss equals single-chip for the same key
+    and differs from the no-dropout loss."""
+    from spn4cir_tpu.parallel.train import make_sharded_stage1_step
+    from spn4cir_tpu.train.stage1 import create_stage1_state, stage1_train_step
+
+    bb = build_backbone("blip", blip_size="test-tiny", tau=0.05, dropout=0.1)
+    params = bb.init_params(jax.random.PRNGKey(2))
+    mesh = make_mesh(data=4, devices=jax.devices()[:4])
+    batch = _stage1_inputs(bb, rng, b=4)
+    key = jax.random.PRNGKey(7)
+
+    want = float(bb.stage1_loss(params, batch["refer_images"],
+                                batch["target_images"], batch["text_ids"],
+                                dropout_rng=key))
+    want_nodrop = float(bb.stage1_loss(params, batch["refer_images"],
+                                       batch["target_images"],
+                                       batch["text_ids"]))
+    assert abs(want - want_nodrop) > 1e-6, "dropout had no effect"
+
+    state_m = replicate(create_stage1_state(bb, params, 1e-3), mesh)
+    step = make_sharded_stage1_step(bb, mesh, with_dropout=True)
+    sbatch = shard_batch(batch, mesh)
+    sbatch["dropout_rng"] = replicate(key, mesh)
+    _, got = step(state_m, sbatch)
+    assert float(got) == pytest.approx(want, abs=2e-5)
