@@ -280,16 +280,17 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
         # stage-1 over a (data[, model]) mesh: the live-tower regime is
         # where data parallelism pays most (both image towers encode every
         # step). No bank axis exists — stage-1 negatives are the batch.
-        import inspect
-
         from spn4cir_tpu.parallel.train import make_sharded_stage1_step
+        from spn4cir_tpu.train.stage1 import stage1_takes_dropout
 
         if args.mesh_bank > 1:
             raise SystemExit("--wo_bank (stage-1) has no bank axis; shard "
                              "with --mesh_data / --mesh_model")
-        s1_mesh_dropout = bool(args.dropout) and not args.neg_type and (
-            "dropout_rng"
-            in inspect.signature(backbone.stage1_loss).parameters)
+        # the SAME predicate the epoch loop uses for the per-epoch key —
+        # a mismatch would desync the step's batch pytree from its
+        # in_shardings (train.stage1.stage1_takes_dropout is the one source)
+        s1_mesh_dropout = (bool(args.dropout) and not args.neg_type
+                           and stage1_takes_dropout(backbone))
         if jax.process_count() > 1:
             from spn4cir_tpu.parallel.mesh import make_hybrid_mesh
 
@@ -395,13 +396,13 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
         elif args.wo_bank:
             # stage-1 dropout: only backbones whose stage1_loss takes a
             # dropout rng (MED family) run train-mode dropout, matching
-            # the reference's torch train() stage-1 regime
-            import inspect
+            # the reference's torch train() stage-1 regime. The predicate
+            # is the mesh block's s1_mesh_dropout (one source, see above).
+            from spn4cir_tpu.train.stage1 import stage1_takes_dropout
 
             s1_dropout = None
             if args.dropout and not args.neg_type and \
-                    hasattr(backbone, "stage1_loss") and ("dropout_rng"
-                    in inspect.signature(backbone.stage1_loss).parameters):
+                    stage1_takes_dropout(backbone):
                 s1_dropout = jax.random.PRNGKey(args.seed * 1000 + epoch)
             ep_start = start_step if epoch == start_epoch else 0
             state, mean_loss = train_epoch_stage1(

@@ -34,7 +34,9 @@ def _t(x) -> np.ndarray:
             # converted tree. Own the memory.
             arr = arr.copy()
         return arr
-    return np.asarray(x, np.float32)
+    # np.array (copy) for the same reason: an already-f32 numpy input would
+    # pass through np.asarray as itself and alias the caller's buffer
+    return np.array(x, np.float32)
 
 
 def _set(tree: Dict, path, value):

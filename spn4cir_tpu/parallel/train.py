@@ -37,6 +37,17 @@ def tp_state_shardings(state, mesh: Mesh):
     return tp_param_shardings(state, mesh)
 
 
+def _state_shardings(mesh: Mesh, state_template, rep):
+    """Replicated state, or TP NamedShardings when the mesh has a >1
+    'model' axis (shared by the stage-1 and stage-2 step builders)."""
+    if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+        assert state_template is not None, (
+            "a 'model' mesh axis needs state_template to derive TP "
+            "shardings")
+        return tp_state_shardings(state_template, mesh)
+    return rep
+
+
 def make_sharded_stage2_step(backbone: CIRBackbone, mesh: Mesh, tau=None,
                              m_actual: int | None = None,
                              state_template=None,
@@ -103,13 +114,7 @@ def make_sharded_stage2_step(backbone: CIRBackbone, mesh: Mesh, tau=None,
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
     ksh = bank_sharding(mesh)
-    if "model" in mesh.axis_names and mesh.shape["model"] > 1:
-        assert state_template is not None, (
-            "a 'model' mesh axis needs state_template to derive TP "
-            "shardings")
-        ssh = tp_state_shardings(state_template, mesh)
-    else:
-        ssh = rep
+    ssh = _state_shardings(mesh, state_template, rep)
     # ksh works for QuantBank too: a single sharding acts as a pytree
     # prefix, placing values (M, D|Q,D) and scales (M[,Q]) with dim-0 rows
     # on 'bank' — scales travel with their rows.
@@ -146,38 +151,39 @@ def make_sharded_stage1_step(backbone: CIRBackbone, mesh: Mesh,
     to the negtype-ablation loss (ref train_negtype.py). `with_dropout`:
     batch carries a replicated 'dropout_rng' (MED-family stage-1 parity)."""
 
-    def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        def loss_fn(params):
-            if neg_type:
-                return backbone.stage1_negtype_loss(
-                    params, batch["refer_images"], batch["target_images"],
-                    batch["text_ids"], neg_type)
-            kw = ({"dropout_rng": batch["dropout_rng"]} if with_dropout
-                  else {})
-            return backbone.stage1_loss(
-                params, batch["refer_images"], batch["target_images"],
-                batch["text_ids"], **kw)
+    from spn4cir_tpu.train.stage1 import stage1_loss_fn
 
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        # the exact single-chip loss wiring (train.stage1.stage1_loss_fn) —
+        # one definition, so the mesh and single-chip paths cannot drift
+        loss_fn = stage1_loss_fn(
+            backbone, batch, neg_type,
+            batch["dropout_rng"] if with_dropout else None)
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads=grads), loss
 
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
-    if "model" in mesh.axis_names and mesh.shape["model"] > 1:
-        assert state_template is not None, (
-            "a 'model' mesh axis needs state_template to derive TP "
-            "shardings")
-        ssh = tp_state_shardings(state_template, mesh)
-    else:
-        ssh = rep
+    ssh = _state_shardings(mesh, state_template, rep)
     batch_sh = {"refer_images": bsh, "target_images": bsh, "text_ids": bsh}
     if with_dropout:
         batch_sh["dropout_rng"] = rep
-    return jax.jit(
+    jitted = jax.jit(
         step,
         in_shardings=(ssh, batch_sh),
         out_shardings=(ssh, rep),
     )
+
+    # carry the build config so train_epoch_stage1 can refuse a
+    # mismatched epoch configuration instead of silently training the
+    # wrong objective (jit callables reject attributes; use a wrapper)
+    def wrapped(state, batch):
+        return jitted(state, batch)
+
+    wrapped.neg_type = neg_type
+    wrapped.with_dropout = with_dropout
+    wrapped.jitted = jitted
+    return wrapped
 
 
 def make_sharded_gallery_encode(backbone: CIRBackbone, mesh: Mesh, params):

@@ -36,14 +36,12 @@ def create_stage1_state(backbone: CIRBackbone, params, learning_rate: float,
     return TrainState.create(apply_fn=None, params=params, tx=tx)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def stage1_train_step(backbone: CIRBackbone, state: TrainState, batch,
-                      neg_type: int = 0, dropout_rng=None):
-    """batch: refer_images (B,H,W,3), target_images (B,H,W,3), text_ids.
-    neg_type > 0 selects the negtype-ablation loss (ref train_negtype.py).
-    `dropout_rng` enables train-mode dropout on MED-family backbones whose
-    stage1_loss takes it (torch `train()` parity — the reference's stage-1
-    regimes run with module dropout active)."""
+def stage1_loss_fn(backbone: CIRBackbone, batch, neg_type: int = 0,
+                   dropout_rng=None):
+    """The ONE stage-1 loss wiring, shared by the single-chip step below and
+    the mesh step (parallel.train.make_sharded_stage1_step) so the two paths
+    cannot drift. neg_type > 0 selects the negtype-ablation loss (ref
+    train_negtype.py); `dropout_rng` enables MED-family train-mode dropout."""
 
     def loss_fn(params):
         if neg_type:
@@ -55,7 +53,30 @@ def stage1_train_step(backbone: CIRBackbone, state: TrainState, batch,
                                     batch["target_images"],
                                     batch["text_ids"], **kw)
 
-    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    return loss_fn
+
+
+def stage1_takes_dropout(backbone: CIRBackbone) -> bool:
+    """Whether this backbone's stage1_loss accepts a dropout rng (MED
+    family). The single source for both the mesh-step builder and the
+    per-epoch key derivation — the two must agree or the jitted step's
+    batch pytree mismatches its in_shardings."""
+    import inspect
+
+    return (hasattr(backbone, "stage1_loss") and "dropout_rng"
+            in inspect.signature(backbone.stage1_loss).parameters)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def stage1_train_step(backbone: CIRBackbone, state: TrainState, batch,
+                      neg_type: int = 0, dropout_rng=None):
+    """batch: refer_images (B,H,W,3), target_images (B,H,W,3), text_ids.
+    neg_type > 0 selects the negtype-ablation loss (ref train_negtype.py).
+    `dropout_rng` enables train-mode dropout on MED-family backbones whose
+    stage1_loss takes it (torch `train()` parity — the reference's stage-1
+    regimes run with module dropout active)."""
+    loss, grads = jax.value_and_grad(
+        stage1_loss_fn(backbone, batch, neg_type, dropout_rng))(state.params)
     return state.apply_gradients(grads=grads), loss
 
 
@@ -100,6 +121,17 @@ def train_epoch_stage1(
         if sharded_step is not None:
             from spn4cir_tpu.parallel.mesh import replicate, shard_batch
 
+            # neg_type/dropout are baked into the sharded step at build
+            # time — a mismatch here would silently train the wrong
+            # objective, so fail loudly instead
+            built_nt = getattr(sharded_step, "neg_type", neg_type)
+            built_dr = getattr(sharded_step, "with_dropout",
+                               step_rng is not None)
+            if built_nt != neg_type or built_dr != (step_rng is not None):
+                raise ValueError(
+                    f"sharded step built with neg_type={built_nt}, "
+                    f"with_dropout={built_dr} but the epoch runs "
+                    f"neg_type={neg_type}, dropout={step_rng is not None}")
             batch = shard_batch(batch, mesh)
             if step_rng is not None:
                 batch["dropout_rng"] = replicate(step_rng, mesh)

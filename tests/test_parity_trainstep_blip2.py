@@ -42,6 +42,7 @@ REF_DIR = "/root/reference/blip24cir"
 pytestmark = pytest.mark.skipif(not os.path.isdir(REF_DIR),
                                 reason="reference repo not mounted")
 
+from tests.test_parity_trainstep import _flat  # noqa: E402
 from tests.fixtures import make_cirr  # noqa: E402
 from tests.test_parity_e2e import TorchPreprocess  # noqa: E402
 from tests.test_parity_blip2_e2e import (  # noqa: E402,F401
@@ -112,11 +113,6 @@ def _extract_banks_like_reference(oracle, ds, utils_mod):
     refer_bank = torch.cat(refer_chunks)  # (N, 32, H) by triplet index
     target_bank = torch.stack([target_rows[i] for i in range(ds.image_id)])
     return refer_bank, target_bank
-
-
-def _flat(tree):
-    from flax import traverse_util
-    return traverse_util.flatten_dict(tree)
 
 
 def test_blip2_stage2_trainstep_parity(ref_modules, shared_model,

@@ -39,6 +39,7 @@ from tests.test_parity_tgcir_e2e import (  # noqa: E402,F401
     ref_modules,
     shared_model,
 )
+from tests.test_parity_trainstep import _flat  # noqa: E402
 
 LR = 1e-3
 K_STEPS = 4
@@ -55,11 +56,6 @@ def _apply_stage2_surgery(model):
         for param in group.parameters():
             param.requires_grad = False
     return model
-
-
-def _flat(tree):
-    from flax import traverse_util
-    return traverse_util.flatten_dict(tree)
 
 
 def test_tgcir_stage2_trainstep_parity(ref_modules, shared_model, tmp_path):
