@@ -359,3 +359,30 @@ def test_train_cli_stage1_mesh_bank_refused(fiq_root, tmp_path, monkeypatch):
             "--wo_bank", "--mesh_bank", "2",
             "--output_path", str(tmp_path / "out"),
         ])
+
+
+def test_train_cli_resume_mesh(fiq_root, tmp_path, monkeypatch):
+    """--resume composes with the mesh: the orbax restore host-gathers the
+    sharded state and the jitted step re-places it per its in_shardings.
+    Covers both the stage-2 (data, bank) and stage-1 (data, model) meshes."""
+    monkeypatch.chdir(tmp_path)
+    argv = [
+        "--dataset", "fiq", "--data_path", fiq_root,
+        "--dress_types", "dress", "--clip-model-name", "test-tiny",
+        "--batch-size", "4", "--resume",
+        "--mesh_data", "4", "--mesh_bank", "2",
+        "--output_path", str(tmp_path / "out2"),
+    ]
+    train_main("clip", argv + ["--num-epochs", "1"])
+    assert os.path.exists(tmp_path / "out2" / "resume")
+    train_main("clip", argv + ["--num-epochs", "2"])
+
+    argv1 = [
+        "--dataset", "fiq", "--data_path", fiq_root,
+        "--dress_types", "dress", "--clip-model-name", "test-tiny",
+        "--batch-size", "4", "--resume", "--wo_bank",
+        "--mesh_data", "4", "--mesh_model", "2",
+        "--output_path", str(tmp_path / "out1"),
+    ]
+    train_main("clip", argv1 + ["--num-epochs", "1"])
+    train_main("clip", argv1 + ["--num-epochs", "2"])
