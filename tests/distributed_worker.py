@@ -132,8 +132,41 @@ def main():
     assert abs(got3 - want3) < 1e-5, (got3, want3)
     assert int(new_state2.step) == 1
 
+    # stage-1 (--wo_bank) multi-host: live towers + global-batch in-batch
+    # InfoNCE, data axis spanning the two processes, TP intra-process —
+    # the mesh the CLI builds for --wo_bank --distributed --mesh_model
+    from spn4cir_tpu.parallel.train import make_sharded_stage1_step
+    from spn4cir_tpu.train.stage1 import create_stage1_state
+
+    mesh1 = make_hybrid_mesh(bank=1, model=2)
+    assert dict(mesh1.shape) == {"data": 4, "bank": 1, "model": 2}, mesh1
+    b1 = 8
+    refer_im = rng.randn(b1, backbone.input_dim, backbone.input_dim,
+                         3).astype(np.float32)
+    target_im = rng.randn(b1, backbone.input_dim, backbone.input_dim,
+                          3).astype(np.float32)
+    text1 = np.asarray(backbone.tokenize([f"mod {i}" for i in range(b1)]))
+    s1_state = create_stage1_state(backbone, params, 1e-3)
+    s1_shardings = tp_state_shardings(s1_state, mesh1)
+    s1_sharded = put_tree(s1_state, s1_shardings)
+    dsh1 = NamedSharding(mesh1, P("data"))
+    batch1 = {
+        "refer_images": put(refer_im, dsh1),
+        "target_images": put(target_im, dsh1),
+        "text_ids": put(text1, dsh1),
+    }
+    s1_step = make_sharded_stage1_step(backbone, mesh1,
+                                       state_template=s1_state)
+    s1_new, s1_loss = s1_step(s1_sharded, batch1)
+    got1 = float(s1_loss)
+    want1 = float(backbone.stage1_loss(params, jnp.asarray(refer_im),
+                                       jnp.asarray(target_im),
+                                       jnp.asarray(text1)))
+    assert abs(got1 - want1) < 2e-5, (got1, want1)
+    assert int(s1_new.step) == 1
+
     print(f"OK process={jax.process_index()} loss={got:.6f} "
-          f"loss3axis={got3:.6f}", flush=True)
+          f"loss3axis={got3:.6f} loss_s1={got1:.6f}", flush=True)
 
 
 if __name__ == "__main__":
