@@ -11,7 +11,13 @@ scalar-fetch forcing, min-of-N over multi-step chains. Prints one JSON
 line per measurement.
 
 Usage: python tools/stage1_bench.py [--clip-model-name RN50x4] [--batch 64]
-       [--dim 288] [--grad_ckpt]
+       [--dim 288] [--grad_ckpt] [--mesh_data N] [--mesh_model N]
+
+--mesh_data/--mesh_model run the sharded stage-1 step
+(parallel.train.make_sharded_stage1_step) instead of the single-chip one —
+the multi-chip scaling A/B (global batch = --batch, so per-device batch
+shrinks as mesh_data grows; ideal scaling holds step time constant while
+--batch rises with the mesh).
 """
 
 import argparse
@@ -34,6 +40,10 @@ def main():
     p.add_argument("--grad_ckpt", action="store_true")
     p.add_argument("--fp32", action="store_true",
                    help="fp32 baseline (default bf16)")
+    p.add_argument("--mesh_data", type=int, default=0,
+                   help="data-axis size (0 = single-chip step)")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="tensor-parallel axis size")
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--steps", type=int, default=3,
                    help="chained steps per timing rep")
@@ -59,14 +69,38 @@ def main():
             k3, (args.batch, 77), 0, 49000).astype(jnp.int32),
     }
 
-    s, loss = stage1_train_step(backbone, state, batch)  # compile
+    use_mesh = args.mesh_data > 1 or args.mesh_model > 1
+    if use_mesh:
+        from spn4cir_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+        from spn4cir_tpu.parallel.train import (make_sharded_stage1_step,
+                                                tp_state_shardings)
+
+        mesh = make_mesh(data=args.mesh_data or None, bank=1,
+                         model=args.mesh_model)
+        batch = shard_batch(batch, mesh)
+        if args.mesh_model > 1:
+            template = state
+            state = jax.device_put(state, tp_state_shardings(state, mesh))
+            sharded = make_sharded_stage1_step(backbone, mesh,
+                                               state_template=template)
+        else:
+            state = replicate(state, mesh)
+            sharded = make_sharded_stage1_step(backbone, mesh)
+
+        def run_step(st):
+            return sharded(st, batch)
+    else:
+        def run_step(st):
+            return stage1_train_step(backbone, st, batch)
+
+    s, loss = run_step(state)  # compile
     float(loss)
     best = float("inf")
     for _ in range(args.repeats):
         t0 = time.perf_counter()
         s2 = state
         for _ in range(args.steps):
-            s2, loss = stage1_train_step(backbone, s2, batch)
+            s2, loss = run_step(s2)
         float(loss)
         best = min(best, (time.perf_counter() - t0) / args.steps)
 
@@ -74,7 +108,8 @@ def main():
         "metric": "stage1_train_step_seconds",
         "config": {"model": args.clip_model_name, "batch": args.batch,
                    "dim": args.dim, "grad_ckpt": args.grad_ckpt,
-                   "dtype": "float32" if args.fp32 else "bfloat16"},
+                   "dtype": "float32" if args.fp32 else "bfloat16",
+                   "mesh_data": args.mesh_data, "mesh_model": args.mesh_model},
         "value": round(best, 4),
         "triplets_per_sec": round(args.batch / best, 1),
         "images_per_sec": round(2 * args.batch / best, 1),
