@@ -600,32 +600,69 @@ def iter_train_images(dataset: CIRDataset, batch_size: int, *,
     order = np.arange(n)
     if shuffle:
         np.random.RandomState(epoch_seed).shuffle(order)
+
+    def step_meta(start):
+        """(captions, refer_paths, target_paths, id columns) for one step —
+        host-side metadata, shared by both decode routes."""
+        idxs = order[start : start + batch_size]
+        rows = [dataset.triplets[i] for i in idxs]
+        pad = batch_size - len(rows)
+        captions = [dataset.caption_for(int(i), train=True,
+                                        epoch_seed=epoch_seed)
+                    for i in idxs]
+        refer_paths = [r["reference"] for r in rows]
+        target_paths = [r["target"] for r in rows]
+        ids = {
+            "triplet_idx": idxs.astype(np.int64),
+            "target_id": np.array(
+                [dataset.targetname2id[r["target_name"]] for r in rows], np.int64),
+            "target_image_id": np.array(
+                [dataset.imagename2id[r["target_name"]] for r in rows], np.int64),
+            "refer_image_id": np.array(
+                [dataset.imagename2id[r["reference_name"]] for r in rows], np.int64),
+        }
+        if pad:
+            captions += [captions[-1]] * pad
+            refer_paths += [refer_paths[-1]] * pad
+            target_paths += [target_paths[-1]] * pad
+            ids = {k: np.concatenate([v, np.full(pad, -1, np.int64)])
+                   for k, v in ids.items()}
+        return captions, refer_paths, target_paths, ids
+
+    starts = range(start_step * batch_size, n, batch_size)
+
+    # SPN4CIR_MP_PROCS=N: decode through the sharded multi-process loader
+    # (worker processes x native C++ threads) — stage-1 is THE loader-bound
+    # training regime (2B fresh image decodes per step, every step), so it
+    # gets the same production-rate path as the gallery/bank scans. One
+    # 2B-row loader batch per step: rows [0, B) = refer, [B, 2B) = target;
+    # workers decode ahead of the training step.
+    mp_procs = int(os.environ.get("SPN4CIR_MP_PROCS", "0") or 0)
+    if mp_procs > 0 and isinstance(dataset.preprocess, ImageTransform) and \
+            dataset.preprocess.kind in ("clip", "squarepad", "targetpad"):
+        from spn4cir_tpu.data.mploader import MPLoader
+
+        tf = dataset.preprocess
+        metas = [step_meta(s) for s in starts]
+        chunks = [refer + target for _c, refer, target, _i in metas]
+        with MPLoader(tf.kind, tf.dim, 2 * batch_size,
+                      target_ratio=tf.target_ratio, mean=tf.mean,
+                      std=tf.std, num_procs=mp_procs) as loader:
+            for (captions, _r, _t, ids), (arr, _n) in zip(
+                    metas, loader.map_batches(chunks)):
+                arr = arr.copy()  # out of the recycled shm block
+                yield {
+                    "captions": captions,
+                    "refer_images": arr[:batch_size],
+                    "target_images": arr[batch_size:],
+                    **ids,
+                }
+        return
+
     pool = ThreadPoolExecutor(num_workers) if num_workers else None
     try:
-        for start in range(start_step * batch_size, n, batch_size):
-            idxs = order[start : start + batch_size]
-            rows = [dataset.triplets[i] for i in idxs]
-            pad = batch_size - len(rows)
-            captions = [dataset.caption_for(int(i), train=True,
-                                            epoch_seed=epoch_seed)
-                        for i in idxs]
-            refer_paths = [r["reference"] for r in rows]
-            target_paths = [r["target"] for r in rows]
-            ids = {
-                "triplet_idx": idxs.astype(np.int64),
-                "target_id": np.array(
-                    [dataset.targetname2id[r["target_name"]] for r in rows], np.int64),
-                "target_image_id": np.array(
-                    [dataset.imagename2id[r["target_name"]] for r in rows], np.int64),
-                "refer_image_id": np.array(
-                    [dataset.imagename2id[r["reference_name"]] for r in rows], np.int64),
-            }
-            if pad:
-                captions += [captions[-1]] * pad
-                refer_paths += [refer_paths[-1]] * pad
-                target_paths += [target_paths[-1]] * pad
-                ids = {k: np.concatenate([v, np.full(pad, -1, np.int64)])
-                       for k, v in ids.items()}
+        for start in starts:
+            captions, refer_paths, target_paths, ids = step_meta(start)
             yield {
                 "captions": captions,
                 "refer_images": _decode_batch(dataset, refer_paths, pool),

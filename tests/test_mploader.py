@@ -73,3 +73,33 @@ def test_iter_gallery_mp_env_matches_default(image_paths, tmp_path, monkeypatch)
     for (ia, a), (ib, b) in zip(want, got):
         np.testing.assert_array_equal(ia, ib)
         np.testing.assert_allclose(a, b, atol=2e-2)
+
+
+def test_iter_train_images_mp_env_matches_default(image_paths, tmp_path,
+                                                  monkeypatch):
+    """SPN4CIR_MP_PROCS routes stage-1's per-step decode (iter_train_images:
+    refer block + target block in one 2B-row loader batch) through the
+    multi-process loader; every batch field must match the thread path,
+    including the epoch-seeded caption randomization and the padded tail."""
+    import os
+
+    from spn4cir_tpu.data.datasets import CIRDataset, iter_train_images
+
+    root = os.path.dirname(os.path.dirname(image_paths[0]))
+    ds = CIRDataset("fiq", "train", "relative",
+                    ImageTransform("targetpad", 32), root, ["dress"])
+    want = list(iter_train_images(ds, 4, shuffle=True, epoch_seed=3,
+                                  num_workers=2))
+    monkeypatch.setenv("SPN4CIR_MP_PROCS", "2")
+    got = list(iter_train_images(ds, 4, shuffle=True, epoch_seed=3,
+                                 num_workers=2))
+    assert len(got) == len(want) and len(want) > 0
+    for a, b in zip(want, got):
+        assert a["captions"] == b["captions"]
+        for key in ("triplet_idx", "target_id", "target_image_id",
+                    "refer_image_id"):
+            np.testing.assert_array_equal(a[key], b[key])
+        np.testing.assert_allclose(a["refer_images"], b["refer_images"],
+                                   atol=2e-2)
+        np.testing.assert_allclose(a["target_images"], b["target_images"],
+                                   atol=2e-2)
