@@ -105,8 +105,15 @@ def train_epoch_stage1(
     dispatch each batch data-sharded over the mesh instead of single-chip;
     neg_type/dropout are baked into the sharded step at build time, so
     they must match what was passed to the builder."""
+    from spn4cir_tpu.data.prefetch import prefetch
+
     loss_sum, count = None, 0
-    for step, raw in enumerate(batches, start=start_step):
+    # depth=2 overlaps the NEXT batch's decode/metadata with the device
+    # step — stage-1 decodes 2B fresh images per step, so without this the
+    # chip idles for the whole decode (stage-2's train_epoch already does
+    # the same)
+    for step, raw in enumerate(prefetch(batches, depth=2),
+                               start=start_step):
         if (raw["triplet_idx"] < 0).any():
             continue  # drop_last semantics (ref clip4cir/train.py:78)
         batch = {
