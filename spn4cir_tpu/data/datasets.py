@@ -629,7 +629,7 @@ def iter_train_images(dataset: CIRDataset, batch_size: int, *,
                    for k, v in ids.items()}
         return captions, refer_paths, target_paths, ids
 
-    starts = range(start_step * batch_size, n, batch_size)
+    starts = list(range(start_step * batch_size, n, batch_size))
 
     # SPN4CIR_MP_PROCS=N: decode through the sharded multi-process loader
     # (worker processes x native C++ threads) — stage-1 is THE loader-bound
@@ -638,7 +638,8 @@ def iter_train_images(dataset: CIRDataset, batch_size: int, *,
     # 2B-row loader batch per step: rows [0, B) = refer, [B, 2B) = target;
     # workers decode ahead of the training step.
     mp_procs = int(os.environ.get("SPN4CIR_MP_PROCS", "0") or 0)
-    if mp_procs > 0 and isinstance(dataset.preprocess, ImageTransform) and \
+    if mp_procs > 0 and starts and \
+            isinstance(dataset.preprocess, ImageTransform) and \
             dataset.preprocess.kind in ("clip", "squarepad", "targetpad"):
         from spn4cir_tpu.data.mploader import MPLoader
 
