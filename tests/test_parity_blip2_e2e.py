@@ -134,11 +134,11 @@ def ref_modules():
     _stub_torchvision()
     _install_lavis()
     sys.path.insert(0, REF_DIR)
+    from tests.refmods import restore, save_and_clear
+
     names = ["data_utils", "utils", "validate", "models",
              "cirr_test_submission"]
-    saved = {n: sys.modules.get(n) for n in names}
-    for n in names:
-        sys.modules.pop(n, None)
+    saved = save_and_clear(names)  # incl. submodules — see tests/refmods.py
     # validate.py imports `from models import CIRPlus`; models.py pulls
     # lavis.models.load_model_and_preprocess (the full config/registry
     # machine) — our tests construct the blip model directly, so satisfy
@@ -154,11 +154,7 @@ def ref_modules():
         yield mods
     finally:
         sys.path.remove(REF_DIR)
-        for n in names:
-            if saved[n] is None:
-                sys.modules.pop(n, None)
-            else:
-                sys.modules[n] = saved[n]
+        restore(names, saved)
 
 
 @pytest.fixture(scope="module")

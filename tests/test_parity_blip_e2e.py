@@ -94,11 +94,11 @@ def ref_modules():
     _give_stubs_specs()  # BEFORE transformers' find_spec('timm') probe
     _shim_transformers()
     sys.path.insert(0, REF_DIR)
+    from tests.refmods import restore, save_and_clear
+
     names = ["med", "vit", "blip", "blip_cir", "models", "data_utils",
              "utils", "validate"]
-    saved = {n: sys.modules.get(n) for n in names}
-    for n in names:
-        sys.modules.pop(n, None)  # flat names may be held by other suites
+    saved = save_and_clear(names)  # incl. submodules — see tests/refmods.py
     try:
         mods = {n: importlib.import_module(n)
                 for n in ["med", "vit", "blip", "blip_cir", "data_utils",
@@ -107,11 +107,7 @@ def ref_modules():
         yield mods
     finally:
         sys.path.remove(REF_DIR)
-        for n in names:
-            if saved[n] is None:
-                sys.modules.pop(n, None)
-            else:
-                sys.modules[n] = saved[n]
+        restore(names, saved)
 
 
 @pytest.fixture(scope="module")

@@ -75,19 +75,15 @@ def zscir_import():
     tfm = sys.modules["torchvision.transforms"]
     if not hasattr(tfm, "transforms"):
         tfm.transforms = tfm
-    saved = {n: sys.modules.get(n) for n in _FLAT}
-    for n in _FLAT:
-        sys.modules.pop(n, None)
+    from tests.refmods import restore, save_and_clear
+
+    saved = save_and_clear(_FLAT)  # incl. submodules — see tests/refmods.py
     sys.path.insert(0, ZS_REF)
     try:
         yield importlib.import_module
     finally:
         sys.path.remove(ZS_REF)
-        for n in _FLAT:
-            sys.modules.pop(n, None)
-        for n, m in saved.items():
-            if m is not None:
-                sys.modules[n] = m
+        restore(_FLAT, saved)
 
 
 LONG_CAPTION = ("an exceptionally detailed garment " * 20).strip()  # > 77 tok

@@ -107,24 +107,20 @@ def _stub_torchvision():
 @pytest.fixture(scope="module")
 def ref_modules():
     """Import the reference's clip4cir modules (flat-name imports)."""
+    from tests.refmods import restore, save_and_clear
+
     _stub_torchvision()
     sys.path.insert(0, REF_DIR)
     names = ["clip", "data_utils", "utils", "validate", "models",
              "cirr_test_submission"]
-    saved = {n: sys.modules.get(n) for n in names}
-    for n in names:
-        sys.modules.pop(n, None)  # flat names may be held by other suites
+    saved = save_and_clear(names)  # incl. submodules — see tests/refmods.py
     try:
         mods = {n: importlib.import_module(n) for n in names}
         _force_inprocess_dataloaders(mods)
         yield mods
     finally:
         sys.path.remove(REF_DIR)
-        for n in names:
-            if saved[n] is None:
-                sys.modules.pop(n, None)
-            else:
-                sys.modules[n] = saved[n]
+        restore(names, saved)
 
 
 class TorchPreprocess:

@@ -35,15 +35,11 @@ def ref_modules():
     # identity them for the CPU oracle
     orig_cuda = torch.Tensor.cuda
     torch.Tensor.cuda = lambda self, *a, **k: self
+    from tests.refmods import restore, save_and_clear
+
     sys.path.insert(0, REF_DIR)
     names = ["clip", "data_utils", "utils", "models", "validate"]
-    # pop submodules too: clip4cir's parity test leaves ITS vendored
-    # "clip.model" cached, which would otherwise bind to tgcir's fresh
-    # "clip" package and shadow tgcir's own model submodule
-    saved = {n: m for n, m in sys.modules.items()
-             if any(n == base or n.startswith(base + ".") for base in names)}
-    for n in saved:
-        sys.modules.pop(n, None)
+    saved = save_and_clear(names)  # incl. submodules — see tests/refmods.py
     try:
         mods = {n: importlib.import_module(n) for n in names}
         from tests.test_parity_e2e import _force_inprocess_dataloaders
@@ -52,10 +48,7 @@ def ref_modules():
     finally:
         torch.Tensor.cuda = orig_cuda
         sys.path.remove(REF_DIR)
-        for n in list(sys.modules):
-            if any(n == base or n.startswith(base + ".") for base in names):
-                sys.modules.pop(n, None)
-        sys.modules.update(saved)
+        restore(names, saved)
 
 
 @pytest.fixture(scope="module")
