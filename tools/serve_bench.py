@@ -36,6 +36,10 @@ def main():
     p.add_argument("--gallery", type=int, default=16384)
     p.add_argument("--model", default="ViT-B/32")
     p.add_argument("--k", type=int, default=50)
+    p.add_argument("--gallery_dtype", default="bfloat16",
+                   choices=["bfloat16", "int8"],
+                   help="int8 measures the quantized-gallery serving path "
+                        "(serve/service.py:quantized_score_queries)")
     p.add_argument("--json", default="")
     args = p.parse_args()
 
@@ -48,12 +52,20 @@ def main():
     m, d = args.gallery, bb.embed_dim
     target = jax.jit(lambda k: jax.random.normal(k, (m, d), jnp.bfloat16))(
         jax.random.PRNGKey(1))
+    if args.gallery_dtype == "int8":
+        from spn4cir_tpu.ops.bank_kernels import quantize_bank
+        from spn4cir_tpu.serve.service import quantized_score_queries
+
+        target = jax.jit(quantize_bank)(target.astype(jnp.float32))
+        score = quantized_score_queries
+    else:
+        score = bb.score_queries
 
     # the exact device work RetrievalService._run / _run_batch dispatches:
     # fuse(refer, text) -> score against the gallery -> top-k
     def query(params, refer, text_ids, target):
         q = bb.fuse(params, refer, text_ids)
-        scores = bb.score_queries(q, target)
+        scores = score(q, target)
         return jax.lax.top_k(scores, args.k)
 
     jquery = jax.jit(query)
