@@ -27,12 +27,13 @@ run python tools/llava_bench.py --size 7b --weights int8 --quant_kernel on --bat
 run python tools/rewriter_bench.py --weights int8 --quant_kernel off
 run python tools/rewriter_bench.py --weights int8 --quant_kernel on
 
-# 4. causal-packed text-encode A/B (ViT-L/14 text tower) + S=197 packing
-#    experiment (ViT-B/16 @ 224 -> S=197 vision encode)
-run python tools/tower_bench.py --towers "ViT-L/14" --attn xla
-run python tools/tower_bench.py --towers "ViT-L/14" --attn auto
-run python tools/tower_bench.py --towers "ViT-B/16" --attn xla
-run python tools/tower_bench.py --towers "ViT-B/16" --attn auto
+# 4. causal-packed text-encode A/B (ViT-L/14 + RN50x4 text towers) + S=197
+#    packing experiment (ViT-B/16 @ 224 -> S=197 vision encode, --attn
+#    packed forces the packed kernel past its S<=128 auto gate)
+run python tools/tower_bench.py --text --towers clip_vit_l14_224,clip_rn50x4_288 --attn xla
+run python tools/tower_bench.py --text --towers clip_vit_l14_224,clip_rn50x4_288 --attn auto
+run python tools/tower_bench.py --towers clip_vit_b16_224 --attn xla
+run python tools/tower_bench.py --towers clip_vit_b16_224 --attn packed
 
 # 5. prepared-bank step re-verify at blip2 CIRR scale
 run python tools/prepared_bank_bench.py

@@ -200,9 +200,48 @@ TOWERS = {
     "clip_vit_b32_224": ("clip", {"clip_model_name": "ViT-B/32"}, 1024, 8192),
     "clip_rn50x4_288": ("clip", {"clip_model_name": "RN50x4"}, 128, 1024),
     "clip_vit_b16_224": ("clip", {"clip_model_name": "ViT-B/16"}, 256, 2048),
+    "clip_vit_l14_224": ("clip", {"clip_model_name": "ViT-L/14"}, 128, 1024),
     "blip_vit_b_384": ("blip", {"blip_size": "base"}, 64, 512),
     "eva_vit_g_224": ("blip2", {"blip2_size": "pretrain"}, 32, 256),
+    # CPU-drivable smoke geometry (not a production tower)
+    "clip_tiny_test": ("clip", {"clip_model_name": "test-tiny"}, 4, 16),
 }
+
+
+def bench_text(name, backbone_name, bb_kw, results,
+               b_small=1024, b_large=8192):
+    """Text-tower encode throughput (captions/s): the path the causal-packed
+    attention kernel accelerates (CLIP text towers, S=77 static causal mask
+    — ops/attention_kernels.py:packed_causal_attention_pallas). The live
+    network of every stage-2 step and of all query-side eval/serving."""
+    from spn4cir_tpu.models.api import build_backbone
+
+    if backbone_name != "clip":
+        print(f"== text {name} == skipped (CLIP text towers only)", flush=True)
+        return
+    print(f"== text {name} ==", flush=True)
+    bb = build_backbone(backbone_name, dtype=jnp.bfloat16, **bb_kw)
+    params = jax.jit(bb.init_params)(jax.random.PRNGKey(0))
+    cfg = bb.cfg
+
+    def make_ids(batch):
+        caps = [f"a photo of item {i % 97} with pattern {i % 7} and trim"
+                for i in range(batch)]
+        return jnp.asarray(bb.tokenize(caps))
+
+    encode = jax.jit(lambda p, ids: bb.encode_text(p, ids))
+    cps, t_s, t_l = time_encode(encode, params, make_ids, b_small, b_large)
+    # analytic transformer FLOPs at S=77 (patch=0 zeroes the embed term)
+    fpc = vit_flops_per_image(cfg.context_length, cfg.transformer_width,
+                              cfg.transformer_layers,
+                              4 * cfg.transformer_width, patch=0)
+    mfu = cps * fpc / PEAK_FLOPS
+    print(f"  {cps:,.0f} captions/s  t({b_small})={t_s*1e3:.0f}ms "
+          f"t({b_large})={t_l*1e3:.0f}ms  {fpc/1e9:.2f} GF/cap  MFU={mfu:.1%}",
+          flush=True)
+    results[f"text_{name}"] = {"captions_per_sec": round(cps, 1),
+                               "gflops_per_caption": round(fpc / 1e9, 2),
+                               "mfu": round(mfu, 4)}
 
 
 def main():
@@ -211,17 +250,28 @@ def main():
     p.add_argument("--train", action="store_true",
                    help="also run the stage-2 recipe-scale steps")
     p.add_argument("--json", default="")
-    p.add_argument("--attn", default="auto", choices=["auto", "xla"],
+    p.add_argument("--attn", default="auto", choices=["auto", "xla", "packed"],
                    help="attention dispatch A/B: 'xla' pins every tower to "
                         "the einsum path (disables the packed short-S and "
                         "fused long-S Pallas kernels) so per-tower kernel "
-                        "wins can be measured with one flag flip")
+                        "wins can be measured with one flag flip; 'packed' "
+                        "forces the packed kernel up to its PACK_ROWS limit "
+                        "(the S=197 ViT-B/16 packing experiment)")
+    p.add_argument("--text", action="store_true",
+                   help="bench the TEXT towers (encode_text captions/s) "
+                        "instead of the image towers — the causal-packed "
+                        "attention kernel's target path")
     args = p.parse_args()
 
     if args.attn == "xla":
         from spn4cir_tpu.ops import attention_kernels as _ak
 
         _ak.MAX_PACKED_SEQ = 0
+        _ak.MIN_FUSED_SEQ = 10 ** 9
+    elif args.attn == "packed":
+        from spn4cir_tpu.ops import attention_kernels as _ak
+
+        _ak.MAX_PACKED_SEQ = _ak.PACK_ROWS
         _ak.MIN_FUSED_SEQ = 10 ** 9
 
     print("devices:", jax.devices(), flush=True)
@@ -231,7 +281,10 @@ def main():
             continue
         bn, kw, bs, bl = TOWERS[name]
         try:
-            bench_tower(name, bn, kw, bs, bl, results)
+            if args.text:
+                bench_text(name, bn, kw, results)
+            else:
+                bench_tower(name, bn, kw, bs, bl, results)
         except Exception as exc:
             print(f"  FAILED: {type(exc).__name__}: {str(exc)[:200]}",
                   flush=True)
