@@ -556,10 +556,16 @@ def llama_generate(params: Dict[str, Any], cfg: LlamaConfig,
 
     # prefill: the whole prompt in one MXU-shaped causal forward (cache
     # rows [0, prompt_len)), then a scan of only max_new_tokens-1 decode
-    # steps — not prompt_len + max_new_tokens sequential steps
+    # steps — not prompt_len + max_new_tokens sequential steps.
+    # The fused int8 kernel is DECODE-only: prefill's (B·P, D) GEMMs are
+    # compute-bound (XLA's dequant copy amortizes over thousands of rows and
+    # its MXU schedule wins — hardware A/B: kernel-on prefill regressed 7B
+    # generate 3.0→3.5 ms/position and VMEM-OOM'd at (3584, 11008) row
+    # blocks), while decode re-streams every weight once per token, the
+    # memory-bound case the kernel exists for.
     logits0, state = llama_prefill(params, cfg, state, inputs_embeds,
                                    positions=positions, pad_mask=am,
-                                   quant_kernel=quant_kernel)
+                                   quant_kernel=False)
     rng, sub = jax.random.split(rng)
     tok0 = sample_from(logits0, sub)
     out = jnp.full((batch, max_new_tokens), pad_id, jnp.int32)

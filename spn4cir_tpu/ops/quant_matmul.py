@@ -70,10 +70,23 @@ def quant_matmul(x: jnp.ndarray, values: jnp.ndarray, scales: jnp.ndarray,
     x2 = x.reshape(-1, d)
     b = x2.shape[0]
     bb = min(block_b, _round_up(b, SUBLANES))
+    bf = min(block_f, _round_up(f, LANES))
+    # VMEM guard: Mosaic double-buffers every block, so the stack is about
+    # 2*(x + w + scales + out) bytes per grid step; 7B prefill geometry
+    # ((128, 11008) bf16 x + (11008, 512) int8 w = 16.4 MB) exceeds the
+    # 16 MB scoped limit. Shrink bf, then bb, until it fits with headroom.
+    xb = x2.dtype.itemsize
+    budget = 13 * 2 ** 20
+    while 2 * (bb * d * xb + d * bf + 4 * bf + bb * bf * xb) > budget:
+        if bf > LANES:
+            bf = _round_up(bf // 2, LANES)
+        elif bb > SUBLANES:
+            bb = _round_up(bb // 2, SUBLANES)
+        else:
+            break  # minimal blocks; let Mosaic report if it still can't fit
     bp = _round_up(b, bb)
     if bp != b:
         x2 = jnp.pad(x2, ((0, bp - b), (0, 0)))
-    bf = min(block_f, _round_up(f, LANES))
     # F outermost: each int8 weight block streams HBM->VMEM exactly ONCE
     # (row blocks revisit it in the inner loop); x re-reads per F block are
     # negligible next to the weights (decode x is one row block anyway)
