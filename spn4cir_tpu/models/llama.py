@@ -508,7 +508,11 @@ def llama_generate(params: Dict[str, Any], cfg: LlamaConfig,
     mask cumsum and pad keys stay masked through prefill AND every decode
     step — each row's stream then matches what it would produce alone
     (HF left-padding semantics). Without a mask, all rows share prompt
-    length P (the captioner's one-shared-prompt case)."""
+    length P (the captioner's one-shared-prompt case).
+
+    `quant_kernel` controls the DECODE steps only: prefill always takes the
+    XLA path regardless (kernel-on prefill regressed on hardware — see the
+    comment above the llama_prefill call)."""
     from spn4cir_tpu.models.generation import top_k_filter, top_p_filter
 
     if quant_kernel is None:

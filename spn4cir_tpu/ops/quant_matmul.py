@@ -75,6 +75,9 @@ def quant_matmul(x: jnp.ndarray, values: jnp.ndarray, scales: jnp.ndarray,
     # 2*(x + w + scales + out) bytes per grid step; 7B prefill geometry
     # ((128, 11008) bf16 x + (11008, 512) int8 w = 16.4 MB) exceeds the
     # 16 MB scoped limit. Shrink bf, then bb, until it fits with headroom.
+    # (the estimate skips the bb*bf*4 f32 accumulator / output-cast
+    # temporaries and counts the output block at x.dtype — the 13 MB budget
+    # vs the 16 MB scoped limit leaves the slack that covers them)
     xb = x2.dtype.itemsize
     budget = 13 * 2 ** 20
     while 2 * (bb * d * xb + d * bf + 4 * bf + bb * bf * xb) > budget:

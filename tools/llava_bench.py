@@ -65,7 +65,7 @@ def main():
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--quant_kernel", default="auto",
                    choices=["auto", "on", "off"],
-                   help="fused int8 Pallas matmul (ops/quant_matmul.py); auto = on for single-device TPU")
+                   help="fused int8 Pallas matmul (ops/quant_matmul.py), DECODE steps only — prefill always uses the XLA path; auto = on for single-device TPU")
     p.add_argument("--weights", default="bf16", choices=["bf16", "int8"],
                    help="int8 = weight-only quantized LM (halves weight "
                         "HBM: 13.4 -> 6.7 GB at 7B; decode is weight-"

@@ -50,7 +50,7 @@ def main():
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--quant_kernel", default="auto",
                    choices=["auto", "on", "off"],
-                   help="fused int8 Pallas matmul (ops/quant_matmul.py); auto = on for single-device TPU")
+                   help="fused int8 Pallas matmul (ops/quant_matmul.py), DECODE steps only — prefill always uses the XLA path; auto = on for single-device TPU")
     p.add_argument("--weights", default="int8", choices=["bf16", "int8"])
     args = p.parse_args()
 

@@ -203,7 +203,12 @@ TOWERS = {
     "clip_vit_l14_224": ("clip", {"clip_model_name": "ViT-L/14"}, 128, 1024),
     "blip_vit_b_384": ("blip", {"blip_size": "base"}, 64, 512),
     "eva_vit_g_224": ("blip2", {"blip2_size": "pretrain"}, 32, 256),
-    # CPU-drivable smoke geometry (not a production tower)
+}
+
+# CPU-drivable smoke geometry (not a production tower); selectable by name
+# but excluded from the default tower list so hardware runs don't record
+# meaningless batch-4/16 differencing throughput into the results JSON.
+SMOKE_TOWERS = {
     "clip_tiny_test": ("clip", {"clip_model_name": "test-tiny"}, 4, 16),
 }
 
@@ -218,6 +223,7 @@ def bench_text(name, backbone_name, bb_kw, results,
 
     if backbone_name != "clip":
         print(f"== text {name} == skipped (CLIP text towers only)", flush=True)
+        results[f"text_{name}"] = {"skipped": "CLIP text towers only"}
         return
     print(f"== text {name} ==", flush=True)
     bb = build_backbone(backbone_name, dtype=jnp.bfloat16, **bb_kw)
@@ -279,7 +285,8 @@ def main():
     for name in args.towers.split(","):
         if not name:
             continue
-        bn, kw, bs, bl = TOWERS[name]
+        bn, kw, bs, bl = {**TOWERS, **SMOKE_TOWERS}[name]
+        key = f"text_{name}" if args.text else name
         try:
             if args.text:
                 bench_text(name, bn, kw, results)
@@ -288,7 +295,7 @@ def main():
         except Exception as exc:
             print(f"  FAILED: {type(exc).__name__}: {str(exc)[:200]}",
                   flush=True)
-            results[name] = {"error": str(exc)[:200]}
+            results[key] = {"error": str(exc)[:200]}
     if args.train:
         for spec in (
             ("clip_rn50x4", "clip", {"clip_model_name": "RN50x4"}, 256, 60000),
