@@ -84,6 +84,100 @@ class Bank:
                    refer_key=key)
 
 
+# ---------------------------------------------------------------------------
+# Prepared-layout sidecar cache: the one-time kernel relayout of the frozen
+# target bank (pre-pad/pre-transpose + int8 scales — ops/bank_kernels.py:
+# PreparedBank, ops/maxquery_kernels.py:PreparedMaxQueryBank) persisted next
+# to the raw bank cache, so later runs skip the per-run quantize+relayout
+# entirely (cli/train.py loads this before the dtype-conversion step).
+# ---------------------------------------------------------------------------
+
+PREPARED_CACHE_VERSION = 1
+
+
+def prepared_cache_file(path: str, tag: str) -> str:
+    base = Bank.cache_file(path)
+    return base[: -len(".npz")] + f".prepared_{tag}.npz"
+
+
+def _npz_array(a: np.ndarray):
+    """(storable array, dtype tag) — npz can't serialize ml_dtypes bfloat16;
+    view it as uint16 and record the real dtype."""
+    a = np.asarray(a)
+    if a.dtype == jnp.bfloat16:
+        return a.view(np.uint16), "bfloat16"
+    return a, str(a.dtype)
+
+
+def _unnpz_array(a: np.ndarray, tag: str) -> np.ndarray:
+    if tag == "bfloat16":
+        import ml_dtypes
+
+        return a.view(ml_dtypes.bfloat16)
+    return a
+
+
+def save_prepared_target(path: str, tag: str, prepared) -> str:
+    """Persist a prepared target bank (flat or max-query, dense or int8).
+    Uncompressed npz: this is a derived cache; IO speed over size."""
+    from spn4cir_tpu.ops.bank_kernels import PreparedBank
+    from spn4cir_tpu.ops.maxquery_kernels import PreparedMaxQueryBank
+
+    f = prepared_cache_file(path, tag)
+    os.makedirs(os.path.dirname(f) or ".", exist_ok=True)
+    if isinstance(prepared, PreparedMaxQueryBank):
+        values, vtag = _npz_array(prepared.qmd)
+        kind = "maxq"
+        scales = prepared.scales
+    elif isinstance(prepared, PreparedBank):
+        values, vtag = _npz_array(prepared.values)
+        kind = "flat"
+        scales = prepared.scales
+    else:
+        raise TypeError(f"not a prepared bank: {type(prepared)}")
+    arrs = dict(values=values)
+    if scales is not None:
+        arrs["scales"] = np.asarray(scales, np.float32)
+    np.savez(f, version=np.asarray(PREPARED_CACHE_VERSION),
+             kind=np.asarray(kind), values_dtype=np.asarray(vtag),
+             m_actual=np.asarray(prepared.m_actual), **arrs)
+    return f
+
+
+def load_prepared_target(path: str, tag: str, expected_shape):
+    """Load a prepared target bank, or None on miss/stale. `expected_shape`
+    is the raw bank's (M, ...) target shape — a mismatch (the raw bank was
+    re-extracted or extended differently) invalidates the sidecar."""
+    f = prepared_cache_file(path, tag)
+    if not os.path.exists(f):
+        return None
+    try:
+        data = np.load(f)
+        if int(data["version"]) != PREPARED_CACHE_VERSION:
+            return None
+        values = _unnpz_array(data["values"], str(data["values_dtype"]))
+        scales = data["scales"] if "scales" in data else None
+        m_actual = int(data["m_actual"])
+        kind = str(data["kind"])
+    except Exception:
+        return None  # unreadable/truncated cache -> re-prepare
+    if kind == "maxq":
+        from spn4cir_tpu.ops.maxquery_kernels import PreparedMaxQueryBank
+
+        prep = PreparedMaxQueryBank(
+            jnp.asarray(values), m_actual,
+            None if scales is None else jnp.asarray(scales))
+    else:
+        from spn4cir_tpu.ops.bank_kernels import PreparedBank
+
+        prep = PreparedBank(
+            jnp.asarray(values),
+            None if scales is None else jnp.asarray(scales), m_actual)
+    if tuple(prep.shape) != tuple(expected_shape):
+        return None
+    return prep
+
+
 def extract_banks(
     bank_features_fn: Callable,
     image_batches: Iterator[Tuple[np.ndarray, np.ndarray]],

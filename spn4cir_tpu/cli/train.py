@@ -157,13 +157,34 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
                 reload=args.reload_bank)
             bank = extend_target_bank(bank, extra,
                                       args.neg_num if args.neg_num > 0 else 0)
-        if args.bank_dtype == "bfloat16":
+        # Prepared-layout sidecar cache: a previous run's post-quantize,
+        # post-relayout target (bank.py:save_prepared_target) short-circuits
+        # BOTH the dtype conversion below and the kernel relayout further
+        # down. Keyed by --bank_dtype; stale (re-extracted / differently
+        # extended) sidecars are rejected by shape.
+        prepared_loaded = False
+        if (not (args.neg_num > 0 and not args.unlabeled)
+                and args.mesh_data <= 1 and args.mesh_bank <= 1
+                and args.loss_impl != "xla"
+                and jax.default_backend() == "tpu"
+                and not args.reload_bank):
+            from spn4cir_tpu.bank.bank import Bank, load_prepared_target
+
+            prep = load_prepared_target(bank_path, args.bank_dtype,
+                                        tuple(bank.target.shape))
+            if prep is not None:
+                bank = Bank(refer=bank.refer, target=prep,
+                            refer_key=bank.refer_key)
+                prepared_loaded = True
+                print("bank: prepared kernel layout loaded from cache "
+                      f"({args.bank_dtype})")
+        if not prepared_loaded and args.bank_dtype == "bfloat16":
             from spn4cir_tpu.bank.bank import Bank
 
             bank = Bank(refer=bank.refer,
                         target=bank.target.astype(jnp.bfloat16),
                         refer_key=bank.refer_key)
-        elif args.bank_dtype == "int8":
+        elif not prepared_loaded and args.bank_dtype == "int8":
             from spn4cir_tpu.bank.bank import Bank
             from spn4cir_tpu.ops.bank_kernels import quantize_bank
 
@@ -214,6 +235,10 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
                         refer_key=bank.refer_key)
             print("bank: prepared kernel layout "
                   f"{tuple(bank.target.shape)}")
+            from spn4cir_tpu.bank.bank import save_prepared_target
+
+            f = save_prepared_target(bank_path, args.bank_dtype, tgt)
+            print(f"bank: prepared layout cached -> {f}")
 
     if args.wo_bank:
         state = create_stage1_state(backbone, params, lr)
