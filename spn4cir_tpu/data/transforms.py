@@ -117,6 +117,87 @@ class ImageTransform:
         return normalize_to_array(image, self.mean, self.std)
 
 
+# ---------------------------------------------------------------------------
+# Raw staging for the on-device fused preprocess (ops/preprocess.py:
+# preprocess_batch_dynamic): the host only decodes and pastes the padded
+# image into a fixed uint8 canvas; resize+crop+normalize run on the chip.
+# Kept jax-free so MPLoader worker processes can import it.
+# ---------------------------------------------------------------------------
+
+
+def pad_geometry(h: int, w: int, kind: str,
+                 target_ratio: float = DEFAULT_TARGET_RATIO):
+    """Host-side pad offsets (vp, hp) for pasting a decoded (h, w) image
+    into the canvas — the same int-floor arithmetic as square_pad/target_pad
+    (ref data_utils.py:20-39 / :42-65)."""
+    if kind == "squarepad":
+        side = max(w, h)
+        return int((side - h) / 2), int((side - w) / 2)
+    if kind == "targetpad":
+        mx, mn = max(w, h), min(w, h)
+        if mx / mn >= target_ratio:
+            scaled = mx / target_ratio
+            return max(int((scaled - h) / 2), 0), max(int((scaled - w) / 2), 0)
+    return 0, 0
+
+
+def stage_raw_image(img_u8: np.ndarray, canvas: int, kind: str,
+                    target_ratio: float = DEFAULT_TARGET_RATIO):
+    """Host (PIL/numpy) raw staging: decoded uint8 HWC image ->
+    (canvas, canvas, 3) uint8 + (H, W) padded extents. Oversized images
+    (padded extent > canvas) are PIL-bicubic pre-downscaled so the padded
+    extent fits — a documented two-stage-resize numeric delta for those
+    images only (the C++ loader applies the same rule)."""
+    h, w = img_u8.shape[:2]
+    vp, hp = pad_geometry(h, w, kind, target_ratio)
+    ph, pw = h + 2 * vp, w + 2 * hp
+    if max(ph, pw) > canvas:
+        scale = canvas / max(ph, pw)
+        nh = max(1, int(h * scale))
+        nw = max(1, int(w * scale))
+        img = Image.fromarray(img_u8).resize((nw, nh), Image.BICUBIC)
+        img_u8 = np.asarray(img, np.uint8)
+        h, w = nh, nw
+        vp, hp = pad_geometry(h, w, kind, target_ratio)
+        vp, hp = min(vp, (canvas - h) // 2), min(hp, (canvas - w) // 2)
+        ph, pw = h + 2 * vp, w + 2 * hp
+    out = np.zeros((canvas, canvas, 3), np.uint8)
+    out[vp: vp + h, hp: hp + w] = img_u8
+    return out, (ph, pw)
+
+
+@dataclass(frozen=True)
+class RawStageTransform:
+    """Host half of the device-preprocess split: decode + pad-paste into a
+    uint8 canvas; the resize/crop/normalize half runs fused with the encoder
+    on the chip (ops/preprocess.py:preprocess_batch_dynamic). Carries the
+    full geometry so the device side can be derived from the transform
+    alone. `canvas` must be >= dim; images whose padded extent exceeds it
+    are host-downscaled first (see stage_raw_image)."""
+
+    kind: str
+    dim: int
+    canvas: int
+    target_ratio: float = DEFAULT_TARGET_RATIO
+    mean: Tuple[float, ...] = CLIP_MEAN
+    std: Tuple[float, ...] = CLIP_STD
+
+    def __post_init__(self):
+        if self.kind not in ("clip", "squarepad", "targetpad", "blip_eval"):
+            raise ValueError(f"unknown transform kind {self.kind!r}")
+        if self.canvas < self.dim:
+            raise ValueError(f"canvas {self.canvas} < dim {self.dim}")
+
+    def __call__(self, image: Image.Image):
+        arr = np.asarray(image.convert("RGB"), np.uint8)
+        return stage_raw_image(arr, self.canvas, self.kind, self.target_ratio)
+
+    def host_equivalent(self) -> "ImageTransform":
+        """The all-host pipeline this splits (for parity checks/fallbacks)."""
+        return ImageTransform(self.kind, self.dim, self.target_ratio,
+                              self.mean, self.std)
+
+
 def targetpad_transform(target_ratio: float, dim: int, **kw) -> ImageTransform:
     return ImageTransform("targetpad", dim, target_ratio, **kw)
 

@@ -75,6 +75,14 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int8),
         ]
+        lib.loader_stage_raw_batch.restype = ctypes.c_int
+        lib.loader_stage_raw_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int8),
+        ]
         _lib = lib
 
 
@@ -137,3 +145,63 @@ class NativeLoader:
             for i in bad:
                 out[int(i)] = self.fallback(paths[int(i)])
         return out
+
+
+class NativeRawStager:
+    """Threaded decode-only staging for the on-device fused preprocess
+    (`--device_preprocess`): paths -> ((B, C, C, 3) uint8 canvases,
+    (B, 2) int32 padded extents). The host skips the bicubic resize — the
+    dominant preprocess cost — which runs fused with the encoder on the
+    chip (ops/preprocess.py:preprocess_batch_dynamic)."""
+
+    def __init__(self, kind: str, canvas: int, target_ratio: float = 1.25,
+                 num_threads: int = 0, fallback=None):
+        """`fallback(path) -> ((C, C, 3) uint8, (ph, pw))` handles images
+        the C++ decoder declines (see NativeLoader); without one they raise."""
+        _load()
+        if _lib is None:
+            raise RuntimeError(f"native loader unavailable: {_build_error}")
+        self.fallback = fallback
+        # blip_eval stages like 'clip': raw paste, no pad
+        self.kind = _KINDS.get(kind, 0)
+        self.canvas = canvas
+        self.target_ratio = float(target_ratio)
+        threads = num_threads or min(8, os.cpu_count() or 1)
+        self._pool = _lib.loader_create(threads)
+
+    def __del__(self):  # pragma: no cover
+        if getattr(self, "_pool", None) and _lib is not None:
+            _lib.loader_destroy(self._pool)
+            self._pool = None
+
+    def stage_batch(self, paths: Sequence[str],
+                    out: Optional[np.ndarray] = None,
+                    extents: Optional[np.ndarray] = None):
+        """Stage into `out`/`extents` when given (shared-memory blocks in
+        MPLoader workers) or freshly allocated arrays."""
+        n = len(paths)
+        c = self.canvas
+        if out is None:
+            out = np.empty((n, c, c, 3), np.uint8)
+        if extents is None:
+            extents = np.empty((n, 2), np.int32)
+        assert out.dtype == np.uint8 and out[: n].shape == (n, c, c, 3)
+        assert extents.dtype == np.int32
+        status = np.zeros(n, np.int8)
+        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        failures = _lib.loader_stage_raw_batch(
+            self._pool, arr, n, self.kind, c,
+            ctypes.c_float(self.target_ratio),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            extents.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+        if failures:
+            bad = np.nonzero(status)[0]
+            if self.fallback is None:
+                raise IOError(f"native stager failed on {failures}/{n} images"
+                              f" (first: {paths[int(bad[0])]!r})")
+            for i in bad:
+                canv, ext = self.fallback(paths[int(i)])
+                out[int(i)] = canv
+                extents[int(i)] = ext
+        return out, extents

@@ -23,7 +23,13 @@
 //                             const float* mean, const float* std,
 //                             float* out /* n*dim*dim*3 */,
 //                             int8_t* status /* n, nullable */);
-//   returns the count of not-OK items; per-image status: 0 ok, 1 decode
+//   int   loader_stage_raw_batch(void*, const char** paths, int n,
+//                                int kind, int canvas, float target_ratio,
+//                                uint8_t* out /* n*canvas*canvas*3 */,
+//                                int32_t* extents /* n*2 (H, W) */,
+//                                int8_t* status /* n, nullable */);
+//   (decode-only staging for the on-device fused preprocess)
+//   both return the count of not-OK items; per-image status: 0 ok, 1 decode
 //   failed, 2 needs the Python/PIL path (palette-mode PNG: Pillow resizes
 //   mode-P images with NEAREST and pads with palette[0], which this decoder
 //   does not replicate — the caller falls back per image). Failed/fallback
@@ -374,6 +380,67 @@ bool preprocess_one(const char* path, int kind, int dim, float target_ratio,
   return true;
 }
 
+// Pad offsets for pasting a (w, h) image into the device-preprocess canvas
+// (same int-floor math as the pad branches of preprocess_one / the Python
+// transforms.pad_geometry).
+void pad_offsets(int w, int h, int kind, float target_ratio, int* hp,
+                 int* vp) {
+  *hp = 0;
+  *vp = 0;
+  if (kind == KIND_SQUAREPAD) {
+    int side = std::max(w, h);
+    *hp = (side - w) / 2;
+    *vp = (side - h) / 2;
+  } else if (kind == KIND_TARGETPAD) {
+    double mx = std::max(w, h), mn = std::min(w, h);
+    if (mx / mn >= target_ratio) {
+      double scaled = mx / target_ratio;
+      *hp = std::max(int((scaled - w) / 2), 0);
+      *vp = std::max(int((scaled - h) / 2), 0);
+    }
+  }
+}
+
+// Raw staging for the on-device fused preprocess (`--device_preprocess`,
+// ops/preprocess.py:preprocess_batch_dynamic): decode only, paste the image
+// into a zeroed uint8 canvas at its pad offsets, report the padded extent.
+// No resize on the host — except the pre-downscale when the padded extent
+// exceeds the canvas, mirroring transforms.stage_raw_image exactly.
+bool stage_raw_one(const char* path, int kind, int canvas, float target_ratio,
+                   uint8_t* out /* canvas*canvas*3 */, int32_t* extent,
+                   bool* needs_fallback) {
+  ImageU8 img;
+  if (!decode_file(path, &img, needs_fallback)) return false;
+  int hp, vp;
+  pad_offsets(img.w, img.h, kind, target_ratio, &hp, &vp);
+  int pw = img.w + 2 * hp, ph = img.h + 2 * vp;
+  if (std::max(pw, ph) > canvas) {
+    double scale = double(canvas) / std::max(pw, ph);
+    int nh = std::max(1, int(img.h * scale));
+    int nw = std::max(1, int(img.w * scale));
+    std::vector<float> rf;  // already PIL-quantized (clip+round) floats
+    resize_bicubic_window(img, nw, nh, 0, 0, nw, nh, &rf);
+    ImageU8 small;
+    small.w = nw;
+    small.h = nh;
+    small.rgb.resize(rf.size());
+    for (size_t i = 0; i < rf.size(); ++i) small.rgb[i] = uint8_t(rf[i]);
+    img = std::move(small);
+    pad_offsets(img.w, img.h, kind, target_ratio, &hp, &vp);
+    hp = std::min(hp, (canvas - img.w) / 2);
+    vp = std::min(vp, (canvas - img.h) / 2);
+    pw = img.w + 2 * hp;
+    ph = img.h + 2 * vp;
+  }
+  std::memset(out, 0, size_t(canvas) * canvas * 3);
+  for (int y = 0; y < img.h; ++y)
+    std::memcpy(out + (size_t(y + vp) * canvas + hp) * 3,
+                img.rgb.data() + size_t(y) * img.w * 3, size_t(img.w) * 3);
+  extent[0] = ph;
+  extent[1] = pw;
+  return true;
+}
+
 // ---------------------------------------------------------------------------
 // Thread pool
 // ---------------------------------------------------------------------------
@@ -463,6 +530,36 @@ int loader_decode_batch(void* pool_ptr, const char** paths, int n, int kind,
       if (!preprocess_one(path, kind, dim, target_ratio, mean, stdv, slot,
                           &fb)) {
         std::memset(slot, 0, stride * sizeof(float));
+        failures.fetch_add(1);
+        if (st) *st = fb ? 2 : 1;
+      } else if (st) {
+        *st = 0;
+      }
+      latch.done();
+    });
+  }
+  latch.wait();
+  return failures.load();
+}
+
+int loader_stage_raw_batch(void* pool_ptr, const char** paths, int n,
+                           int kind, int canvas, float target_ratio,
+                           uint8_t* out /* n*canvas*canvas*3 */,
+                           int32_t* extents /* n*2 */, int8_t* status) {
+  Pool* pool = static_cast<Pool*>(pool_ptr);
+  std::atomic<int> failures{0};
+  Latch latch(n);
+  size_t stride = size_t(canvas) * canvas * 3;
+  for (int i = 0; i < n; ++i) {
+    const char* path = paths[i];
+    uint8_t* slot = out + stride * i;
+    int32_t* ext = extents + size_t(i) * 2;
+    int8_t* st = status ? status + i : nullptr;
+    pool->submit([&, path, slot, ext, st] {
+      bool fb = false;
+      if (!stage_raw_one(path, kind, canvas, target_ratio, slot, ext, &fb)) {
+        std::memset(slot, 0, stride);
+        ext[0] = ext[1] = canvas;  // harmless extent for the zeroed slot
         failures.fetch_add(1);
         if (st) *st = fb ? 2 : 1;
       } else if (st) {

@@ -114,3 +114,40 @@ def test_palette_png_falls_back_to_pil(tmp_path):
     bare = NativeLoader("targetpad", 32)
     with pytest.raises(IOError):
         bare.decode_batch([p_path])
+
+
+# ---------------------------------------------------------------------------
+# Raw staging (decode-only, for the on-device fused preprocess)
+# ---------------------------------------------------------------------------
+
+def test_stage_raw_batch_matches_python_staging(image_files):
+    from spn4cir_tpu.data.transforms import stage_raw_image
+    from spn4cir_tpu.native import NativeRawStager
+
+    paths, _ = image_files
+    canvas = 96  # (200, 80) targetpads to 200x160 -> exercises pre-downscale
+    for kind in ["clip", "squarepad", "targetpad"]:
+        stager = NativeRawStager(kind, canvas, num_threads=2)
+        got, ext = stager.stage_batch(paths)
+        for i, p in enumerate(paths):
+            arr = np.asarray(Image.open(p).convert("RGB"), np.uint8)
+            want, (ph, pw) = stage_raw_image(arr, canvas, kind)
+            assert (ext[i, 0], ext[i, 1]) == (ph, pw), (kind, p)
+            if max(arr.shape[:2]) * 2 > canvas:  # pre-downscale: bicubic impls
+                diff = np.abs(got[i].astype(int) - want.astype(int))
+                assert diff.max() <= 2, (kind, p, diff.max())
+            else:  # pure paste: bit-exact
+                np.testing.assert_array_equal(got[i], want, err_msg=f"{kind} {p}")
+
+
+def test_stage_raw_batch_into_preallocated(image_files):
+    from spn4cir_tpu.native import NativeRawStager
+
+    paths, _ = image_files
+    stager = NativeRawStager("targetpad", 64, num_threads=1)
+    out = np.zeros((8, 64, 64, 3), np.uint8)
+    ext = np.zeros((8, 2), np.int32)
+    got, gext = stager.stage_batch(paths[:3], out[:3], ext[:3])
+    assert got.base is out and gext.base is ext  # staged in place
+    assert out[:3].any() and (ext[:3] > 0).all()
+    assert not out[3:].any()
