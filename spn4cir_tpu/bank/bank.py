@@ -244,19 +244,26 @@ def extract_fusion_banks(
     if cache_path and os.path.exists(Bank.cache_file(cache_path)) and not reload:
         return Bank.load(cache_path)
 
+    from spn4cir_tpu.data.transforms import RawBatch
+
+    def _dev(images):
+        # RawBatch (device-preprocess staging) rides into jit as a pytree;
+        # the encoder wrapper (ops/preprocess.py:absorb_raw) unpacks it
+        return images if isinstance(images, RawBatch) else jnp.asarray(images)
+
     refer_buf = None
     target_buf = None
     refer_rows = num_images if by_image else num_triplets
     for batch in triplet_batches:
         text_ids = jnp.asarray(tokenize(batch["captions"]))
         refer, target = jax.device_get(
-            fusion_features_fn(jnp.asarray(batch["refer_images"]), text_ids))
+            fusion_features_fn(_dev(batch["refer_images"]), text_ids))
         if by_image:
             refer_t, target_t = jax.device_get(
-                fusion_features_fn(jnp.asarray(batch["target_images"]), text_ids))
+                fusion_features_fn(_dev(batch["target_images"]), text_ids))
         else:
             _, target_t = jax.device_get(
-                fusion_features_fn(jnp.asarray(batch["target_images"]), text_ids))
+                fusion_features_fn(_dev(batch["target_images"]), text_ids))
         if refer_buf is None:
             refer_buf = np.zeros((refer_rows, *refer.shape[1:]), refer.dtype)
             target_buf = np.zeros((num_images, *target.shape[1:]), target.dtype)

@@ -82,6 +82,16 @@ def base_parser(default_model: str = "RN50x4", default_tau: float = 0.02,
                         "threads (data/mploader.py) for the gallery/bank "
                         "image scans — the production-rate input pipeline "
                         "(0 = in-process thread pool)")
+    p.add_argument("--device_preprocess", action="store_true",
+                   help="run resize/crop/normalize ON THE CHIP fused with "
+                        "the encoder (ops/preprocess.py): the host only "
+                        "decodes + pastes into uint8 canvases. Applies to "
+                        "the gallery/bank/serving image scans; cuts the "
+                        "host-core budget by the bicubic-resize share")
+    p.add_argument("--device_canvas", type=int, default=0,
+                   help="staging canvas side for --device_preprocess "
+                        "(0 = 2x the backbone input dim); images whose "
+                        "padded extent exceeds it are host-downscaled first")
     p.add_argument("--profile_dir", default="",
                    help="write a jax profiler trace of the train loop here")
     p.add_argument("--resume", action="store_true",
@@ -156,7 +166,17 @@ def make_backbone(name: str, args) -> CIRBackbone:
     return build_backbone(name, **kw)
 
 
-def make_transform(backbone: CIRBackbone, args) -> ImageTransform:
+def make_transform(backbone: CIRBackbone, args):
+    """The host preprocess (ImageTransform), or the raw staging half of the
+    split device preprocess under --device_preprocess (RawStageTransform —
+    iterators then yield uint8 canvases and the chip runs resize/crop/
+    normalize fused with the encoder)."""
+    if getattr(args, "device_preprocess", False):
+        from spn4cir_tpu.data.transforms import RawStageTransform
+
+        canvas = getattr(args, "device_canvas", 0) or 2 * backbone.input_dim
+        return RawStageTransform(args.transform, backbone.input_dim, canvas,
+                                 args.target_ratio)
     return ImageTransform(args.transform, backbone.input_dim, args.target_ratio)
 
 

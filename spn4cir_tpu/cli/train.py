@@ -112,6 +112,16 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
             out_shardings=NamedSharding(tp_mesh, P()))
         return functools.partial(jitted, shard_params_tp(params, tp_mesh))
 
+    # --device_preprocess: bank/gallery encoders absorb the device half of
+    # the preprocess (RawBatch canvases -> resize/crop/normalize on-chip,
+    # fused into the same jit; ops/preprocess.py:absorb_raw)
+    def absorb(fnc):
+        if not getattr(args, "device_preprocess", False):
+            return fnc
+        from spn4cir_tpu.ops.preprocess import absorb_raw
+
+        return absorb_raw(fnc, backbone.input_dim, args.transform)
+
     bank = None
     if not args.wo_bank:
         bank_path = args.bank_path or os.path.join(
@@ -119,8 +129,8 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
         if backbone_name == "blip2":
             # blip2 refer entries are caption-dependent fusion states
             fn = tp_extract(
-                lambda p, imgs, txt: backbone.fusion_bank_features(
-                    p, imgs, txt), 2)
+                absorb(lambda p, imgs, txt: backbone.fusion_bank_features(
+                    p, imgs, txt)), 2)
             bank = extract_fusion_banks(
                 fn, iter_train_images(train_ds, args.batch_size),
                 len(train_ds.triplets), train_ds.num_unique_images,
@@ -128,7 +138,7 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
                 reload=args.reload_bank, by_image=args.plus)
         else:
             feats_fn = tp_extract(
-                lambda p, imgs: backbone.bank_features(p, imgs), 1)
+                absorb(lambda p, imgs: backbone.bank_features(p, imgs)), 1)
             bank = extract_banks(
                 feats_fn,
                 iter_unique_images(train_ds, args.batch_size),
@@ -144,7 +154,7 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
             from spn4cir_tpu.bank.bank import Bank as _Bank
 
             enc = tp_extract(
-                lambda p, imgs: backbone.gallery_features(p, imgs), 1)
+                absorb(lambda p, imgs: backbone.gallery_features(p, imgs)), 1)
             # Derive from the RESOLVED cache name: an extensionless
             # --bank_path would otherwise make .replace a no-op and both
             # caches collide on the same <path>.npz.
@@ -330,12 +340,14 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
             state = jax.device_put(state, tp_state_shardings(state, mesh))
             sharded_step = make_sharded_stage1_step(
                 backbone, mesh, state_template=template,
-                with_dropout=s1_mesh_dropout, neg_type=args.neg_type)
+                with_dropout=s1_mesh_dropout, neg_type=args.neg_type,
+                raw_kind=args.transform if args.device_preprocess else None)
         else:
             state = replicate(state, mesh)
             sharded_step = make_sharded_stage1_step(
                 backbone, mesh, with_dropout=s1_mesh_dropout,
-                neg_type=args.neg_type)
+                neg_type=args.neg_type,
+                raw_kind=args.transform if args.device_preprocess else None)
         print(f"mesh: data={mesh.shape['data']}"
               + (f" model={mesh.shape['model']}" if train_mesh_model > 1
                  else "") + " (stage-1)")
@@ -438,6 +450,8 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
                 neg_type=args.neg_type, dropout_rng=s1_dropout,
                 step_hook=make_step_hook(epoch), start_step=ep_start,
                 sharded_step=sharded_step, mesh=mesh,
+                raw_kind=(args.transform if args.device_preprocess
+                          else None),
                 log_fn=lambda step, loss: logger.log(step, epoch=epoch, loss=loss))
         else:
             # only backbones whose stage2_loss takes a dropout rng get one —

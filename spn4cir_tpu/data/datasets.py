@@ -348,27 +348,34 @@ class CIRDataset:
         return self.preprocess(Image.open(path))
 
     def native_loader(self):
-        """C++ threaded decode+preprocess when the preprocess is a plain
-        ImageTransform and the native extension builds; opt out with
-        SPN4CIR_NATIVE=0. Returns None to fall back to PIL."""
+        """C++ threaded decode when the preprocess is a plain ImageTransform
+        (full decode+preprocess) or a RawStageTransform (decode-only staging
+        for the on-device preprocess) and the native extension builds; opt
+        out with SPN4CIR_NATIVE=0. Returns None to fall back to PIL."""
         if getattr(self, "_native_checked", False):
             return self._native
         self._native_checked = True
         self._native = None
         if os.environ.get("SPN4CIR_NATIVE", "1") == "0":
             return None
-        from spn4cir_tpu.data.transforms import ImageTransform
+        from spn4cir_tpu.data.transforms import (ImageTransform,
+                                                 RawStageTransform)
 
-        if not isinstance(self.preprocess, ImageTransform):
-            return None
         try:
-            from spn4cir_tpu.native import NativeLoader, native_available
+            from spn4cir_tpu.native import (NativeLoader, NativeRawStager,
+                                            native_available)
 
-            if native_available():
-                tf = self.preprocess
+            tf = self.preprocess
+            if not native_available():
+                pass
+            elif isinstance(tf, ImageTransform):
                 self._native = NativeLoader(tf.kind, tf.dim, tf.target_ratio,
                                             tf.mean, tf.std,
                                             fallback=self.load_image)
+            elif isinstance(tf, RawStageTransform):
+                self._native = NativeRawStager(tf.kind, tf.canvas,
+                                               tf.target_ratio,
+                                               fallback=self.load_image)
         except Exception:
             self._native = None
         return self._native
@@ -446,7 +453,17 @@ class CIRDataset:
 # ---------------------------------------------------------------------------
 
 def _decode_batch(dataset: CIRDataset, paths: Sequence[str],
-                  pool: Optional[ThreadPoolExecutor]) -> np.ndarray:
+                  pool: Optional[ThreadPoolExecutor]):
+    from spn4cir_tpu.data.transforms import RawBatch, RawStageTransform
+
+    if isinstance(dataset.preprocess, RawStageTransform):
+        native = dataset.native_loader()
+        if native is not None:
+            return RawBatch(*native.stage_batch(list(paths)))
+        items = (list(pool.map(dataset.load_image, paths)) if pool is not None
+                 else [dataset.load_image(p) for p in paths])
+        return RawBatch(np.stack([c for c, _ in items]),
+                        np.asarray([e for _, e in items], np.int32))
     native = dataset.native_loader()
     if native is not None:
         return native.decode_batch(list(paths))
@@ -466,9 +483,14 @@ def _iter_image_paths(dataset: CIRDataset, paths: Sequence[str],
     loader (data/mploader.py: N worker processes x native C++ threads) —
     the production-rate path for feeding a chip's encode scan; the default
     in-process ThreadPoolExecutor serves small/eval workloads."""
+    from spn4cir_tpu.data.transforms import RawBatch, RawStageTransform
+
     mp_procs = int(os.environ.get("SPN4CIR_MP_PROCS", "0") or 0)
-    if mp_procs > 0 and isinstance(dataset.preprocess, ImageTransform) and \
-            dataset.preprocess.kind in ("clip", "squarepad", "targetpad"):
+    is_raw = isinstance(dataset.preprocess, RawStageTransform)
+    if mp_procs > 0 and (is_raw or (
+            isinstance(dataset.preprocess, ImageTransform)
+            and dataset.preprocess.kind in ("clip", "squarepad",
+                                            "targetpad"))):
         from spn4cir_tpu.data.mploader import MPLoader, batched_paths
 
         tf = dataset.preprocess
@@ -484,12 +506,16 @@ def _iter_image_paths(dataset: CIRDataset, paths: Sequence[str],
             id_rows.append(ids)
         with MPLoader(tf.kind, tf.dim, batch_size,
                       target_ratio=tf.target_ratio, mean=tf.mean,
-                      std=tf.std, num_procs=mp_procs) as loader:
+                      std=tf.std, num_procs=mp_procs,
+                      raw_canvas=tf.canvas if is_raw else 0) as loader:
             for ids, (arr, _n) in zip(id_rows, loader.map_batches(chunks)):
                 # copy out of the recycled shm block: downstream prefetch()
                 # buffers batches beyond the block's validity window (the
                 # memcpy is ~1% of the decode cost it hides)
-                yield ids, arr.copy()
+                if is_raw:
+                    yield ids, RawBatch(arr.canvas.copy(), arr.extents)
+                else:
+                    yield ids, arr.copy()
         return
     pool = ThreadPoolExecutor(num_workers) if num_workers else None
     try:
@@ -637,10 +663,14 @@ def iter_train_images(dataset: CIRDataset, batch_size: int, *,
     # gets the same production-rate path as the gallery/bank scans. One
     # 2B-row loader batch per step: rows [0, B) = refer, [B, 2B) = target;
     # workers decode ahead of the training step.
+    from spn4cir_tpu.data.transforms import RawBatch, RawStageTransform
+
     mp_procs = int(os.environ.get("SPN4CIR_MP_PROCS", "0") or 0)
-    if mp_procs > 0 and starts and \
-            isinstance(dataset.preprocess, ImageTransform) and \
-            dataset.preprocess.kind in ("clip", "squarepad", "targetpad"):
+    is_raw = isinstance(dataset.preprocess, RawStageTransform)
+    if mp_procs > 0 and starts and (is_raw or (
+            isinstance(dataset.preprocess, ImageTransform)
+            and dataset.preprocess.kind in ("clip", "squarepad",
+                                            "targetpad"))):
         from spn4cir_tpu.data.mploader import MPLoader
 
         tf = dataset.preprocess
@@ -648,14 +678,24 @@ def iter_train_images(dataset: CIRDataset, batch_size: int, *,
         chunks = [refer + target for _c, refer, target, _i in metas]
         with MPLoader(tf.kind, tf.dim, 2 * batch_size,
                       target_ratio=tf.target_ratio, mean=tf.mean,
-                      std=tf.std, num_procs=mp_procs) as loader:
+                      std=tf.std, num_procs=mp_procs,
+                      raw_canvas=tf.canvas if is_raw else 0) as loader:
             for (captions, _r, _t, ids), (arr, _n) in zip(
                     metas, loader.map_batches(chunks)):
-                arr = arr.copy()  # out of the recycled shm block
+                if is_raw:
+                    canv = arr.canvas.copy()  # out of the recycled shm block
+                    refer_b = RawBatch(canv[:batch_size],
+                                       arr.extents[:batch_size])
+                    target_b = RawBatch(canv[batch_size:],
+                                        arr.extents[batch_size:])
+                else:
+                    arr = arr.copy()  # out of the recycled shm block
+                    refer_b = arr[:batch_size]
+                    target_b = arr[batch_size:]
                 yield {
                     "captions": captions,
-                    "refer_images": arr[:batch_size],
-                    "target_images": arr[batch_size:],
+                    "refer_images": refer_b,
+                    "target_images": target_b,
                     **ids,
                 }
         return

@@ -36,16 +36,27 @@ _STOP = "__stop__"
 
 
 def _worker_main(task_q, result_q, shm_names, shape, kind, dim, ratio,
-                 mean, std, threads):
-    """Worker process body: decode path batches into shared memory."""
+                 mean, std, threads, raw_canvas):
+    """Worker process body: decode path batches into shared memory.
+    With `raw_canvas` > 0 the blocks hold uint8 staging canvases instead of
+    preprocessed float32 (the on-device-preprocess input contract); the tiny
+    (B, 2) extents array rides the result queue."""
     # no jax in workers — only numpy + the ctypes native loader
-    from spn4cir_tpu.native import NativeLoader, native_available
+    from spn4cir_tpu.native import (NativeLoader, NativeRawStager,
+                                    native_available)
 
-    fallback = _pil_fallback(kind, dim, ratio, mean, std)
-    native = None
-    if native_available() and os.environ.get("SPN4CIR_NATIVE", "1") != "0":
-        native = NativeLoader(kind, dim, ratio, mean, std,
-                              num_threads=threads, fallback=fallback)
+    use_native = (native_available()
+                  and os.environ.get("SPN4CIR_NATIVE", "1") != "0")
+    if raw_canvas:
+        fallback = _pil_raw_fallback(kind, raw_canvas, ratio)
+        native = (NativeRawStager(kind, raw_canvas, ratio,
+                                  num_threads=threads, fallback=fallback)
+                  if use_native else None)
+    else:
+        fallback = _pil_fallback(kind, dim, ratio, mean, std)
+        native = (NativeLoader(kind, dim, ratio, mean, std,
+                               num_threads=threads, fallback=fallback)
+                  if use_native else None)
     shms = {name: shared_memory.SharedMemory(name=name) for name in shm_names}
     try:
         while True:
@@ -53,17 +64,26 @@ def _worker_main(task_q, result_q, shm_names, shape, kind, dim, ratio,
             if item == _STOP:
                 break
             seq, shm_name, paths = item
-            buf = np.ndarray(shape, np.float32,
+            buf = np.ndarray(shape, np.uint8 if raw_canvas else np.float32,
                              buffer=shms[shm_name].buf)
             try:
-                if native is not None:
-                    buf[: len(paths)] = native.decode_batch(paths)
+                n = len(paths)
+                extents = None
+                if raw_canvas:
+                    extents = np.zeros((shape[0], 2), np.int32)
+                    if native is not None:
+                        native.stage_batch(paths, buf[:n], extents[:n])
+                    else:
+                        for i, p in enumerate(paths):
+                            buf[i], extents[i] = fallback(p)
+                elif native is not None:
+                    buf[:n] = native.decode_batch(paths)
                 else:
                     for i, p in enumerate(paths):
                         buf[i] = fallback(p)
-                result_q.put((seq, shm_name, len(paths), None))
+                result_q.put((seq, shm_name, n, extents, None))
             except Exception as exc:  # noqa: BLE001 — forwarded to parent
-                result_q.put((seq, shm_name, 0, repr(exc)))
+                result_q.put((seq, shm_name, 0, None, repr(exc)))
     finally:
         for s in shms.values():
             s.close()
@@ -78,6 +98,18 @@ def _pil_fallback(kind, dim, ratio, mean, std):
         from PIL import Image
 
         return np.asarray(tf(Image.open(path)), np.float32)
+
+    return decode
+
+
+def _pil_raw_fallback(kind, canvas, ratio):
+    from spn4cir_tpu.data.transforms import stage_raw_image
+
+    def decode(path):
+        from PIL import Image
+
+        arr = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+        return stage_raw_image(arr, canvas, kind, ratio)
 
     return decode
 
@@ -97,10 +129,16 @@ class MPLoader:
                  mean: Sequence[float] = (0.48145466, 0.4578275, 0.40821073),
                  std: Sequence[float] = (0.26862954, 0.26130258, 0.27577711),
                  num_procs: int = 4, threads_per_proc: int = 0,
-                 prefetch: int = 2):
-        self.shape = (batch_size, dim, dim, 3)
+                 prefetch: int = 2, raw_canvas: int = 0):
+        """`raw_canvas` > 0 switches to decode-only staging for the
+        on-device preprocess: blocks hold (B, canvas, canvas, 3) uint8 and
+        map_batches yields (RawBatch(canvas, extents), n)."""
+        self.raw_canvas = int(raw_canvas)
+        side = self.raw_canvas or dim
+        self.dtype = np.uint8 if self.raw_canvas else np.float32
+        self.shape = (batch_size, side, side, 3)
         self.batch_size = batch_size
-        nbytes = int(np.prod(self.shape)) * 4
+        nbytes = int(np.prod(self.shape)) * self.dtype().itemsize
         n_blocks = max(num_procs * prefetch + 2, 4)
         ctx = mp.get_context("spawn")
         self._task_q = ctx.Queue()
@@ -116,7 +154,7 @@ class MPLoader:
                 target=_worker_main,
                 args=(self._task_q, self._result_q, names, self.shape,
                       kind, dim, target_ratio, tuple(mean), tuple(std),
-                      threads_per_proc),
+                      threads_per_proc, self.raw_canvas),
                 daemon=True)
             for _ in range(num_procs)
         ]
@@ -159,7 +197,8 @@ class MPLoader:
         while next_seq < submitted:
             while next_seq not in pending:
                 try:
-                    seq, block, n, err = self._result_q.get(timeout=5.0)
+                    seq, block, n, extents, err = self._result_q.get(
+                        timeout=5.0)
                 except queue.Empty:
                     # a worker OOM-kill/segfault raises nothing in the
                     # child — detect the corpse instead of hanging forever
@@ -170,19 +209,24 @@ class MPLoader:
                             f"(exitcodes {[p.exitcode for p in dead]}) — "
                             "decode batch lost")
                     continue
-                pending[seq] = (block, n, err)
-            block, n, err = pending.pop(next_seq)
+                pending[seq] = (block, n, extents, err)
+            block, n, extents, err = pending.pop(next_seq)
             if err is not None:
                 self._free.put(block)
                 raise IOError(f"worker decode failed: {err}")
             shm = next(s for s in self._shms if s.name == block)
-            arr = np.ndarray(self.shape, np.float32, buffer=shm.buf)
+            arr = np.ndarray(self.shape, self.dtype, buffer=shm.buf)
             if held is not None:
                 self._free.put(held)  # previous batch's block is free now
             held = block
             next_seq += 1
             submit_one()
-            yield arr, n
+            if self.raw_canvas:
+                from spn4cir_tpu.data.transforms import RawBatch
+
+                yield RawBatch(arr, extents), n
+            else:
+                yield arr, n
         if held is not None:
             self._free.put(held)
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import random
 from dataclasses import dataclass
-from typing import Sequence, Tuple
+from typing import NamedTuple, Sequence, Tuple
 
 import numpy as np
 from PIL import Image
@@ -164,6 +164,16 @@ def stage_raw_image(img_u8: np.ndarray, canvas: int, kind: str,
     out = np.zeros((canvas, canvas, 3), np.uint8)
     out[vp: vp + h, hp: hp + w] = img_u8
     return out, (ph, pw)
+
+
+class RawBatch(NamedTuple):
+    """A staged uint8 batch for the on-device preprocess: (B, C, C, 3)
+    canvases + (B, 2) int32 padded extents. Iterators yield this in place
+    of the (B, dim, dim, 3) float32 array when the dataset's preprocess is
+    a RawStageTransform; consumers dispatch on the type."""
+
+    canvas: np.ndarray
+    extents: np.ndarray
 
 
 @dataclass(frozen=True)

@@ -112,6 +112,26 @@ def extract_index_features(
     tensor-shards the tower params Megatron-style — data parallel × tensor
     parallel indexing for the big towers (EVA-g)."""
     from spn4cir_tpu.data.prefetch import prefetch
+    from spn4cir_tpu.data.transforms import RawBatch, RawStageTransform
+
+    raw_kind = (dataset.preprocess.kind
+                if isinstance(dataset.preprocess, RawStageTransform) else None)
+
+    def tower(p, imgs):
+        """Encode, absorbing the device half of the preprocess when the
+        dataset stages raw canvases (`--device_preprocess`): resize/crop/
+        normalize fuse with the tower under the same jit."""
+        if raw_kind is not None:
+            from spn4cir_tpu.ops.preprocess import preprocess_batch_dynamic
+
+            imgs = preprocess_batch_dynamic(imgs[0], imgs[1],
+                                            backbone.input_dim, raw_kind)
+        return backbone.index_features(p, imgs)
+
+    def to_device(images):
+        if raw_kind is not None:
+            return (jnp.asarray(images.canvas), jnp.asarray(images.extents))
+        return jnp.asarray(images)
 
     if mesh is not None and "model" in mesh.axis_names and \
             mesh.shape["model"] > 1:
@@ -124,33 +144,36 @@ def extract_index_features(
         # recompiles the tower); params are re-sharded per call — a no-op
         # placement when already laid out — because per-epoch validation
         # passes freshly trained params.
+        batch_shard = NamedSharding(mesh, P("data"))
+        in_batch = ((batch_shard, batch_shard) if raw_kind is not None
+                    else batch_shard)
         jitted = _backbone_jit(
-            backbone, f"index_features_tp_{tuple(mesh.shape.items())}",
+            backbone,
+            f"index_features_tp_{tuple(mesh.shape.items())}_{raw_kind}",
             lambda: jax.jit(
-                lambda p, imgs: backbone.index_features(p, imgs),
-                in_shardings=(tp_param_shardings(params, mesh),
-                              NamedSharding(mesh, P("data"))),
+                tower,
+                in_shardings=(tp_param_shardings(params, mesh), in_batch),
                 out_shardings=NamedSharding(mesh, P()),
             ))
         encode = functools.partial(jitted, shard_params_tp(params, mesh))
     elif mesh is not None:
         from spn4cir_tpu.parallel.mesh import batch_sharding, replicated
 
+        bs = batch_sharding(mesh)
         encode = jax.jit(
-            lambda imgs: backbone.index_features(params, imgs),
-            in_shardings=(batch_sharding(mesh),),
+            lambda imgs: tower(params, imgs),
+            in_shardings=((bs, bs) if raw_kind is not None else bs,),
             out_shardings=replicated(mesh),
         )
     else:
-        jitted = _backbone_jit(
-            backbone, "index_features",
-            lambda: jax.jit(lambda p, imgs: backbone.index_features(p, imgs)))
+        jitted = _backbone_jit(backbone, f"index_features_{raw_kind}",
+                               lambda: jax.jit(tower))
         encode = functools.partial(jitted, params)
     names = dataset.gallery_names
     bufs: Dict[str, np.ndarray] = {}
     for ids, images in prefetch(iter_gallery(dataset, batch_size, num_workers),
                                 depth=2):
-        out = jax.device_get(encode(jnp.asarray(images)))
+        out = jax.device_get(encode(to_device(images)))
         if not bufs:
             bufs = {k: np.zeros((len(names), *v.shape[1:]), v.dtype)
                     for k, v in out.items()}

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from spn4cir_tpu.data.transforms import (  # noqa: F401  (staging re-export)
     CLIP_MEAN,
     CLIP_STD,
+    RawBatch,
     RawStageTransform,
     pad_geometry,
     stage_raw_image,
@@ -176,6 +177,23 @@ def preprocess_batch_dynamic(
     mean_a = jnp.asarray(mean, jnp.float32)
     std_a = jnp.asarray(std, jnp.float32)
     return (x / 255.0 - mean_a) / std_a
+
+
+def absorb_raw(fn, input_dim: int, kind: str):
+    """Wrap a jittable `(params, images, *rest)` encoder so a RawBatch
+    image argument is device-preprocessed (resize/crop/normalize) before
+    the tower — the bank-extraction hook for `--device_preprocess`. Plain
+    float32 image arrays pass through untouched, so the wrapper is a no-op
+    for the host pipeline. RawBatch is a NamedTuple, so jit preserves the
+    container type and the isinstance dispatch resolves at trace time."""
+
+    def wrapped(params, images, *rest):
+        if isinstance(images, RawBatch):
+            images = preprocess_batch_dynamic(images.canvas, images.extents,
+                                              input_dim, kind)
+        return fn(params, images, *rest)
+
+    return wrapped
 
 
 def index_features_from_raw(backbone, params, canvas_u8, extents, *,

@@ -131,7 +131,8 @@ def make_sharded_stage2_step(backbone: CIRBackbone, mesh: Mesh, tau=None,
 def make_sharded_stage1_step(backbone: CIRBackbone, mesh: Mesh,
                              state_template=None,
                              with_dropout: bool = False,
-                             neg_type: int = 0):
+                             neg_type: int = 0,
+                             raw_kind=None):
     """Build a jitted (state, batch) -> (state, loss) stage-1 step over a
     (data[, model]) mesh — the scale-out form of
     `spn4cir_tpu.train.stage1.stage1_train_step`.
@@ -155,10 +156,13 @@ def make_sharded_stage1_step(backbone: CIRBackbone, mesh: Mesh,
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         # the exact single-chip loss wiring (train.stage1.stage1_loss_fn) —
-        # one definition, so the mesh and single-chip paths cannot drift
+        # one definition, so the mesh and single-chip paths cannot drift.
+        # raw_kind: --device_preprocess RawBatch canvases shard over 'data'
+        # like any batch-major leaf; the on-chip resize happens per shard.
         loss_fn = stage1_loss_fn(
             backbone, batch, neg_type,
-            batch["dropout_rng"] if with_dropout else None)
+            batch["dropout_rng"] if with_dropout else None,
+            raw_kind)
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads=grads), loss
 
@@ -182,6 +186,7 @@ def make_sharded_stage1_step(backbone: CIRBackbone, mesh: Mesh,
 
     wrapped.neg_type = neg_type
     wrapped.with_dropout = with_dropout
+    wrapped.raw_kind = raw_kind
     wrapped.jitted = jitted
     return wrapped
 

@@ -83,6 +83,22 @@ class RetrievalService:
             lambda refer, text: backbone.fuse(params, refer, text))
         self._encode_refer = jax.jit(
             lambda imgs: backbone.index_features(params, imgs)["refer"])
+        # --device_preprocess serving: the host stages raw uint8 canvases
+        # and resize/crop/normalize fuse with the encoder on-device
+        from spn4cir_tpu.data.transforms import RawStageTransform
+
+        self._raw_tf = (preprocess
+                        if isinstance(preprocess, RawStageTransform) else None)
+        if self._raw_tf is not None:
+            from spn4cir_tpu.ops.preprocess import preprocess_batch_dynamic
+
+            tf = self._raw_tf
+
+            def _index_raw(canv, ext):
+                x = preprocess_batch_dynamic(canv, ext, tf.dim, tf.kind)
+                return backbone.index_features(params, x)
+
+            self._index_features_raw = jax.jit(_index_raw)
         # mask + top-k on device: only (B, k) values/ids cross to the host
         # instead of the full (B, M) score matrix (2 MB/batch at 16k)
         self._topk = jax.jit(
@@ -128,10 +144,18 @@ class RetrievalService:
         in place (names must be new). Returns the new gallery size."""
         if self.preprocess is None and not isinstance(images, np.ndarray):
             raise RuntimeError("service built without a preprocess pipeline")
-        if not isinstance(images, np.ndarray):
+        if isinstance(images, np.ndarray):
+            feats = self.backbone.index_features(self.params,
+                                                 jnp.asarray(images))
+        elif self._raw_tf is not None:
+            staged = [self.preprocess(im) for im in images]
+            feats = self._index_features_raw(
+                jnp.asarray(np.stack([c for c, _ in staged])),
+                jnp.asarray(np.asarray([e for _, e in staged], np.int32)))
+        else:
             images = np.stack([self.preprocess(im) for im in images])
-        feats = self.backbone.index_features(self.params,
-                                             jnp.asarray(images))
+            feats = self.backbone.index_features(self.params,
+                                                 jnp.asarray(images))
         # one mutation at a time: concurrent add_images must not build from
         # the same base snapshot (lost update), and the three index-attribute
         # reads must come from ONE snapshot (no torn index)
@@ -184,8 +208,15 @@ class RetrievalService:
         """image: PIL.Image or (H, W, 3) array; preprocessed + encoded live."""
         if self.preprocess is None:
             raise RuntimeError("service built without a preprocess pipeline")
-        arr = image if isinstance(image, np.ndarray) else self.preprocess(image)
-        refer = self._encode_refer(jnp.asarray(arr[None]))
+        if self._raw_tf is not None and not isinstance(image, np.ndarray):
+            canv, ext = self.preprocess(image)
+            refer = self._index_features_raw(
+                jnp.asarray(canv[None]),
+                jnp.asarray(np.asarray(ext, np.int32)[None]))["refer"]
+        else:
+            arr = (image if isinstance(image, np.ndarray)
+                   else self.preprocess(image))
+            refer = self._encode_refer(jnp.asarray(arr[None]))
         return self._run(self.index, refer, caption, k, exclude_gid=None)
 
     def _score_topk(self, index, queries, gids, kk: int):

@@ -37,11 +37,28 @@ def create_stage1_state(backbone: CIRBackbone, params, learning_rate: float,
 
 
 def stage1_loss_fn(backbone: CIRBackbone, batch, neg_type: int = 0,
-                   dropout_rng=None):
+                   dropout_rng=None, raw_kind=None):
     """The ONE stage-1 loss wiring, shared by the single-chip step below and
     the mesh step (parallel.train.make_sharded_stage1_step) so the two paths
     cannot drift. neg_type > 0 selects the negtype-ablation loss (ref
-    train_negtype.py); `dropout_rng` enables MED-family train-mode dropout."""
+    train_negtype.py); `dropout_rng` enables MED-family train-mode dropout.
+
+    `raw_kind` (--device_preprocess): image entries arrive as RawBatch
+    uint8 canvases and resize/crop/normalize run on-chip inside the same
+    step. The preprocess does not depend on params, so XLA generates no
+    backward pass through it despite sitting inside value_and_grad."""
+    if raw_kind is not None:
+        from spn4cir_tpu.ops.preprocess import preprocess_batch_dynamic
+
+        batch = dict(
+            batch,
+            refer_images=preprocess_batch_dynamic(
+                batch["refer_images"].canvas, batch["refer_images"].extents,
+                backbone.input_dim, raw_kind),
+            target_images=preprocess_batch_dynamic(
+                batch["target_images"].canvas, batch["target_images"].extents,
+                backbone.input_dim, raw_kind),
+        )
 
     def loss_fn(params):
         if neg_type:
@@ -67,16 +84,18 @@ def stage1_takes_dropout(backbone: CIRBackbone) -> bool:
             in inspect.signature(backbone.stage1_loss).parameters)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
+@functools.partial(jax.jit, static_argnums=(0, 3, 5))
 def stage1_train_step(backbone: CIRBackbone, state: TrainState, batch,
-                      neg_type: int = 0, dropout_rng=None):
+                      neg_type: int = 0, dropout_rng=None, raw_kind=None):
     """batch: refer_images (B,H,W,3), target_images (B,H,W,3), text_ids.
     neg_type > 0 selects the negtype-ablation loss (ref train_negtype.py).
     `dropout_rng` enables train-mode dropout on MED-family backbones whose
     stage1_loss takes it (torch `train()` parity — the reference's stage-1
-    regimes run with module dropout active)."""
+    regimes run with module dropout active). `raw_kind`: see stage1_loss_fn
+    (--device_preprocess image entries are RawBatch canvases)."""
     loss, grads = jax.value_and_grad(
-        stage1_loss_fn(backbone, batch, neg_type, dropout_rng))(state.params)
+        stage1_loss_fn(backbone, batch, neg_type, dropout_rng,
+                       raw_kind))(state.params)
     return state.apply_gradients(grads=grads), loss
 
 
@@ -93,6 +112,7 @@ def train_epoch_stage1(
     start_step: int = 0,
     sharded_step=None,
     mesh=None,
+    raw_kind=None,
 ):
     """Host loop over `iter_train_images` batches (drops padded tails).
     Loss accumulates on device; host sync only every `log_every` steps.
@@ -116,9 +136,12 @@ def train_epoch_stage1(
                                start=start_step):
         if (raw["triplet_idx"] < 0).any():
             continue  # drop_last semantics (ref clip4cir/train.py:78)
+        to_dev = (jnp.asarray if raw_kind is None
+                  else lambda rb: type(rb)(jnp.asarray(rb.canvas),
+                                           jnp.asarray(rb.extents)))
         batch = {
-            "refer_images": jnp.asarray(raw["refer_images"]),
-            "target_images": jnp.asarray(raw["target_images"]),
+            "refer_images": to_dev(raw["refer_images"]),
+            "target_images": to_dev(raw["target_images"]),
             "text_ids": jnp.asarray(backbone.tokenize(raw["captions"])),
         }
         # fold_in (not sequential split) so a mid-epoch resume with
@@ -134,18 +157,21 @@ def train_epoch_stage1(
             built_nt = getattr(sharded_step, "neg_type", neg_type)
             built_dr = getattr(sharded_step, "with_dropout",
                                step_rng is not None)
-            if built_nt != neg_type or built_dr != (step_rng is not None):
+            built_rk = getattr(sharded_step, "raw_kind", raw_kind)
+            if built_nt != neg_type or built_dr != (step_rng is not None) \
+                    or built_rk != raw_kind:
                 raise ValueError(
                     f"sharded step built with neg_type={built_nt}, "
-                    f"with_dropout={built_dr} but the epoch runs "
-                    f"neg_type={neg_type}, dropout={step_rng is not None}")
+                    f"with_dropout={built_dr}, raw_kind={built_rk} but the "
+                    f"epoch runs neg_type={neg_type}, "
+                    f"dropout={step_rng is not None}, raw_kind={raw_kind}")
             batch = shard_batch(batch, mesh)
             if step_rng is not None:
                 batch["dropout_rng"] = replicate(step_rng, mesh)
             state, loss = sharded_step(state, batch)
         else:
             state, loss = stage1_train_step(backbone, state, batch, neg_type,
-                                            step_rng)
+                                            step_rng, raw_kind)
         loss_sum = loss if loss_sum is None else loss_sum + loss
         count += 1
         if log_every and step % log_every == 0:

@@ -386,3 +386,55 @@ def test_train_cli_resume_mesh(fiq_root, tmp_path, monkeypatch):
     ]
     train_main("clip", argv1 + ["--num-epochs", "1"])
     train_main("clip", argv1 + ["--num-epochs", "2"])
+
+
+def test_validate_cli_device_preprocess(fiq_root, tmp_path, monkeypatch):
+    """--device_preprocess: gallery indexing stages raw canvases and runs
+    resize/crop/normalize fused with the tower; Recall metrics must match
+    the all-host pipeline on the fixture (identical ranks at this scale)."""
+    monkeypatch.chdir(tmp_path)
+    argv = [
+        "--dataset", "fiq",
+        "--data_path", fiq_root,
+        "--dress_types", "dress",
+        "--clip-model-name", "test-tiny",
+    ]
+    host = validate_main("clip", argv)
+    dev = validate_main("clip", argv + ["--device_preprocess"])
+    assert host == dev, (host, dev)
+
+
+def test_train_cli_stage1_device_preprocess(fiq_root, tmp_path, monkeypatch):
+    """--wo_bank (stage-1) + --device_preprocess: the train step absorbs the
+    RawBatch canvases on-chip."""
+    monkeypatch.chdir(tmp_path)
+    from spn4cir_tpu.cli.train import train_main
+
+    train_main("clip", [
+        "--dataset", "fiq",
+        "--data_path", fiq_root,
+        "--dress_types", "dress",
+        "--clip-model-name", "test-tiny",
+        "--batch-size", "4",
+        "--num-epochs", "1",
+        "--wo_bank",
+        "--device_preprocess",
+        "--output_path", str(tmp_path / "out_devpre"),
+        "--validation-frequency", "1",
+    ])
+
+
+def test_train_cli_blip2_device_preprocess(fiq_root, tmp_path, monkeypatch):
+    """blip2 + --device_preprocess: the caption-aware fusion-bank extraction
+    absorbs RawBatch canvases (extract_fusion_banks passes the pytree into
+    the absorbed encoder)."""
+    monkeypatch.chdir(tmp_path)
+    best = train_main("blip2", [
+        "--dataset", "fiq", "--data_path", fiq_root,
+        "--dress_types", "dress", "--clip-model-name", "test-tiny",
+        "--num-epochs", "1", "--batch-size", "4",
+        "--loss_impl", "xla",
+        "--device_preprocess",
+        "--output_path", str(tmp_path / "out_devpre_b2"),
+    ])
+    assert best >= 0

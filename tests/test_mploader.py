@@ -103,3 +103,27 @@ def test_iter_train_images_mp_env_matches_default(image_paths, tmp_path,
                                    atol=2e-2)
         np.testing.assert_allclose(a["target_images"], b["target_images"],
                                    atol=2e-2)
+
+
+def test_mploader_raw_mode(image_paths):
+    """raw_canvas mode: uint8 canvases + extents, order-preserving, matching
+    direct staging of the same paths."""
+    from spn4cir_tpu.data.transforms import RawBatch, stage_raw_image
+
+    with MPLoader("targetpad", 32, batch_size=4, num_procs=2,
+                  threads_per_proc=1, raw_canvas=64) as loader:
+        got_c, got_e, ns = [], [], []
+        for batch, n in loader.map_batches(batched_paths(image_paths, 4)):
+            assert isinstance(batch, RawBatch)
+            assert batch.canvas.dtype == np.uint8
+            got_c.append(batch.canvas[:n].copy())
+            got_e.append(batch.extents[:n].copy())
+            ns.append(n)
+    got_c = np.concatenate(got_c)
+    got_e = np.concatenate(got_e)
+    assert got_c.shape == (len(image_paths), 64, 64, 3)
+    for i, p in enumerate(image_paths):
+        arr = np.asarray(Image.open(p).convert("RGB"), np.uint8)
+        want, ext = stage_raw_image(arr, 64, "targetpad")
+        np.testing.assert_array_equal(got_c[i], want, err_msg=p)
+        assert tuple(got_e[i]) == ext

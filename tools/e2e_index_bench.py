@@ -38,6 +38,12 @@ def main():
     p.add_argument("--threads", type=int, default=0,
                    help="native threads per worker (0 = default)")
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--device_preprocess", action="store_true",
+                   help="raw-staging mode: host decodes + pastes uint8 "
+                        "canvases, resize/crop/normalize fuse with the "
+                        "tower on-device (ops/preprocess.py)")
+    p.add_argument("--canvas", type=int, default=0,
+                   help="staging canvas side (0 = 2x the tower input dim)")
     args = p.parse_args()
 
     import jax
@@ -65,25 +71,47 @@ def main():
     backbone = build_backbone(args.backbone, clip_model_name=args.model)
     params = backbone.init_params(jax.random.PRNGKey(0))
     dim = backbone.input_dim
-    encode = jax.jit(lambda p, im: backbone.gallery_features(p, im))
+    canvas = args.canvas or 2 * dim
 
-    # warm the compile + the worker pool
-    warm = jnp.zeros((args.batch, dim, dim, 3), jnp.float32)
-    encode(params, warm).block_until_ready()
+    if args.device_preprocess:
+        from spn4cir_tpu.ops.preprocess import preprocess_batch_dynamic
+
+        fused = jax.jit(lambda p, canv, ext: backbone.gallery_features(
+            p, preprocess_batch_dynamic(canv, ext, dim, "targetpad")))
+
+        def encode_batch(batch):
+            return fused(params, jnp.asarray(batch.canvas),
+                         jnp.asarray(batch.extents))
+
+        warm_ext = jnp.full((args.batch, 2), args.size, jnp.int32)
+        warm = fused(params,
+                     jnp.zeros((args.batch, canvas, canvas, 3), jnp.uint8),
+                     warm_ext)
+        loader_kw = dict(raw_canvas=canvas)
+    else:
+        encode = jax.jit(lambda p, im: backbone.gallery_features(p, im))
+
+        def encode_batch(arr):
+            return encode(params, jnp.asarray(arr))
+
+        warm = encode(params, jnp.zeros((args.batch, dim, dim, 3),
+                                        jnp.float32))
+        loader_kw = {}
+    warm.block_until_ready()
 
     batches = batched_paths(paths, args.batch)
     results = {}
     with MPLoader("targetpad", dim, args.batch, num_procs=args.procs,
-                  threads_per_proc=args.threads) as loader:
+                  threads_per_proc=args.threads, **loader_kw) as loader:
         # one warmup pass primes worker .so loads + page cache
         for arr, n in loader.map_batches(batches[:2]):
-            encode(params, jnp.asarray(arr))
+            encode_batch(arr)
         best = 0.0
         for _ in range(args.repeats):
             feats = None
             t0 = time.monotonic()
             for arr, n in loader.map_batches(batches):
-                feats = encode(params, jnp.asarray(arr))
+                feats = encode_batch(arr)
             # fetch one scalar: the only reliable sync through the tunnel
             float(feats[0, 0])
             dt = time.monotonic() - t0
@@ -97,25 +125,44 @@ def main():
         results["host_only"] = args.n / (time.monotonic() - t0)
 
     # device-only rate for the same geometry (input already on device)
-    dev_in = jnp.asarray(rng.rand(args.batch, dim, dim, 3).astype(np.float32))
-    encode(params, dev_in).block_until_ready()
+    if args.device_preprocess:
+        from spn4cir_tpu.data.transforms import RawBatch
+
+        src = (rng.rand(args.batch, canvas, canvas, 3) * 255).astype(np.uint8)
+        ext = np.full((args.batch, 2), min(args.size, canvas), np.int32)
+        dev_in = RawBatch(jnp.asarray(src), jnp.asarray(ext))
+    else:
+        dev_in = jnp.asarray(rng.rand(args.batch, dim, dim, 3)
+                             .astype(np.float32))
+    encode_batch(dev_in).block_until_ready()
     t0 = time.monotonic()
     reps = max(args.n // args.batch, 1)
     for _ in range(reps):
-        out = encode(params, dev_in)
+        out = encode_batch(dev_in)
     float(out[0, 0])
     results["device_only"] = reps * args.batch / (time.monotonic() - t0)
 
     cores = args.procs * (args.threads or min(8, os.cpu_count() or 1))
     per_core = results["host_only"] / max(cores, 1)
     budget = results["device_only"] / max(per_core, 1e-9)
+    mode = "raw-staging (device preprocess)" if args.device_preprocess \
+        else "full host preprocess"
     print(f"model {args.model} dim {dim} batch {args.batch} "
-          f"procs {args.procs}")
+          f"procs {args.procs} [{mode}]")
     print(f"e2e from JPEG:  {results['e2e']:,.0f} img/s")
-    print(f"host decode:    {results['host_only']:,.0f} img/s "
+    print(f"host pipeline:  {results['host_only']:,.0f} img/s "
           f"({per_core:,.1f} img/s/thread over ~{cores} threads)")
-    print(f"device encode:  {results['device_only']:,.0f} img/s/chip")
+    print(f"device rate:    {results['device_only']:,.0f} img/s/chip")
     print(f"host threads to saturate the chip: ~{budget:,.0f}")
+    import json
+
+    print(json.dumps({"metric": "e2e_index", "model": args.model,
+                      "device_preprocess": bool(args.device_preprocess),
+                      "e2e_img_s": round(results["e2e"], 1),
+                      "host_img_s": round(results["host_only"], 1),
+                      "host_img_s_thread": round(per_core, 2),
+                      "device_img_s": round(results["device_only"], 1),
+                      "threads_to_saturate": round(budget, 1)}))
 
 
 if __name__ == "__main__":
