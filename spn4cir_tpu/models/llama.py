@@ -129,9 +129,11 @@ def _mm(x, w, use_kernel: bool = False):
     """x @ w for dense or QuantKernel weights (dequant-after-matmul).
 
     `use_kernel` routes int8 weights through the fused Pallas matmul
-    (ops/quant_matmul.py) — the XLA fallback's `.astype` materializes a
-    full-precision weight copy in HBM per call, ~5× the int8 read at 7B
-    decode. Auto-enabled by llama_generate on TPU single-device runs."""
+    (ops/quant_matmul.py). Hardware A/Bs (BENCHMARKS.md round 4) showed XLA
+    fuses the `.astype` dequant into its matmul schedule — no HBM weight
+    copy materializes even at decode — and beats the kernel on both 7B
+    decode workloads, so llama_generate now defaults the kernel OFF; the
+    path stays for per-geometry re-evaluation via --quant_kernel."""
     if isinstance(w, QuantKernel):
         if use_kernel and w.values.ndim == 2:
             from spn4cir_tpu.ops.quant_matmul import quant_matmul
@@ -409,6 +411,104 @@ def llama_prefill(params: Dict[str, Any], cfg: LlamaConfig,
     return logits, LlamaDecodeState(new_k, new_v)
 
 
+def llama_prefill_chunked(params: Dict[str, Any], cfg: LlamaConfig,
+                          state: LlamaDecodeState, x: jnp.ndarray, *,
+                          chunk: int,
+                          positions: Optional[jnp.ndarray] = None,
+                          pad_mask: Optional[jnp.ndarray] = None,
+                          quant_kernel: bool = False,
+                          ) -> Tuple[jnp.ndarray, LlamaDecodeState]:
+    """`llama_prefill` in fixed-size prompt chunks: caps the prefill working
+    set so batch can scale.
+
+    Dense prefill's f32 attention logits are (B, H, P, P) — 410 MB at
+    B=16/P=448/7B, which is what stalls rewriter batching past B=8
+    (BENCHMARKS.md round 3). Chunk c consumes positions [off, off+C) in one
+    forward that attends over cache rows [0, off+C): logits shrink to
+    (B, H, C, off+C) and the peak is the LAST chunk's ~(C/P) x the dense
+    blow-up. The chunk loop is unrolled in Python (n_chunks is static), so
+    every cache slice bound is static; the KV caches ride the layer scan's
+    CARRY (indexed per-layer update) — carry aliasing keeps the updates
+    in-place, where an xs->ys cache (dense prefill's layout) would copy the
+    whole cache per chunk.
+
+    Same contract as llama_prefill, including left-padded ragged batches;
+    equal logits up to cache_dtype rounding of earlier chunks' keys (decode
+    reads the cache at cache_dtype the same way)."""
+    hd = cfg.head_dim
+    n_rep = cfg.num_heads // cfg.kv_heads
+    batch, plen, _ = x.shape
+    layer = params["layers"]["layer"]
+    mm = lambda a, w: _mm(a, w, quant_kernel)  # noqa: E731
+    li_axis = jnp.arange(cfg.num_layers)
+    ck_all, cv_all = state.k, state.v
+    last = None
+
+    for off in range(0, plen, chunk):
+        end = min(off + chunk, plen)
+        c = end - off
+        xb = x[:, off:end]
+        pos_b = (jnp.arange(off, end) if positions is None
+                 else positions[:, off:end])
+        cos, sin = rope_tables(cfg, pos_b)
+        # key j in [0, end) visible to chunk row i (global off+i) iff
+        # j <= off+i and (ragged) j is a real token
+        causal = jnp.where(
+            jnp.arange(end)[None, :] <= (off + jnp.arange(c))[:, None],
+            0.0, NEG_INF)
+        if pad_mask is not None:
+            causal = causal[None, None] + (
+                1.0 - pad_mask[:, :end].astype(jnp.float32)
+            )[:, None, None, :] * NEG_INF
+        else:
+            causal = jnp.broadcast_to(causal[None, None], (1, 1, c, end))
+
+        def one_layer(carry, xs, *, off=off, end=end, c=c, cos=cos, sin=sin,
+                      causal=causal):
+            xb, ck_all, cv_all = carry
+            lp, li = xs
+            h = rms_norm(xb, lp["input_ln"]["scale"], cfg.rms_eps)
+            at = lp["attn"]
+            q = mm(h, at["q"]["kernel"]).reshape(batch, c, cfg.num_heads, hd)
+            k = mm(h, at["k"]["kernel"]).reshape(batch, c, cfg.kv_heads, hd)
+            v = mm(h, at["v"]["kernel"])
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            ck_all = jax.lax.dynamic_update_slice(
+                ck_all, k.reshape(batch, c, -1)[None].astype(ck_all.dtype),
+                (li, 0, off, 0))
+            cv_all = jax.lax.dynamic_update_slice(
+                cv_all, v[None].astype(cv_all.dtype), (li, 0, off, 0))
+            dkv = cfg.kv_heads * hd
+            ks = jax.lax.dynamic_slice(
+                ck_all, (li, 0, 0, 0), (1, batch, end, dkv))[0]
+            vs = jax.lax.dynamic_slice(
+                cv_all, (li, 0, 0, 0), (1, batch, end, dkv))[0]
+            kh = _repeat_kv(ks.reshape(batch, end, cfg.kv_heads, hd), n_rep)
+            vh = _repeat_kv(vs.reshape(batch, end, cfg.kv_heads, hd), n_rep)
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, kh,
+                preferred_element_type=jnp.float32) * (hd ** -0.5)
+            logits = logits + causal
+            w = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", w, vh).reshape(batch, c, -1)
+            xb = xb + mm(ctx, at["o"]["kernel"]).astype(xb.dtype)
+            h = rms_norm(xb, lp["post_ln"]["scale"], cfg.rms_eps)
+            gate = mm(h, lp["gate"]["kernel"])
+            up = mm(h, lp["up"]["kernel"])
+            xb = xb + mm(jax.nn.silu(gate) * up,
+                         lp["down"]["kernel"]).astype(xb.dtype)
+            return (xb, ck_all, cv_all), None
+
+        (xb, ck_all, cv_all), _ = jax.lax.scan(
+            one_layer, (xb, ck_all, cv_all), (layer, li_axis))
+        last = xb[:, -1]
+
+    out = rms_norm(last, params["norm"]["scale"], cfg.rms_eps)
+    logits = mm(out.astype(jnp.float32), params["lm_head"])
+    return logits, LlamaDecodeState(ck_all, cv_all)
+
+
 def llama_decode_step(params: Dict[str, Any], cfg: LlamaConfig,
                       state: LlamaDecodeState, x: jnp.ndarray,
                       pos: jnp.ndarray, *,
@@ -489,7 +589,8 @@ def llama_generate(params: Dict[str, Any], cfg: LlamaConfig,
                    rng: Optional[jax.Array] = None,
                    attention_mask: Optional[jnp.ndarray] = None,
                    cache_sharding=None,
-                   quant_kernel: Optional[bool] = None) -> jnp.ndarray:
+                   quant_kernel: Optional[bool] = None,
+                   prefill_chunk: Optional[int] = None) -> jnp.ndarray:
     """Generate continuations of an embedded prompt.
 
     inputs_embeds: (B, P, D) — the prompt as embeddings (image features may
@@ -512,16 +613,25 @@ def llama_generate(params: Dict[str, Any], cfg: LlamaConfig,
 
     `quant_kernel` controls the DECODE steps only: prefill always takes the
     XLA path regardless (kernel-on prefill regressed on hardware — see the
-    comment above the llama_prefill call)."""
+    comment above the llama_prefill call).
+
+    `prefill_chunk` routes the prompt through llama_prefill_chunked in
+    fixed-size chunks — caps the (B, H, P, P) f32 attention-logit working
+    set so large-batch long-prompt prefill fits (the B=16 rewriter
+    regression, BENCHMARKS.md round 3)."""
     from spn4cir_tpu.models.generation import top_k_filter, top_p_filter
 
     if quant_kernel is None:
-        # fused int8 matmuls (ops/quant_matmul.py) on single-device TPU
-        # runs; under tensor parallelism GSPMD would treat the opaque
-        # pallas_call as replicated and all-gather the weight shards, so
-        # TP keeps the XLA path (its dequant cost amortizes over N chips)
-        quant_kernel = (jax.default_backend() == "tpu"
-                        and cache_sharding is None)
+        # Default OFF everywhere: the v5e decode A/B (BENCHMARKS.md round 4)
+        # measured the fused int8 kernel LOSING to XLA's own int8 matmul on
+        # both 7B workloads — llava captions 7.55 -> 6.78 /s (B=8), rewriter
+        # 2.78 -> 2.15 prompts/s (B=1) — i.e. XLA fuses the dequant into its
+        # MXU schedule and does not materialize a weight copy at decode
+        # either. The kernel + --quant_kernel stay for re-evaluation on
+        # other geometries. (Under tensor parallelism the kernel was always
+        # off: GSPMD would all-gather the weight shards of an opaque
+        # pallas_call.)
+        quant_kernel = False
 
     batch, prompt_len, _ = inputs_embeds.shape
     total = prompt_len + max_new_tokens
@@ -567,9 +677,14 @@ def llama_generate(params: Dict[str, Any], cfg: LlamaConfig,
     # generate 3.0→3.5 ms/position and VMEM-OOM'd at (3584, 11008) row
     # blocks), while decode re-streams every weight once per token, the
     # memory-bound case the kernel exists for.
-    logits0, state = llama_prefill(params, cfg, state, inputs_embeds,
-                                   positions=positions, pad_mask=am,
-                                   quant_kernel=False)
+    if prefill_chunk and prefill_chunk < prompt_len:
+        logits0, state = llama_prefill_chunked(
+            params, cfg, state, inputs_embeds, chunk=prefill_chunk,
+            positions=positions, pad_mask=am, quant_kernel=False)
+    else:
+        logits0, state = llama_prefill(params, cfg, state, inputs_embeds,
+                                       positions=positions, pad_mask=am,
+                                       quant_kernel=False)
     rng, sub = jax.random.split(rng)
     tok0 = sample_from(logits0, sub)
     out = jnp.full((batch, max_new_tokens), pad_id, jnp.int32)

@@ -256,12 +256,24 @@ class LlavaCaptioner:
 
     def caption(self, params, images, user_message: str, *,
                 max_new_tokens: int = 64, temperature: float = 0.01,
-                top_p: float = 0.01, rng=None) -> List[str]:
-        """images: (B, H, W, 3) preprocessed floats -> B caption strings."""
+                top_p: float = 0.01, rng=None,
+                cache_dtype=None) -> List[str]:
+        """images: (B, H, W, 3) preprocessed floats -> B caption strings.
+
+        `cache_dtype` defaults to bfloat16 at production LM widths (the KV
+        cache, not the weights, bounds batch on a 16 GB chip and its reads
+        are pure decode bandwidth) and float32 at test-tiny widths, where
+        the HF-parity suites demand bit-level agreement."""
+        import jax.numpy as jnp
+
+        if cache_dtype is None:
+            cache_dtype = (jnp.bfloat16
+                           if self.cfg.llama.hidden_size >= 1024
+                           else jnp.float32)
         ids = self.prompt_ids(user_message)
         eos = self.tok.eos_token_id
         key = ("caption", images.shape, tuple(ids), max_new_tokens,
-               temperature, top_p)
+               temperature, top_p, jnp.dtype(cache_dtype).name)
         if key not in self._jit_cache:
             def run(params, images, rng):
                 img_feats = self.module.apply(
@@ -273,7 +285,8 @@ class LlavaCaptioner:
                     lm_params, self.cfg.llama, embeds, eos_id=eos,
                     pad_id=eos, max_new_tokens=max_new_tokens,
                     do_sample=True, temperature=temperature, top_p=top_p,
-                    rng=rng, cache_sharding=self._cache_sharding,
+                    rng=rng, cache_dtype=cache_dtype,
+                    cache_sharding=self._cache_sharding,
                     quant_kernel=self._quant_kernel)
 
             self._jit_cache[key] = jax.jit(run)

@@ -2,15 +2,19 @@
 
     y = (x @ values) * scales        # values (D, F) int8, scales (F,) f32
 
-Why a kernel: XLA on TPU does not fuse elementwise producers into dot
-operands, so the `_mm` fallback's `values.astype(x.dtype)` materializes a
-full-precision copy of every weight matrix in HBM on every call. At 7B
-decode — one weight-streaming pass per generated token — that turns each
-int8 read into read-int8 + write-bf16 + read-bf16 (~5× the int8 bytes),
-which is exactly what weight-only quantization was supposed to avoid
-(quantize_llama_weights: per-output-channel scales, dequant after the
-contraction). This kernel streams the int8 blocks HBM→VMEM and converts
-in-registers: HBM weight traffic is the int8 read alone.
+Why this kernel was built: the hypothesis that XLA materializes a
+full-precision HBM copy for the `_mm` fallback's `values.astype(x.dtype)`
+on every call — turning each int8 read into read-int8 + write-bf16 +
+read-bf16 at 7B decode. HARDWARE VERDICT (v5e A/Bs, BENCHMARKS.md round 4):
+the hypothesis is wrong on both phases. Kernel-on prefill regressed 7B
+generate 3.0→3.5 ms/position (round 3), and kernel-on DECODE regressed
+llava captions 7.55→6.78/s (B=8) and rewriter prompts 2.78→2.15/s (B=1) —
+XLA fuses the dequant into its MXU schedule and its pipelining beats this
+kernel's. The kernel therefore defaults OFF everywhere
+(models/llama.py:llama_generate) and remains available via --quant_kernel
+for re-evaluation on other geometries/toolchain versions. It streams the
+int8 blocks HBM→VMEM and converts in-registers: HBM weight traffic is the
+int8 read alone.
 
 Geometry: grid over F blocks only; x rides whole in VMEM (decode x is
 (B≤16, D) — a few hundred KB; prefill flattens (B, P, D) to (B·P, D)).

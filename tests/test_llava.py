@@ -397,3 +397,70 @@ def test_llama_left_padded_batch_matches_hf_and_single():
         if done.size:  # HF pads with pad_token_id after EOS too
             row[done[0] + 1:] = 0
         assert np.array_equal(row_hf, row), (r, row_hf, row)
+
+
+# ---------------------------------------------------------------------------
+# Chunked prefill (fixed-size prompt chunks; caps the B x H x P^2 logits)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("chunk", [3, 4, 16])
+def test_chunked_prefill_matches_dense(chunk):
+    from spn4cir_tpu.models.llama import llama_prefill, llama_prefill_chunked
+
+    tm = tiny_hf_llama(seed=4)
+    cfg = LlamaConfig.tiny(vocab_size=96)
+    params = convert_llama_state_dict(tm.state_dict(), cfg.num_layers)["params"]
+    ids = np.random.RandomState(7).randint(3, 96, (2, 11))
+    emb = jnp.asarray(params["embed_tokens"][ids])
+    st0 = init_llama_state(cfg, 2, 16)
+    dense_lg, dense_st = llama_prefill(params, cfg, st0, emb)
+    chnk_lg, chnk_st = llama_prefill_chunked(params, cfg, st0, emb,
+                                             chunk=chunk)
+    np.testing.assert_allclose(np.asarray(chnk_lg), np.asarray(dense_lg),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(chnk_st.k[:, :, :11]),
+                               np.asarray(dense_st.k[:, :, :11]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(chnk_st.v[:, :, :11]),
+                               np.asarray(dense_st.v[:, :, :11]), atol=1e-5)
+
+
+def test_chunked_prefill_ragged_left_padded():
+    """Left-padded ragged batch: per-row positions + pad key masking flow
+    through the chunk loop identically to dense prefill."""
+    from spn4cir_tpu.models.llama import llama_prefill, llama_prefill_chunked
+
+    tm = tiny_hf_llama(seed=5)
+    cfg = LlamaConfig.tiny(vocab_size=96)
+    params = convert_llama_state_dict(tm.state_dict(), cfg.num_layers)["params"]
+    rng = np.random.RandomState(8)
+    P = 10
+    ids = rng.randint(3, 96, (3, P))
+    am = np.ones((3, P), np.int32)
+    am[0, :4] = 0  # row 0: 4 pad positions on the left
+    am[2, :7] = 0
+    pos = np.clip(np.cumsum(am, 1) - 1, 0, None)
+    emb = jnp.asarray(params["embed_tokens"][ids])
+    st0 = init_llama_state(cfg, 3, 16)
+    dense_lg, dense_st = llama_prefill(params, cfg, st0, emb,
+                                       positions=jnp.asarray(pos),
+                                       pad_mask=jnp.asarray(am))
+    chnk_lg, chnk_st = llama_prefill_chunked(params, cfg, st0, emb, chunk=4,
+                                             positions=jnp.asarray(pos),
+                                             pad_mask=jnp.asarray(am))
+    np.testing.assert_allclose(np.asarray(chnk_lg), np.asarray(dense_lg),
+                               atol=2e-5)
+
+
+def test_generate_with_prefill_chunk_matches_dense():
+    tm = tiny_hf_llama(seed=6)
+    cfg = LlamaConfig.tiny(vocab_size=96)
+    params = convert_llama_state_dict(tm.state_dict(), cfg.num_layers)
+    ids = np.random.RandomState(9).randint(3, 96, (2, 9))
+    embeds = jnp.asarray(params["params"]["embed_tokens"][ids])
+    dense = np.asarray(llama_generate(params["params"], cfg, embeds,
+                                      eos_id=2, pad_id=0, max_new_tokens=8))
+    chunked = np.asarray(llama_generate(params["params"], cfg, embeds,
+                                        eos_id=2, pad_id=0, max_new_tokens=8,
+                                        prefill_chunk=4))
+    assert np.array_equal(dense, chunked)

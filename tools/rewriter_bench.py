@@ -52,6 +52,8 @@ def main():
                    choices=["auto", "on", "off"],
                    help="fused int8 Pallas matmul (ops/quant_matmul.py), DECODE steps only — prefill always uses the XLA path; auto = on for single-device TPU")
     p.add_argument("--weights", default="int8", choices=["bf16", "int8"])
+    p.add_argument("--prefill_chunk", type=int, default=0,
+                   help="chunked prefill size (0 = dense one-shot)")
     args = p.parse_args()
 
     from spn4cir_tpu.models.llama import (LlamaConfig, LlamaLM,
@@ -82,6 +84,7 @@ def main():
     gen_kw = dict(eos_id=2, pad_id=2, max_new_tokens=T, do_sample=True,
                   temperature=1.0, top_p=1.0, top_k=10,
                   cache_dtype=jnp.bfloat16,  # load_jax_rewriter's 7B default
+                  prefill_chunk=args.prefill_chunk or None,
                   quant_kernel={"auto": None, "on": True,
                                 "off": False}[args.quant_kernel])
 
@@ -116,6 +119,7 @@ def main():
                       "prompts_per_sec": round(B / tb, 2),
                       "speedup_vs_b1": round((B / tb) / (1 / t1), 2),
                       "prompt_len": P, "new_tokens": T,
+                      "prefill_chunk": args.prefill_chunk,
                       "weights": args.weights}), flush=True)
 
 

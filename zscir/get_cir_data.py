@@ -69,6 +69,10 @@ if __name__ == "__main__":
                    help="tensor-parallel the jax LM over this many chips "
                         "(Megatron shards via parallel/tp.py; bf16 7B "
                         "fits from 2x16 GB chips, decode rides NxHBM)")
+    p.add_argument("--prefill_chunk", type=int, default=0,
+                   help="prefill the prompt in fixed-size chunks (caps the "
+                        "B x H x P^2 attention-logit working set so "
+                        "--llm_batch 16+ fits; 0 = dense one-shot prefill)")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args()
     use_cc = args.dataset.startswith("cc")
@@ -140,7 +144,8 @@ if __name__ == "__main__":
                 args.llm_ckpt, tok, data=base, mod_type=mod_type,
                 llm_type=llm_type,
                 tiny=(args.llm_backend == "jax-tiny"), seed=args.seed,
-                batch_size=args.llm_batch, mesh=mesh)
+                batch_size=args.llm_batch, mesh=mesh,
+                prefill_chunk=args.prefill_chunk or None)
     prompt_ids = [int(x) for x in args.p_list.split(",")]
     if use_cc:
         from spn4cir_tpu.datagen.generate import (generate_cc_triplets,
