@@ -85,7 +85,7 @@ class MultiHeadAttention(nn.Module):
             raise ValueError("causal=True with an explicit mask")
         flat_ok = kv is None and mask is None and x.ndim == 3
         use_pack = flat_ok and _ak.should_pack(x.shape[1], head_dim,
-                                               self.fused)
+                                               self.fused, causal=causal)
         if use_pack or (flat_ok and not causal
                         and _ak.should_fuse(x.shape[1], self.fused)):
             b, s = x.shape[0], x.shape[1]

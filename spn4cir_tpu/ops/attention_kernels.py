@@ -406,18 +406,25 @@ MAX_PACKED_SEQ = 128
 MAX_PACKED_DIM = 128
 
 
-def should_pack(seq_len: int, head_dim: int, impl: str = "auto") -> bool:
+def should_pack(seq_len: int, head_dim: int, impl: str = "auto",
+                causal: bool = False) -> bool:
     """Packed-kernel dispatch: short sequences whose per-head score dots
     are too small for the MXU on their own (hardware: +4.1% on the full
     ViT-B/32 encode vs the XLA einsum path). Engages for maskless short
-    self-attention (ViT-B/32 S=50) and, via the causal variant, the CLIP
-    text towers (S=77). MED/BERT text carries per-example padding masks
-    and stays on the einsum path."""
+    self-attention (ViT-B/32 S=50) ONLY — the causal variant measured a
+    LOSS on both CLIP text towers in the v5e A/B (BENCHMARKS.md round 4:
+    ViT-L/14 text 5242->5163 captions/s, RN50x4 text 6670->6292; the
+    in-kernel triangular mask wastes half of each packed block's MACs and
+    the blocks were already MXU-shaped at S=77), so causal stays on the
+    XLA einsum path under 'auto' and engages only under the explicit
+    impl='packed' override. MED/BERT text carries per-example padding
+    masks and was always einsum-path."""
     if seq_len > MAX_PACKED_SEQ or head_dim > MAX_PACKED_DIM:
         return False
     if impl == "packed":
         return True
-    return impl == "auto" and jax.default_backend() == "tpu"
+    return (impl == "auto" and not causal
+            and jax.default_backend() == "tpu")
 
 
 def should_fuse(seq_len: int, impl: str = "auto") -> bool:
