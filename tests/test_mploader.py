@@ -127,3 +127,49 @@ def test_mploader_raw_mode(image_paths):
         want, ext = stage_raw_image(arr, 64, "targetpad")
         np.testing.assert_array_equal(got_c[i], want, err_msg=p)
         assert tuple(got_e[i]) == ext
+
+
+def test_iter_gallery_mp_raw_matches_default(image_paths, monkeypatch):
+    """SPN4CIR_MP_PROCS + RawStageTransform: the raw-staging gallery scan
+    through the MP loader must yield the same canvases/extents as the
+    in-process thread path (native staging is deterministic)."""
+    import os
+
+    from spn4cir_tpu.data.datasets import CIRDataset, iter_gallery
+    from spn4cir_tpu.data.transforms import RawStageTransform
+
+    root = os.path.dirname(os.path.dirname(image_paths[0]))
+    ds = CIRDataset("fiq", "val", "classic",
+                    RawStageTransform("targetpad", 32, 64), root, ["dress"])
+    want = list(iter_gallery(ds, 4, num_workers=2))
+    monkeypatch.setenv("SPN4CIR_MP_PROCS", "2")
+    got = list(iter_gallery(ds, 4, num_workers=2))
+    assert len(got) == len(want) and len(want) > 0
+    for (ia, a), (ib, b) in zip(want, got):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(a.canvas, b.canvas)
+        np.testing.assert_array_equal(a.extents, b.extents)
+
+
+def test_iter_train_images_mp_raw(image_paths, monkeypatch):
+    """stage-1's 2B-row MP decode in raw mode: refer/target RawBatch halves
+    match the thread path bit-exactly."""
+    import os
+
+    from spn4cir_tpu.data.datasets import CIRDataset, iter_train_images
+    from spn4cir_tpu.data.transforms import RawStageTransform
+
+    root = os.path.dirname(os.path.dirname(image_paths[0]))
+    ds = CIRDataset("fiq", "train", "relative",
+                    RawStageTransform("targetpad", 32, 64), root, ["dress"])
+    want = list(iter_train_images(ds, 4, shuffle=True, epoch_seed=3,
+                                  num_workers=2))
+    monkeypatch.setenv("SPN4CIR_MP_PROCS", "2")
+    got = list(iter_train_images(ds, 4, shuffle=True, epoch_seed=3,
+                                 num_workers=2))
+    assert len(got) == len(want) and len(want) > 0
+    for a, b in zip(want, got):
+        assert a["captions"] == b["captions"]
+        for side in ("refer_images", "target_images"):
+            np.testing.assert_array_equal(a[side].canvas, b[side].canvas)
+            np.testing.assert_array_equal(a[side].extents, b[side].extents)
