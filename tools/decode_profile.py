@@ -32,19 +32,28 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def random_params_like(shapes):
+def random_params_like(tree, scale=0.02):
+    """DEVICE-side random params from an eval_shape tree — a host-built 7B
+    int8 tree would ship ~6.7 GB through the dev tunnel (tools/llava_bench
+    pattern)."""
+    import jax
     import jax.numpy as jnp
 
-    rng = np.random.RandomState(0)
-
-    def mk(s):
-        if s.dtype == jnp.int8:
-            return jnp.asarray(rng.randint(-127, 128, s.shape, np.int8))
-        return jnp.asarray((rng.rand(*s.shape) * 0.02 - 0.01)
-                           .astype(s.dtype))
-
-    import jax
-    return jax.tree_util.tree_map(mk, shapes)
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    keys = jax.random.split(jax.random.PRNGKey(0), len(leaves))
+    outs = []
+    for k, leaf in zip(keys, leaves):
+        shape = leaf.shape
+        if jnp.issubdtype(leaf.dtype, jnp.integer):
+            outs.append(jax.jit(lambda key, s=shape: jax.random.randint(
+                key, s, -127, 128, jnp.int32).astype(jnp.int8))(k))
+        elif leaf.dtype == jnp.float32 and len(shape) <= 1:
+            outs.append(jax.jit(lambda key, s=shape: jnp.abs(
+                jax.random.normal(key, s, jnp.float32)) * (scale / 127))(k))
+        else:
+            outs.append(jax.jit(lambda key, s=shape, d=leaf.dtype:
+                                jax.random.normal(key, s, d) * scale)(k))
+    return jax.tree_util.tree_unflatten(treedef, outs)
 
 
 def main():
@@ -126,7 +135,11 @@ def main():
                   "quant_kernel": qk})
 
     # ---- 2) matmul-only proxy ------------------------------------------
-    def matmul_scan(x):
+    # params must be ARGUMENTS: a closure would capture the 6.6 GB tree as
+    # lowered constants and ship it through the dev tunnel to the compiler
+    def matmul_scan(pp, x):
+        lyr = pp["layers"]["layer"]
+
         def step(x, _):
             def one_layer(x, lp):
                 at = lp["attn"]
@@ -141,8 +154,8 @@ def main():
                            lp["down"]["kernel"]).astype(x.dtype)
                 return x, None
 
-            x, _ = jax.lax.scan(one_layer, x, layer)
-            logits = _mm(x.astype(jnp.float32), params["lm_head"], qk)
+            x, _ = jax.lax.scan(one_layer, x, lyr)
+            logits = _mm(x.astype(jnp.float32), pp["lm_head"], qk)
             return x + logits[:, :D].astype(x.dtype) * 0, None
 
         x, _ = jax.lax.scan(step, x, None, length=T)
@@ -150,17 +163,18 @@ def main():
 
     x0 = jnp.asarray((np.random.RandomState(2).rand(B, D) * 0.02)
                      .astype(np.float32))
-    report("matmuls_only", timeit(jax.jit(matmul_scan), x0),
+    report("matmuls_only", timeit(jax.jit(matmul_scan), params, x0),
            extra={"quant_kernel": qk})
 
     # ---- 3) attention-only proxy ---------------------------------------
     hd = cfg.head_dim
     H = cfg.num_heads
-    kv = jnp.asarray((np.random.RandomState(3).rand(
-        cfg.num_layers, B, L, cfg.kv_heads * hd) * 0.02).astype(np.float32)
-    ).astype(jnp.float32 if cache_dtype == jnp.int8 else cache_dtype)
+    kv = jax.jit(lambda k: jax.random.normal(
+        k, (cfg.num_layers, B, L, cfg.kv_heads * hd),
+        jnp.float32 if cache_dtype == jnp.int8 else cache_dtype) * 0.02)(
+            jax.random.PRNGKey(3))
 
-    def attn_scan(q0):
+    def attn_scan(kv_arg, q0):
         def step(q, _):
             def one_layer(q, ck):
                 kh = ck.reshape(B, L, cfg.kv_heads, hd)
@@ -172,13 +186,13 @@ def main():
                 ctx = jnp.einsum("bhk,bkhd->bhd", w, kh)
                 return ctx.reshape(B, D).astype(q.dtype), None
 
-            q, _ = jax.lax.scan(one_layer, q, kv)
+            q, _ = jax.lax.scan(one_layer, q, kv_arg)
             return q, None
 
         q, _ = jax.lax.scan(step, q0, None, length=T)
         return q
 
-    report("attention_only", timeit(jax.jit(attn_scan), x0))
+    report("attention_only", timeit(jax.jit(attn_scan), kv, x0))
 
     # ---- 4) cache-update-only proxy --------------------------------------
     def upd_scan(carry):
