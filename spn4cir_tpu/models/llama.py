@@ -544,9 +544,15 @@ def llama_decode_step(params: Dict[str, Any], cfg: LlamaConfig,
 
     layer = params["layers"]["layer"]
     mm = lambda a, w: _mm(a, w, quant_kernel)  # noqa: E731
+    dkv = cfg.kv_heads * hd
 
-    def one_layer(x, xs):
-        lp, ck, cv = xs
+    # The KV caches ride the layer scan's CARRY with a per-layer indexed
+    # dynamic_update_slice — carry buffers alias in place under XLA's scan
+    # lowering, where the previous xs->ys layout forced a fresh stacked ys
+    # cache allocation (a full cache write) every step.
+    def one_layer(carry, xs):
+        x, ck_all, cv_all = carry
+        lp, li = xs
         h = rms_norm(x, lp["input_ln"]["scale"], cfg.rms_eps)
         at = lp["attn"]
         q = mm(h, at["q"]["kernel"]).reshape(batch, cfg.num_heads, hd)
@@ -554,10 +560,15 @@ def llama_decode_step(params: Dict[str, Any], cfg: LlamaConfig,
         v = mm(h, at["v"]["kernel"])
         q = rope1(q)
         k = rope1(k)
-        ck = jax.lax.dynamic_update_slice(
-            ck, k.reshape(batch, 1, -1).astype(ck.dtype), (0, pos, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v[:, None].astype(cv.dtype),
-                                          (0, pos, 0))
+        ck_all = jax.lax.dynamic_update_slice(
+            ck_all, k.reshape(batch, 1, -1)[None].astype(ck_all.dtype),
+            (li, 0, pos, 0))
+        cv_all = jax.lax.dynamic_update_slice(
+            cv_all, v[:, None][None].astype(cv_all.dtype), (li, 0, pos, 0))
+        ck = jax.lax.dynamic_slice(
+            ck_all, (li, 0, 0, 0), (1, batch, max_len, dkv))[0]
+        cv = jax.lax.dynamic_slice(
+            cv_all, (li, 0, 0, 0), (1, batch, max_len, dkv))[0]
         kh = _repeat_kv(ck.reshape(batch, max_len, cfg.kv_heads, hd), n_rep)
         vh = _repeat_kv(cv.reshape(batch, max_len, cfg.kv_heads, hd), n_rep)
         logits = jnp.einsum("bhd,bkhd->bhk", q, kh,
@@ -573,9 +584,11 @@ def llama_decode_step(params: Dict[str, Any], cfg: LlamaConfig,
         up = mm(h, lp["up"]["kernel"])
         x = x + mm(jax.nn.silu(gate) * up,
                    lp["down"]["kernel"]).astype(x.dtype)
-        return x, (ck, cv)
+        return (x, ck_all, cv_all), None
 
-    x, (new_k, new_v) = jax.lax.scan(one_layer, x, (layer, state.k, state.v))
+    (x, new_k, new_v), _ = jax.lax.scan(
+        one_layer, (x, state.k, state.v),
+        (layer, jnp.arange(cfg.num_layers)))
     x = rms_norm(x, params["norm"]["scale"], cfg.rms_eps)
     logits = mm(x.astype(jnp.float32), params["lm_head"])
     return logits, LlamaDecodeState(new_k, new_v)
