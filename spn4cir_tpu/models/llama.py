@@ -320,15 +320,30 @@ class LlamaLM(nn.Module):
 
 @dataclasses.dataclass
 class LlamaDecodeState:
-    """Static-shape KV cache: k/v (n_layers, B, L, kv_heads*head_dim)."""
+    """Static-shape KV cache: k/v (n_layers, B, L, kv_heads*head_dim).
+
+    int8 cache (`init_llama_state(dtype=jnp.int8)`): k/v hold per-row
+    symmetric int8 and k_scale/v_scale (n_layers, B, L) f32 hold the
+    per-(layer, batch, position) absmax/127 scales. Decode bandwidth is
+    cache-read-bound after the weights; int8 halves it again vs bf16 AND
+    halves the cache HBM footprint (the resource that capped rewriter
+    batching at B=8 — BENCHMARKS.md round 4). Scales factor out of both
+    attention contractions exactly: logits scale per key row, and the
+    value scale folds into the softmax weights."""
 
     k: jnp.ndarray
     v: jnp.ndarray
+    k_scale: Optional[jnp.ndarray] = None
+    v_scale: Optional[jnp.ndarray] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
 
 jax.tree_util.register_pytree_node(
     LlamaDecodeState,
-    lambda s: ((s.k, s.v), None),
+    lambda s: ((s.k, s.v, s.k_scale, s.v_scale), None),
     lambda _, c: LlamaDecodeState(*c),
 )
 
@@ -336,10 +351,23 @@ jax.tree_util.register_pytree_node(
 def init_llama_state(cfg: LlamaConfig, batch: int, max_length: int,
                      dtype=jnp.float32) -> LlamaDecodeState:
     """dtype=bfloat16 halves KV-cache HBM at 7B scale (32 layers × 4096 —
-    the cache, not the weights, bounds batch size on a 16 GB chip)."""
+    the cache, not the weights, bounds batch size on a 16 GB chip);
+    dtype=int8 halves it again with per-row scales (see LlamaDecodeState)."""
     z = jnp.zeros((cfg.num_layers, batch, max_length,
                    cfg.kv_heads * cfg.head_dim), dtype)
+    if dtype == jnp.int8:
+        s = jnp.ones((cfg.num_layers, batch, max_length), jnp.float32)
+        return LlamaDecodeState(z, z, s, s)
     return LlamaDecodeState(z, z)
+
+
+def _quant_rows(t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(..., D) -> int8 rows + (...,) f32 absmax/127 scales (symmetric)."""
+    scale = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=-1) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(t.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def llama_prefill(params: Dict[str, Any], cfg: LlamaConfig,
@@ -377,9 +405,13 @@ def llama_prefill(params: Dict[str, Any], cfg: LlamaConfig,
 
     layer = params["layers"]["layer"]
     mm = lambda a, w: _mm(a, w, quant_kernel)  # noqa: E731
+    quant = state.quantized
 
     def one_layer(x, xs):
-        lp, ck, cv = xs
+        if quant:
+            lp, ck, cv, cks, cvs = xs
+        else:
+            lp, ck, cv = xs
         h = rms_norm(x, lp["input_ln"]["scale"], cfg.rms_eps)
         at = lp["attn"]
         q = mm(h, at["q"]["kernel"]).reshape(batch, plen, cfg.num_heads, hd)
@@ -387,9 +419,19 @@ def llama_prefill(params: Dict[str, Any], cfg: LlamaConfig,
         v = mm(h, at["v"]["kernel"])
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        ck = jax.lax.dynamic_update_slice(
-            ck, k.reshape(batch, plen, -1).astype(ck.dtype), (0, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0))
+        kflat = k.reshape(batch, plen, -1)
+        if quant:
+            kq, ks = _quant_rows(kflat)
+            vq, vs = _quant_rows(v)
+            ck = jax.lax.dynamic_update_slice(ck, kq, (0, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, vq, (0, 0, 0))
+            cks = jax.lax.dynamic_update_slice(cks, ks, (0, 0))
+            cvs = jax.lax.dynamic_update_slice(cvs, vs, (0, 0))
+        else:
+            ck = jax.lax.dynamic_update_slice(
+                ck, kflat.astype(ck.dtype), (0, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                              (0, 0, 0))
         kh = _repeat_kv(k.reshape(batch, plen, cfg.kv_heads, hd), n_rep)
         vh = _repeat_kv(v.reshape(batch, plen, cfg.kv_heads, hd), n_rep)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, kh,
@@ -403,12 +445,57 @@ def llama_prefill(params: Dict[str, Any], cfg: LlamaConfig,
         up = mm(h, lp["up"]["kernel"])
         x = x + mm(jax.nn.silu(gate) * up,
                    lp["down"]["kernel"]).astype(x.dtype)
-        return x, (ck, cv)
+        return x, (ck, cv, cks, cvs) if quant else (ck, cv)
 
-    x, (new_k, new_v) = jax.lax.scan(one_layer, x, (layer, state.k, state.v))
+    xs_in = ((layer, state.k, state.v, state.k_scale, state.v_scale)
+             if quant else (layer, state.k, state.v))
+    x, new_cache = jax.lax.scan(one_layer, x, xs_in)
     last = rms_norm(x[:, -1], params["norm"]["scale"], cfg.rms_eps)
     logits = mm(last.astype(jnp.float32), params["lm_head"])
-    return logits, LlamaDecodeState(new_k, new_v)
+    return logits, LlamaDecodeState(*new_cache)
+
+
+def _cache_write(cache, li, off, kflat, v):
+    """Write rows [off, off+c) of layer `li` into the carried cache tuple
+    ((k, v) or (k, v, k_scale, v_scale)); the int8 form quantizes per row
+    at write time. kflat/v: (B, c, dkv) full precision; li traced int32."""
+    if len(cache) == 4:
+        ck, cv, cks, cvs = cache
+        kq, ks = _quant_rows(kflat)
+        vq, vs = _quant_rows(v)
+        ck = jax.lax.dynamic_update_slice(ck, kq[None], (li, 0, off, 0))
+        cv = jax.lax.dynamic_update_slice(cv, vq[None], (li, 0, off, 0))
+        cks = jax.lax.dynamic_update_slice(cks, ks[None], (li, 0, off))
+        cvs = jax.lax.dynamic_update_slice(cvs, vs[None], (li, 0, off))
+        return (ck, cv, cks, cvs)
+    ck, cv = cache
+    ck = jax.lax.dynamic_update_slice(
+        ck, kflat[None].astype(ck.dtype), (li, 0, off, 0))
+    cv = jax.lax.dynamic_update_slice(
+        cv, v[None].astype(cv.dtype), (li, 0, off, 0))
+    return (ck, cv)
+
+
+def _cache_read(cfg, cache, li, end: int, batch: int, n_rep: int):
+    """Rows [0, end) of layer `li` -> (kh, vh, k_scale|None, v_scale|None),
+    heads expanded. int8 rows convert in-registers (XLA fuses the convert
+    into the attention dots — the HBM read stays 1 byte/elem); the per-row
+    scales factor out of both contractions exactly."""
+    hd = cfg.head_dim
+    dkv = cfg.kv_heads * hd
+    ks = jax.lax.dynamic_slice(
+        cache[0], (li, 0, 0, 0), (1, batch, end, dkv))[0]
+    vs = jax.lax.dynamic_slice(
+        cache[1], (li, 0, 0, 0), (1, batch, end, dkv))[0]
+    kh = _repeat_kv(ks.reshape(batch, end, cfg.kv_heads, hd), n_rep)
+    vh = _repeat_kv(vs.reshape(batch, end, cfg.kv_heads, hd), n_rep)
+    if len(cache) == 4:
+        cks = jax.lax.dynamic_slice(cache[2], (li, 0, 0),
+                                    (1, batch, end))[0]
+        cvs = jax.lax.dynamic_slice(cache[3], (li, 0, 0),
+                                    (1, batch, end))[0]
+        return (kh.astype(jnp.float32), vh.astype(jnp.float32), cks, cvs)
+    return kh, vh, None, None
 
 
 def llama_prefill_chunked(params: Dict[str, Any], cfg: LlamaConfig,
@@ -441,7 +528,9 @@ def llama_prefill_chunked(params: Dict[str, Any], cfg: LlamaConfig,
     layer = params["layers"]["layer"]
     mm = lambda a, w: _mm(a, w, quant_kernel)  # noqa: E731
     li_axis = jnp.arange(cfg.num_layers)
-    ck_all, cv_all = state.k, state.v
+    quant = state.quantized
+    cache = ((state.k, state.v, state.k_scale, state.v_scale) if quant
+             else (state.k, state.v))
     last = None
 
     for off in range(0, plen, chunk):
@@ -465,7 +554,7 @@ def llama_prefill_chunked(params: Dict[str, Any], cfg: LlamaConfig,
 
         def one_layer(carry, xs, *, off=off, end=end, c=c, cos=cos, sin=sin,
                       causal=causal):
-            xb, ck_all, cv_all = carry
+            xb, cache = carry[0], carry[1:]
             lp, li = xs
             h = rms_norm(xb, lp["input_ln"]["scale"], cfg.rms_eps)
             at = lp["attn"]
@@ -474,23 +563,19 @@ def llama_prefill_chunked(params: Dict[str, Any], cfg: LlamaConfig,
             v = mm(h, at["v"]["kernel"])
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-            ck_all = jax.lax.dynamic_update_slice(
-                ck_all, k.reshape(batch, c, -1)[None].astype(ck_all.dtype),
-                (li, 0, off, 0))
-            cv_all = jax.lax.dynamic_update_slice(
-                cv_all, v[None].astype(cv_all.dtype), (li, 0, off, 0))
-            dkv = cfg.kv_heads * hd
-            ks = jax.lax.dynamic_slice(
-                ck_all, (li, 0, 0, 0), (1, batch, end, dkv))[0]
-            vs = jax.lax.dynamic_slice(
-                cv_all, (li, 0, 0, 0), (1, batch, end, dkv))[0]
-            kh = _repeat_kv(ks.reshape(batch, end, cfg.kv_heads, hd), n_rep)
-            vh = _repeat_kv(vs.reshape(batch, end, cfg.kv_heads, hd), n_rep)
+            cache = _cache_write(cache, li, off,
+                                 k.reshape(batch, c, -1), v)
+            kh, vh, kh_scale, vh_scale = _cache_read(
+                cfg, cache, li, end, batch, n_rep)
             logits = jnp.einsum(
                 "bqhd,bkhd->bhqk", q, kh,
                 preferred_element_type=jnp.float32) * (hd ** -0.5)
+            if kh_scale is not None:
+                logits = logits * kh_scale[:, None, None, :]
             logits = logits + causal
             w = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+            if vh_scale is not None:
+                w = w * vh_scale[:, None, None, :].astype(w.dtype)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", w, vh).reshape(batch, c, -1)
             xb = xb + mm(ctx, at["o"]["kernel"]).astype(xb.dtype)
             h = rms_norm(xb, lp["post_ln"]["scale"], cfg.rms_eps)
@@ -498,15 +583,16 @@ def llama_prefill_chunked(params: Dict[str, Any], cfg: LlamaConfig,
             up = mm(h, lp["up"]["kernel"])
             xb = xb + mm(jax.nn.silu(gate) * up,
                          lp["down"]["kernel"]).astype(xb.dtype)
-            return (xb, ck_all, cv_all), None
+            return (xb, *cache), None
 
-        (xb, ck_all, cv_all), _ = jax.lax.scan(
-            one_layer, (xb, ck_all, cv_all), (layer, li_axis))
+        (xb, *cache), _ = jax.lax.scan(
+            one_layer, (xb, *cache), (layer, li_axis))
+        cache = tuple(cache)
         last = xb[:, -1]
 
     out = rms_norm(last, params["norm"]["scale"], cfg.rms_eps)
     logits = mm(out.astype(jnp.float32), params["lm_head"])
-    return logits, LlamaDecodeState(ck_all, cv_all)
+    return logits, LlamaDecodeState(*cache)
 
 
 def llama_decode_step(params: Dict[str, Any], cfg: LlamaConfig,
@@ -544,14 +630,16 @@ def llama_decode_step(params: Dict[str, Any], cfg: LlamaConfig,
 
     layer = params["layers"]["layer"]
     mm = lambda a, w: _mm(a, w, quant_kernel)  # noqa: E731
-    dkv = cfg.kv_heads * hd
+    quant = state.quantized
+    cache0 = ((state.k, state.v, state.k_scale, state.v_scale) if quant
+              else (state.k, state.v))
 
     # The KV caches ride the layer scan's CARRY with a per-layer indexed
     # dynamic_update_slice — carry buffers alias in place under XLA's scan
     # lowering, where the previous xs->ys layout forced a fresh stacked ys
     # cache allocation (a full cache write) every step.
     def one_layer(carry, xs):
-        x, ck_all, cv_all = carry
+        x, cache = carry[0], carry[1:]
         lp, li = xs
         h = rms_norm(x, lp["input_ln"]["scale"], cfg.rms_eps)
         at = lp["attn"]
@@ -560,21 +648,18 @@ def llama_decode_step(params: Dict[str, Any], cfg: LlamaConfig,
         v = mm(h, at["v"]["kernel"])
         q = rope1(q)
         k = rope1(k)
-        ck_all = jax.lax.dynamic_update_slice(
-            ck_all, k.reshape(batch, 1, -1)[None].astype(ck_all.dtype),
-            (li, 0, pos, 0))
-        cv_all = jax.lax.dynamic_update_slice(
-            cv_all, v[:, None][None].astype(cv_all.dtype), (li, 0, pos, 0))
-        ck = jax.lax.dynamic_slice(
-            ck_all, (li, 0, 0, 0), (1, batch, max_len, dkv))[0]
-        cv = jax.lax.dynamic_slice(
-            cv_all, (li, 0, 0, 0), (1, batch, max_len, dkv))[0]
-        kh = _repeat_kv(ck.reshape(batch, max_len, cfg.kv_heads, hd), n_rep)
-        vh = _repeat_kv(cv.reshape(batch, max_len, cfg.kv_heads, hd), n_rep)
+        cache = _cache_write(cache, li, pos,
+                             k.reshape(batch, 1, -1), v[:, None])
+        kh, vh, kh_scale, vh_scale = _cache_read(
+            cfg, cache, li, max_len, batch, n_rep)
         logits = jnp.einsum("bhd,bkhd->bhk", q, kh,
                             preferred_element_type=jnp.float32) * (hd ** -0.5)
+        if kh_scale is not None:
+            logits = logits * kh_scale[:, None, :]
         logits = logits + mask
         w = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+        if vh_scale is not None:
+            w = w * vh_scale[:, None, :].astype(w.dtype)
         ctx = jnp.einsum("bhk,bkhd->bhd", w, vh).reshape(batch, -1)
         # keep the residual stream in its input dtype (bf16 weights would
         # otherwise promote x to f32 mid-scan and break the layer carry)
@@ -584,14 +669,13 @@ def llama_decode_step(params: Dict[str, Any], cfg: LlamaConfig,
         up = mm(h, lp["up"]["kernel"])
         x = x + mm(jax.nn.silu(gate) * up,
                    lp["down"]["kernel"]).astype(x.dtype)
-        return (x, ck_all, cv_all), None
+        return (x, *cache), None
 
-    (x, new_k, new_v), _ = jax.lax.scan(
-        one_layer, (x, state.k, state.v),
-        (layer, jnp.arange(cfg.num_layers)))
+    (x, *new_cache), _ = jax.lax.scan(
+        one_layer, (x, *cache0), (layer, jnp.arange(cfg.num_layers)))
     x = rms_norm(x, params["norm"]["scale"], cfg.rms_eps)
     logits = mm(x.astype(jnp.float32), params["lm_head"])
-    return logits, LlamaDecodeState(new_k, new_v)
+    return logits, LlamaDecodeState(*new_cache)
 
 
 def llama_generate(params: Dict[str, Any], cfg: LlamaConfig,
@@ -655,7 +739,10 @@ def llama_generate(params: Dict[str, Any], cfg: LlamaConfig,
         # never materializes a replicated (L, B, S, D_kv) cache
         state = LlamaDecodeState(
             jax.lax.with_sharding_constraint(state.k, cache_sharding),
-            jax.lax.with_sharding_constraint(state.v, cache_sharding))
+            jax.lax.with_sharding_constraint(state.v, cache_sharding),
+            # int8-cache scales have no head dim to shard; leave placement
+            # to GSPMD
+            state.k_scale, state.v_scale)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     embed_table = params["embed_tokens"]

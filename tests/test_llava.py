@@ -464,3 +464,73 @@ def test_generate_with_prefill_chunk_matches_dense():
                                         eos_id=2, pad_id=0, max_new_tokens=8,
                                         prefill_chunk=4))
     assert np.array_equal(dense, chunked)
+
+
+# ---------------------------------------------------------------------------
+# int8 KV cache (per-row scales; halves decode cache bandwidth + footprint)
+# ---------------------------------------------------------------------------
+
+
+def test_quant_rows_roundtrip():
+    from spn4cir_tpu.models.llama import _quant_rows
+
+    rng = np.random.RandomState(0)
+    t = jnp.asarray(rng.randn(3, 5, 32).astype(np.float32))
+    q, s = _quant_rows(t)
+    assert q.dtype == jnp.int8 and s.shape == (3, 5)
+    back = np.asarray(q, np.float32) * np.asarray(s)[..., None]
+    err = np.abs(back - np.asarray(t)).max(-1)
+    assert (err <= np.asarray(s) * 0.5 + 1e-7).all()
+
+
+def test_int8_cache_decode_close_to_f32():
+    """prefill + sequential decode with an int8 cache: logits track the f32
+    cache within per-row quantization error; cache state is int8 + scales."""
+    from spn4cir_tpu.models.llama import (init_llama_state, llama_decode_step,
+                                          llama_prefill)
+
+    tm = tiny_hf_llama(seed=7)
+    cfg = LlamaConfig.tiny(vocab_size=96)
+    params = convert_llama_state_dict(tm.state_dict(), cfg.num_layers)["params"]
+    ids = np.random.RandomState(11).randint(3, 96, (2, 6))
+    emb = jnp.asarray(params["embed_tokens"][ids])
+
+    st_f = init_llama_state(cfg, 2, 10)
+    lg_f, st_f = llama_prefill(params, cfg, st_f, emb)
+    st_q = init_llama_state(cfg, 2, 10, dtype=jnp.int8)
+    assert st_q.quantized and st_q.k.dtype == jnp.int8
+    lg_q, st_q = llama_prefill(params, cfg, st_q, emb)
+    # prefill attends over FRESH full-precision k/v: last-position logits
+    # are identical; only the cache contents differ
+    np.testing.assert_allclose(np.asarray(lg_q), np.asarray(lg_f), atol=1e-5)
+
+    for t in range(3):
+        x = jnp.asarray(params["embed_tokens"][ids[:, t]])
+        lg_f, st_f = llama_decode_step(params, cfg, st_f, x, jnp.int32(6 + t))
+        lg_q, st_q = llama_decode_step(params, cfg, st_q, x, jnp.int32(6 + t))
+        rel = float(np.max(np.abs(np.asarray(lg_f) - np.asarray(lg_q)))
+                    / (np.max(np.abs(np.asarray(lg_f))) + 1e-9))
+        assert rel < 0.05, (t, rel)
+
+
+def test_int8_cache_generate_and_chunked():
+    """llama_generate + chunked prefill run end-to-end with cache_dtype=int8
+    and track the f32-cache greedy stream at tiny geometry."""
+    tm = tiny_hf_llama(seed=9)
+    cfg = LlamaConfig.tiny(vocab_size=96)
+    params = convert_llama_state_dict(tm.state_dict(), cfg.num_layers)["params"]
+    ids = np.random.RandomState(13).randint(3, 96, (2, 9))
+    emb = jnp.asarray(params["embed_tokens"][ids])
+    f32 = np.asarray(llama_generate(params, cfg, emb, eos_id=2, pad_id=0,
+                                    max_new_tokens=8))
+    q = np.asarray(llama_generate(params, cfg, emb, eos_id=2, pad_id=0,
+                                  max_new_tokens=8, cache_dtype=jnp.int8))
+    qc = np.asarray(llama_generate(params, cfg, emb, eos_id=2, pad_id=0,
+                                   max_new_tokens=8, cache_dtype=jnp.int8,
+                                   prefill_chunk=4))
+    # int8 rounding can flip a late low-margin greedy pick; demand the
+    # stream prefix agrees and everything stays in-vocab
+    agree = (f32 == q).all(1) | (np.cumsum(f32 != q, 1) <= 1).all(1)
+    assert agree.all(), (f32, q)
+    assert q.shape == qc.shape == f32.shape
+    assert ((q >= 0) & (q < 96)).all() and ((qc >= 0) & (qc < 96)).all()

@@ -63,9 +63,13 @@ def main():
                    help="text tokens in the prompt (55 ~ llava_v1 FIQ)")
     p.add_argument("--new_tokens", type=int, default=32)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--cache_dtype", default="bf16",
+                   choices=["f32", "bf16", "int8"],
+                   help="KV cache precision (int8: per-row scales, halves "
+                        "cache bandwidth + footprint)")
     p.add_argument("--quant_kernel", default="auto",
                    choices=["auto", "on", "off"],
-                   help="fused int8 Pallas matmul (ops/quant_matmul.py), DECODE steps only — prefill always uses the XLA path; auto = on for single-device TPU")
+                   help="fused int8 Pallas matmul (ops/quant_matmul.py), DECODE steps only — prefill always uses the XLA path; auto = OFF (lost the round-4 hardware A/B)")
     p.add_argument("--weights", default="bf16", choices=["bf16", "int8"],
                    help="int8 = weight-only quantized LM (halves weight "
                         "HBM: 13.4 -> 6.7 GB at 7B; decode is weight-"
@@ -130,10 +134,12 @@ def main():
         jax.random.PRNGKey(3))
 
     qk = {"auto": None, "on": True, "off": False}[args.quant_kernel]
+    cdt = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+           "int8": jnp.int8}[args.cache_dtype]
     gen = jax.jit(lambda p, e, r: llama_generate(
         p, cfg.llama, e, eos_id=2, pad_id=2,
         max_new_tokens=args.new_tokens, do_sample=True, temperature=0.01,
-        top_p=0.01, cache_dtype=jnp.bfloat16, rng=r, quant_kernel=qk))
+        top_p=0.01, cache_dtype=cdt, rng=r, quant_kernel=qk))
     out = gen(lparams, embeds, jax.random.PRNGKey(4))
     force(out)
     times = []
@@ -154,6 +160,7 @@ def main():
         "ms_per_position": round(per_tok * 1e3, 2),
         "captions_per_sec_per_chip": round(captions_per_sec, 2),
         "weights": args.weights,
+        "cache_dtype": args.cache_dtype,
     }), flush=True)
 
 

@@ -54,6 +54,9 @@ def main():
     p.add_argument("--weights", default="int8", choices=["bf16", "int8"])
     p.add_argument("--prefill_chunk", type=int, default=0,
                    help="chunked prefill size (0 = dense one-shot)")
+    p.add_argument("--cache_dtype", default="bf16",
+                   choices=["f32", "bf16", "int8"],
+                   help="KV cache precision (int8: per-row scales)")
     args = p.parse_args()
 
     from spn4cir_tpu.models.llama import (LlamaConfig, LlamaLM,
@@ -83,7 +86,8 @@ def main():
 
     gen_kw = dict(eos_id=2, pad_id=2, max_new_tokens=T, do_sample=True,
                   temperature=1.0, top_p=1.0, top_k=10,
-                  cache_dtype=jnp.bfloat16,  # load_jax_rewriter's 7B default
+                  cache_dtype={"f32": jnp.float32, "bf16": jnp.bfloat16,
+               "int8": jnp.int8}[args.cache_dtype],
                   prefill_chunk=args.prefill_chunk or None,
                   quant_kernel={"auto": None, "on": True,
                                 "off": False}[args.quant_kernel])
@@ -107,6 +111,7 @@ def main():
     print(json.dumps({"metric": "rewriter_b1", "seconds": round(t1, 3),
                       "prompts_per_sec": round(1 / t1, 2),
                       "prompt_len": P, "new_tokens": T,
+                      "cache_dtype": args.cache_dtype,
                       "weights": args.weights}), flush=True)
 
     # 2) B=N, left-padded + attention_mask (--llm_batch mode)
@@ -120,6 +125,7 @@ def main():
                       "speedup_vs_b1": round((B / tb) / (1 / t1), 2),
                       "prompt_len": P, "new_tokens": T,
                       "prefill_chunk": args.prefill_chunk,
+                      "cache_dtype": args.cache_dtype,
                       "weights": args.weights}), flush=True)
 
 

@@ -20,6 +20,17 @@ from spn4cir_tpu.data.transforms import ImageTransform
 from spn4cir_tpu.datagen.generate import (
     generate_extended_triplets, load_it_list, write_extended_triplets)
 
+
+def _llm_cache_dtype(name: str):
+    """'' -> None (load_jax_rewriter's size-based default)."""
+    if not name:
+        return None
+    import jax.numpy as jnp
+
+    return {"f32": jnp.float32, "bf16": jnp.bfloat16,
+            "int8": jnp.int8}[name]
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", "--data", dest="dataset", required=True,
@@ -69,6 +80,11 @@ if __name__ == "__main__":
                    help="tensor-parallel the jax LM over this many chips "
                         "(Megatron shards via parallel/tp.py; bf16 7B "
                         "fits from 2x16 GB chips, decode rides NxHBM)")
+    p.add_argument("--llm_cache", default="",
+                   choices=["", "f32", "bf16", "int8"],
+                   help="KV cache precision for the jax LM ('' = bf16 at "
+                        "7B, f32 at tiny; int8 halves cache bandwidth + "
+                        "footprint with per-row scales)")
     p.add_argument("--prefill_chunk", type=int, default=0,
                    help="prefill the prompt in fixed-size chunks (caps the "
                         "B x H x P^2 attention-logit working set so "
@@ -145,7 +161,8 @@ if __name__ == "__main__":
                 llm_type=llm_type,
                 tiny=(args.llm_backend == "jax-tiny"), seed=args.seed,
                 batch_size=args.llm_batch, mesh=mesh,
-                prefill_chunk=args.prefill_chunk or None)
+                prefill_chunk=args.prefill_chunk or None,
+                cache_dtype=_llm_cache_dtype(args.llm_cache))
     prompt_ids = [int(x) for x in args.p_list.split(",")]
     if use_cc:
         from spn4cir_tpu.datagen.generate import (generate_cc_triplets,
