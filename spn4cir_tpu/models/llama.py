@@ -601,6 +601,7 @@ def llama_decode_step(params: Dict[str, Any], cfg: LlamaConfig,
                       rope_pos: Optional[jnp.ndarray] = None,
                       key_mask: Optional[jnp.ndarray] = None,
                       quant_kernel: bool = False,
+                      attn_kernel: bool = False,
                       ) -> Tuple[jnp.ndarray, LlamaDecodeState]:
     """One incremental step: x (B, D) input embedding at cache position
     `pos` (scalar int32) -> (logits (B, vocab), updated state).
@@ -608,7 +609,12 @@ def llama_decode_step(params: Dict[str, Any], cfg: LlamaConfig,
     `rope_pos` (B,) gives per-row RoPE positions when the batch was LEFT-
     padded (each row's token count differs from its cache index); `key_mask`
     (B, L) marks valid cache rows (pad prompt positions get 0). Both default
-    to the dense case (rope position == cache position, all rows valid)."""
+    to the dense case (rope position == cache position, all rows valid).
+
+    `attn_kernel` routes the attention (logits -> softmax -> context) of
+    every layer through the fused Pallas decode kernel
+    (ops/decode_attn.py) when the geometry supports it (MHA, hd and cache
+    length lane-tiled); otherwise the XLA einsum path runs."""
     hd = cfg.head_dim
     n_rep = cfg.num_heads // cfg.kv_heads
     batch = x.shape[0]
@@ -634,6 +640,19 @@ def llama_decode_step(params: Dict[str, Any], cfg: LlamaConfig,
     cache0 = ((state.k, state.v, state.k_scale, state.v_scale) if quant
               else (state.k, state.v))
 
+    use_attn_kernel = False
+    bias2d = None
+    if attn_kernel:
+        from spn4cir_tpu.ops.decode_attn import (decode_attention,
+                                                 supports_decode_attention)
+        use_attn_kernel = supports_decode_attention(
+            cfg.num_heads, cfg.kv_heads, hd, max_len)
+        if use_attn_kernel:
+            # one (B, L) additive mask carries the causal position bound
+            # AND the left-padding key mask into the kernel
+            bias2d = jnp.broadcast_to(
+                mask[:, 0, :], (batch, max_len)).astype(jnp.float32)
+
     # The KV caches ride the layer scan's CARRY with a per-layer indexed
     # dynamic_update_slice — carry buffers alias in place under XLA's scan
     # lowering, where the previous xs->ys layout forced a fresh stacked ys
@@ -650,17 +669,27 @@ def llama_decode_step(params: Dict[str, Any], cfg: LlamaConfig,
         k = rope1(k)
         cache = _cache_write(cache, li, pos,
                              k.reshape(batch, 1, -1), v[:, None])
-        kh, vh, kh_scale, vh_scale = _cache_read(
-            cfg, cache, li, max_len, batch, n_rep)
-        logits = jnp.einsum("bhd,bkhd->bhk", q, kh,
-                            preferred_element_type=jnp.float32) * (hd ** -0.5)
-        if kh_scale is not None:
-            logits = logits * kh_scale[:, None, :]
-        logits = logits + mask
-        w = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
-        if vh_scale is not None:
-            w = w * vh_scale[:, None, :].astype(w.dtype)
-        ctx = jnp.einsum("bhk,bkhd->bhd", w, vh).reshape(batch, -1)
+        if use_attn_kernel:
+            # fused pass over the stacked cache: the layer block is picked
+            # by the kernel's scalar-prefetch index map, so no per-layer
+            # slice materializes in HBM
+            ctx = decode_attention(
+                q, cache[0], cache[1], li, bias2d,
+                cache[2] if quant else None,
+                cache[3] if quant else None).reshape(batch, -1)
+        else:
+            kh, vh, kh_scale, vh_scale = _cache_read(
+                cfg, cache, li, max_len, batch, n_rep)
+            logits = jnp.einsum(
+                "bhd,bkhd->bhk", q, kh,
+                preferred_element_type=jnp.float32) * (hd ** -0.5)
+            if kh_scale is not None:
+                logits = logits * kh_scale[:, None, :]
+            logits = logits + mask
+            w = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+            if vh_scale is not None:
+                w = w * vh_scale[:, None, :].astype(w.dtype)
+            ctx = jnp.einsum("bhk,bkhd->bhd", w, vh).reshape(batch, -1)
         # keep the residual stream in its input dtype (bf16 weights would
         # otherwise promote x to f32 mid-scan and break the layer carry)
         x = x + mm(ctx, at["o"]["kernel"]).astype(x.dtype)
@@ -687,7 +716,8 @@ def llama_generate(params: Dict[str, Any], cfg: LlamaConfig,
                    attention_mask: Optional[jnp.ndarray] = None,
                    cache_sharding=None,
                    quant_kernel: Optional[bool] = None,
-                   prefill_chunk: Optional[int] = None) -> jnp.ndarray:
+                   prefill_chunk: Optional[int] = None,
+                   attn_kernel: Optional[bool] = None) -> jnp.ndarray:
     """Generate continuations of an embedded prompt.
 
     inputs_embeds: (B, P, D) — the prompt as embeddings (image features may
@@ -715,7 +745,13 @@ def llama_generate(params: Dict[str, Any], cfg: LlamaConfig,
     `prefill_chunk` routes the prompt through llama_prefill_chunked in
     fixed-size chunks — caps the (B, H, P, P) f32 attention-logit working
     set so large-batch long-prompt prefill fits (the B=16 rewriter
-    regression, BENCHMARKS.md round 3)."""
+    regression, BENCHMARKS.md round 3).
+
+    `attn_kernel` routes every DECODE step's attention through the fused
+    Pallas kernel (ops/decode_attn.py) and pads the cache length to a lane
+    multiple; prefill and the per-step GEMMs are untouched (they are
+    already MXU/weight-bound under XLA — decode decomposition,
+    BENCHMARKS.md round 4)."""
     from spn4cir_tpu.models.generation import top_k_filter, top_p_filter
 
     if quant_kernel is None:
@@ -730,8 +766,22 @@ def llama_generate(params: Dict[str, Any], cfg: LlamaConfig,
         # pallas_call.)
         quant_kernel = False
 
+    if attn_kernel is None:
+        # Default OFF pending the hardware A/B (the quant_matmul precedent:
+        # ship the kernel gated, flip only on a recorded win).
+        attn_kernel = False
+    if cache_sharding is not None:
+        # tensor-parallel decode: GSPMD would all-gather the cache shards of
+        # an opaque pallas_call (same reason quant_kernel is TP-off)
+        attn_kernel = False
+
     batch, prompt_len, _ = inputs_embeds.shape
     total = prompt_len + max_new_tokens
+    if attn_kernel:
+        # the fused decode kernel wants a lane-tiled cache length; the tail
+        # rows stay masked by the position bound (and exp(-1e9) is exactly
+        # 0.0 in f32, so the einsum path is bit-unchanged by the padding)
+        total = -(-total // 128) * 128
     state = init_llama_state(cfg, batch, total, dtype=cache_dtype)
     if cache_sharding is not None:
         # tensor-parallel runs (parallel/tp.py:shard_llama_params): pin the
@@ -752,9 +802,12 @@ def llama_generate(params: Dict[str, Any], cfg: LlamaConfig,
         am = attention_mask.astype(jnp.int32)
         positions = jnp.clip(jnp.cumsum(am, axis=1) - 1, 0)  # (B, P)
         lengths = jnp.sum(am, axis=1)  # (B,) real token counts
-        # generated positions are always valid keys
+        # generated positions are always valid keys; cache rows past the
+        # last generated position (kernel-path padding) are never valid
         valid = jnp.concatenate(
-            [am, jnp.ones((batch, max_new_tokens), jnp.int32)], axis=1)
+            [am, jnp.ones((batch, max_new_tokens), jnp.int32),
+             jnp.zeros((batch, total - prompt_len - max_new_tokens),
+                       jnp.int32)], axis=1)
     else:
         am = positions = lengths = valid = None
 
@@ -797,7 +850,8 @@ def llama_generate(params: Dict[str, Any], cfg: LlamaConfig,
         logits, state = llama_decode_step(
             params, cfg, state, x, prompt_len + i - 1,
             rope_pos=None if lengths is None else lengths + i - 1,
-            key_mask=valid, quant_kernel=quant_kernel)
+            key_mask=valid, quant_kernel=quant_kernel,
+            attn_kernel=attn_kernel)
         rng, sub = jax.random.split(rng)
         nxt = sample_from(logits, sub)
         nxt = jnp.where(finished, pad_id, nxt)

@@ -21,6 +21,11 @@ import sys
 import tempfile
 import time
 
+
+def _stage(msg):
+    print(f"[e2e {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
@@ -58,6 +63,7 @@ def main():
     from spn4cir_tpu.models.api import build_backbone
 
     # synthetic gallery on disk (unique JPEGs; decode cost is size-driven)
+    _stage('writing JPEGs')
     rng = np.random.RandomState(0)
     tmp = tempfile.mkdtemp(prefix="e2e_index_")
     paths = []
@@ -68,6 +74,7 @@ def main():
         Image.fromarray(arr).save(path, quality=90)
         paths.append(path)
 
+    _stage('building backbone')
     backbone = build_backbone(args.backbone, clip_model_name=args.model)
     params = backbone.init_params(jax.random.PRNGKey(0))
     dim = backbone.input_dim
@@ -98,6 +105,7 @@ def main():
                                         jnp.float32))
         loader_kw = {}
     warm.block_until_ready()
+    _stage('warm compile done')
 
     batches = batched_paths(paths, args.batch)
     results = {}
@@ -106,6 +114,7 @@ def main():
         # one warmup pass primes worker .so loads + page cache
         for arr, n in loader.map_batches(batches[:2]):
             encode_batch(arr)
+        _stage('loader warmup done')
         best = 0.0
         for _ in range(args.repeats):
             feats = None
@@ -117,12 +126,14 @@ def main():
             dt = time.monotonic() - t0
             best = max(best, args.n / dt)
         results["e2e"] = best
+        _stage('e2e passes done')
 
         # host-only rate (same pool, no device work): the decode ceiling
         t0 = time.monotonic()
         for arr, n in loader.map_batches(batches):
             pass
         results["host_only"] = args.n / (time.monotonic() - t0)
+        _stage('host-only pass done')
 
     # device-only rate for the same geometry (input already on device)
     if args.device_preprocess:

@@ -67,6 +67,11 @@ def main():
                    choices=["f32", "bf16", "int8"],
                    help="KV cache precision (int8: per-row scales, halves "
                         "cache bandwidth + footprint)")
+    p.add_argument("--attn_kernel", default="off",
+                   choices=["on", "off"],
+                   help="fused Pallas decode attention (ops/decode_attn.py)"
+                        " — decode steps only; pads the cache to a lane"
+                        " multiple")
     p.add_argument("--quant_kernel", default="auto",
                    choices=["auto", "on", "off"],
                    help="fused int8 Pallas matmul (ops/quant_matmul.py), DECODE steps only — prefill always uses the XLA path; auto = OFF (lost the round-4 hardware A/B)")
@@ -139,7 +144,8 @@ def main():
     gen = jax.jit(lambda p, e, r: llama_generate(
         p, cfg.llama, e, eos_id=2, pad_id=2,
         max_new_tokens=args.new_tokens, do_sample=True, temperature=0.01,
-        top_p=0.01, cache_dtype=cdt, rng=r, quant_kernel=qk))
+        top_p=0.01, cache_dtype=cdt, rng=r, quant_kernel=qk,
+        attn_kernel=args.attn_kernel == "on"))
     out = gen(lparams, embeds, jax.random.PRNGKey(4))
     force(out)
     times = []
@@ -161,6 +167,7 @@ def main():
         "captions_per_sec_per_chip": round(captions_per_sec, 2),
         "weights": args.weights,
         "cache_dtype": args.cache_dtype,
+        "attn_kernel": args.attn_kernel,
     }), flush=True)
 
 

@@ -57,6 +57,11 @@ def main():
     p.add_argument("--cache_dtype", default="bf16",
                    choices=["f32", "bf16", "int8"],
                    help="KV cache precision (int8: per-row scales)")
+    p.add_argument("--attn_kernel", default="off",
+                   choices=["on", "off"],
+                   help="fused Pallas decode attention (ops/decode_attn.py)"
+                        " — decode steps only; pads the cache to a lane"
+                        " multiple")
     args = p.parse_args()
 
     from spn4cir_tpu.models.llama import (LlamaConfig, LlamaLM,
@@ -90,7 +95,8 @@ def main():
                "int8": jnp.int8}[args.cache_dtype],
                   prefill_chunk=args.prefill_chunk or None,
                   quant_kernel={"auto": None, "on": True,
-                                "off": False}[args.quant_kernel])
+                                "off": False}[args.quant_kernel],
+                  attn_kernel=args.attn_kernel == "on")
 
     def bench(fn, *xs):
         out = fn(*xs)
@@ -126,6 +132,7 @@ def main():
                       "prompt_len": P, "new_tokens": T,
                       "prefill_chunk": args.prefill_chunk,
                       "cache_dtype": args.cache_dtype,
+                      "attn_kernel": args.attn_kernel,
                       "weights": args.weights}), flush=True)
 
 
