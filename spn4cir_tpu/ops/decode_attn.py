@@ -70,9 +70,18 @@ def supports_decode_attention(num_heads: int, kv_heads: int, head_dim: int,
 
 def _pick_head_block(num_heads: int, head_dim: int, length: int,
                      itemsize: int) -> int:
+    # Budget at f32 width regardless of storage dtype: the kernel
+    # astype(f32)'s each head slice inside VMEM and the head loop is fully
+    # unrolled, so the live set tracks the f32 copies (an int8 cache block
+    # budgeted at its own itemsize would admit 4x the f32-safe size).
+    itemsize = max(itemsize, 4)
     hb = num_heads
     while hb > 1 and 2 * length * hb * head_dim * itemsize > VMEM_BUDGET:
         hb //= 2
+    # the grid's head dim is num_heads // hb full blocks: hb must divide
+    # num_heads or the tail heads' output blocks are never written
+    while num_heads % hb:
+        hb -= 1
     return hb
 
 

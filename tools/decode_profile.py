@@ -70,6 +70,11 @@ def main():
     p.add_argument("--quant_kernel", action="store_true",
                    help="route int8 matmuls through the Pallas kernel in "
                         "the matmul proxy and the full run")
+    p.add_argument("--attn_kernel", action="store_true",
+                   help="route decode attention through the fused Pallas "
+                        "kernel (ops/decode_attn.py) in the full run, and "
+                        "emit a kernel variant of the attention-only proxy "
+                        "(cache padded to a lane multiple, masked tail)")
     args = p.parse_args()
 
     import jax
@@ -122,17 +127,18 @@ def main():
     emb = jnp.asarray((np.random.RandomState(1).rand(B, P, D) * 0.02)
                       .astype(np.float32))
     qk = bool(args.quant_kernel)
+    ak = bool(args.attn_kernel)
     gen_full = jax.jit(lambda pp, e, r: llama_generate(
         pp, cfg, e, eos_id=-1, pad_id=0, max_new_tokens=T,
-        cache_dtype=cache_dtype, rng=r, quant_kernel=qk))
+        cache_dtype=cache_dtype, rng=r, quant_kernel=qk, attn_kernel=ak))
     gen_one = jax.jit(lambda pp, e, r: llama_generate(
         pp, cfg, e, eos_id=-1, pad_id=0, max_new_tokens=1,
-        cache_dtype=cache_dtype, rng=r, quant_kernel=qk))
+        cache_dtype=cache_dtype, rng=r, quant_kernel=qk, attn_kernel=ak))
     t_full = timeit(gen_full, params, emb, jax.random.PRNGKey(0))
     t_one = timeit(gen_one, params, emb, jax.random.PRNGKey(0))
     report("full", t_full - t_one, per=T - 1,
            extra={"prefill_s": round(t_one, 3),
-                  "quant_kernel": qk})
+                  "quant_kernel": qk, "attn_kernel": ak})
 
     # ---- 2) matmul-only proxy ------------------------------------------
     # params must be ARGUMENTS: a closure would capture the 6.6 GB tree as
@@ -193,6 +199,42 @@ def main():
         return q
 
     report("attention_only", timeit(jax.jit(attn_scan), kv, x0))
+
+    # ---- 3b) attention-only proxy through the fused kernel ---------------
+    if ak:
+        from spn4cir_tpu.models.llama import NEG_INF
+        from spn4cir_tpu.ops.decode_attn import (decode_attention,
+                                                 supports_decode_attention)
+
+        Lp = -(-L // 128) * 128  # the generate path pads the cache likewise
+        if supports_decode_attention(H, cfg.kv_heads, hd, Lp):
+            kv_pad = jax.jit(lambda a: jnp.pad(
+                a, ((0, 0), (0, 0), (0, Lp - L), (0, 0))))(kv)
+            bias = jnp.broadcast_to(
+                jnp.where(jnp.arange(Lp)[None, :] < L, 0.0, NEG_INF),
+                (B, Lp)).astype(jnp.float32)
+
+            def attn_scan_k(kv_arg, q0, bias_arg):
+                def step(q, _):
+                    def one_layer(q, li):
+                        ctx = decode_attention(q.reshape(B, H, hd), kv_arg,
+                                               kv_arg, li, bias_arg)
+                        return ctx.reshape(B, D).astype(q.dtype), None
+
+                    q, _ = jax.lax.scan(one_layer, q,
+                                        jnp.arange(cfg.num_layers))
+                    return q, None
+
+                q, _ = jax.lax.scan(step, q0, None, length=T)
+                return q
+
+            report("attention_only_kernel",
+                   timeit(jax.jit(attn_scan_k), kv_pad, x0, bias),
+                   extra={"padded_len": Lp})
+        else:
+            print(json.dumps({"metric": "decode_attention_only_kernel",
+                              "skipped": "geometry unsupported"}),
+                  flush=True)
 
     # ---- 4) cache-update-only proxy --------------------------------------
     def upd_scan(carry):

@@ -62,6 +62,9 @@ def main():
                    help="fused Pallas decode attention (ops/decode_attn.py)"
                         " — decode steps only; pads the cache to a lane"
                         " multiple")
+    p.add_argument("--skip_b1", action="store_true",
+                   help="skip the B=1 reference arm (matrix sweeps re-use "
+                        "the recorded B=1 rate)")
     args = p.parse_args()
 
     from spn4cir_tpu.models.llama import (LlamaConfig, LlamaLM,
@@ -110,25 +113,29 @@ def main():
         return min(times)
 
     # 1) B=1, dense (reference mode)
-    gen1 = jax.jit(lambda p_, e, r: llama_generate(p_, cfg, e, rng=r,
-                                                   **gen_kw))
-    t1 = bench(gen1, params, embeds_for(1, jax.random.PRNGKey(1)),
-               jax.random.PRNGKey(2))
-    print(json.dumps({"metric": "rewriter_b1", "seconds": round(t1, 3),
-                      "prompts_per_sec": round(1 / t1, 2),
-                      "prompt_len": P, "new_tokens": T,
-                      "cache_dtype": args.cache_dtype,
-                      "weights": args.weights}), flush=True)
+    t1 = None
+    if not args.skip_b1:
+        gen1 = jax.jit(lambda p_, e, r: llama_generate(p_, cfg, e, rng=r,
+                                                       **gen_kw))
+        t1 = bench(gen1, params, embeds_for(1, jax.random.PRNGKey(1)),
+                   jax.random.PRNGKey(2))
+        print(json.dumps({"metric": "rewriter_b1", "seconds": round(t1, 3),
+                          "prompts_per_sec": round(1 / t1, 2),
+                          "prompt_len": P, "new_tokens": T,
+                          "cache_dtype": args.cache_dtype,
+                          "weights": args.weights}), flush=True)
 
     # 2) B=N, left-padded + attention_mask (--llm_batch mode)
     genb = jax.jit(lambda p_, e, m, r: llama_generate(
         p_, cfg, e, rng=r, attention_mask=m, **gen_kw))
     tb = bench(genb, params, embeds_for(B, jax.random.PRNGKey(3)),
                jnp.asarray(mask), jax.random.PRNGKey(4))
-    print(json.dumps({"metric": f"rewriter_b{B}_masked",
-                      "seconds": round(tb, 3),
-                      "prompts_per_sec": round(B / tb, 2),
-                      "speedup_vs_b1": round((B / tb) / (1 / t1), 2),
+    row = {"metric": f"rewriter_b{B}_masked",
+           "seconds": round(tb, 3),
+           "prompts_per_sec": round(B / tb, 2)}
+    if t1 is not None:
+        row["speedup_vs_b1"] = round((B / tb) / (1 / t1), 2)
+    print(json.dumps({**row,
                       "prompt_len": P, "new_tokens": T,
                       "prefill_chunk": args.prefill_chunk,
                       "cache_dtype": args.cache_dtype,
