@@ -92,7 +92,7 @@ class Bank:
 # entirely (cli/train.py loads this before the dtype-conversion step).
 # ---------------------------------------------------------------------------
 
-PREPARED_CACHE_VERSION = 1
+PREPARED_CACHE_VERSION = 2  # v2: producer-config `spec` string in the file
 
 
 def prepared_cache_file(path: str, tag: str) -> str:
@@ -117,9 +117,17 @@ def _unnpz_array(a: np.ndarray, tag: str) -> np.ndarray:
     return a
 
 
-def save_prepared_target(path: str, tag: str, prepared) -> str:
+def save_prepared_target(path: str, tag: str, prepared,
+                         spec: str = "") -> str:
     """Persist a prepared target bank (flat or max-query, dense or int8).
-    Uncompressed npz: this is a derived cache; IO speed over size."""
+    Uncompressed npz: this is a derived cache; IO speed over size.
+
+    `spec` is an opaque producer-config string (bank dtype + backbone
+    bank-spec, cli/train.py:prepared_spec) stored in the file and matched
+    verbatim on load — the tag keys the FILENAME by --bank_dtype, but two
+    configs that happen to share a tag and a target shape (e.g. a backbone
+    swap onto the same --bank_path) must still miss, not silently load the
+    other config's relayout."""
     from spn4cir_tpu.ops.bank_kernels import PreparedBank
     from spn4cir_tpu.ops.maxquery_kernels import PreparedMaxQueryBank
 
@@ -140,14 +148,17 @@ def save_prepared_target(path: str, tag: str, prepared) -> str:
         arrs["scales"] = np.asarray(scales, np.float32)
     np.savez(f, version=np.asarray(PREPARED_CACHE_VERSION),
              kind=np.asarray(kind), values_dtype=np.asarray(vtag),
+             spec=np.asarray(spec),
              m_actual=np.asarray(prepared.m_actual), **arrs)
     return f
 
 
-def load_prepared_target(path: str, tag: str, expected_shape):
+def load_prepared_target(path: str, tag: str, expected_shape,
+                         spec: str = ""):
     """Load a prepared target bank, or None on miss/stale. `expected_shape`
     is the raw bank's (M, ...) target shape — a mismatch (the raw bank was
-    re-extracted or extended differently) invalidates the sidecar."""
+    re-extracted or extended differently) invalidates the sidecar; so does
+    a `spec` string differing from the one recorded at save time."""
     f = prepared_cache_file(path, tag)
     if not os.path.exists(f):
         return None
@@ -155,6 +166,8 @@ def load_prepared_target(path: str, tag: str, expected_shape):
         data = np.load(f)
         if int(data["version"]) != PREPARED_CACHE_VERSION:
             return None
+        if str(data["spec"]) != spec:
+            return None  # produced by a different config
         values = _unnpz_array(data["values"], str(data["values_dtype"]))
         scales = data["scales"] if "scales" in data else None
         m_actual = int(data["m_actual"])

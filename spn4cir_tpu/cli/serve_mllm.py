@@ -41,6 +41,17 @@ def main(argv: Optional[list] = None):
                    help="weight-only int8 LM (llava; halves weight HBM)")
     p.add_argument("--mesh_model", type=int, default=0,
                    help="tensor-parallel the model over this many chips")
+    p.add_argument("--llm_cache", default="",
+                   choices=["", "f32", "bf16", "int8"],
+                   help="KV cache precision for the LLaVA LM ('' = bf16 at "
+                        "7B, f32 at tiny)")
+    p.add_argument("--attn_kernel", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="fused Pallas decode attention "
+                        "(ops/decode_attn.py; decode steps only). 'auto' "
+                        "follows the measured production default — one "
+                        "decode configuration for serving AND batch "
+                        "datagen (zscir/captioner.py)")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8081)
     p.add_argument("--no-block", dest="block", action="store_false",
@@ -62,12 +73,19 @@ def main(argv: Optional[list] = None):
     if args.mllm == "llava":
         from spn4cir_tpu.datagen.captioner import make_llava_captioner
 
+        cache_dtype = None
+        if args.llm_cache:
+            import jax.numpy as jnp
+            cache_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+                           "int8": jnp.int8}[args.llm_cache]
         _, transform, batched_fn = make_llava_captioner(
             args.ckpt, tokenizer_path=args.tokenizer_path,
             llava_size=args.llava_size, category=args.category,
             word_num=args.word_num, max_new_tokens=args.max_new_tokens,
             batch_size=args.batch_size, quantize_weights=args.quantize_int8,
-            mesh=mesh)
+            mesh=mesh, cache_dtype=cache_dtype,
+            attn_kernel={"auto": None, "on": True,
+                         "off": False}[args.attn_kernel])
     else:
         from spn4cir_tpu.datagen.captioner import make_blip_captioner
 

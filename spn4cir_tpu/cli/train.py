@@ -45,6 +45,16 @@ from spn4cir_tpu.utils.logging import MetricLogger
 from spn4cir_tpu.utils.seeding import seed_everything
 
 
+def _prepared_spec(backbone, args) -> str:
+    """Producer-config key for the prepared-bank sidecar: the bank dtype
+    plus the backbone's bank-spec geometry. A --bank_dtype flip or a
+    backbone change onto the same --bank_path must MISS the sidecar, never
+    silently load the other config's padded/transposed layout."""
+    s = backbone.bank_spec()
+    return (f"{args.bank_dtype}|target{tuple(s.target_shape)}"
+            f"|{jnp.dtype(s.dtype).name}")
+
+
 def run_validation(backbone, params, args, preprocess) -> tuple[float, dict]:
     """Per-epoch validation; score definitions mirror clip4cir/train.py:134-195."""
     if args.dataset == "cirr":
@@ -181,7 +191,8 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
             from spn4cir_tpu.bank.bank import Bank, load_prepared_target
 
             prep = load_prepared_target(bank_path, args.bank_dtype,
-                                        tuple(bank.target.shape))
+                                        tuple(bank.target.shape),
+                                        spec=_prepared_spec(backbone, args))
             if prep is not None:
                 bank = Bank(refer=bank.refer, target=prep,
                             refer_key=bank.refer_key)
@@ -247,7 +258,8 @@ def train_main(backbone_name: str, argv: Optional[list] = None, **parser_kw):
                   f"{tuple(bank.target.shape)}")
             from spn4cir_tpu.bank.bank import save_prepared_target
 
-            f = save_prepared_target(bank_path, args.bank_dtype, tgt)
+            f = save_prepared_target(bank_path, args.bank_dtype, tgt,
+                                     spec=_prepared_spec(backbone, args))
             print(f"bank: prepared layout cached -> {f}")
 
     if args.wo_bank:

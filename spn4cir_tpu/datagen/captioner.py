@@ -128,7 +128,8 @@ def make_llava_captioner(params, *, tokenizer=None, tokenizer_path: str = "",
                          llava_size: str = "7b", category: str = "image",
                          word_num: int = 10, max_new_tokens: int = 64,
                          batch_size: int = 8, dtype=None,
-                         quantize_weights: bool = False, mesh=None):
+                         quantize_weights: bool = False, mesh=None,
+                         cache_dtype=None, attn_kernel=None):
     """The reference's CANONICAL captioning path — LLaVA-v1
     (zscir/captioner_llava.py:147-205 captions every published dataset with
     it) on the JAX CLIP-L tower + LLaMA decoder (models/llava.py).
@@ -230,7 +231,9 @@ def make_llava_captioner(params, *, tokenizer=None, tokenizer_path: str = "",
             batch = np.stack(list(chunk) + [chunk[-1]] * pad)
             rng, sub = jax.random.split(rng)
             caps = cap.caption(params, batch, use_prompt,
-                               max_new_tokens=max_new_tokens, rng=sub)
+                               max_new_tokens=max_new_tokens, rng=sub,
+                               cache_dtype=cache_dtype,
+                               attn_kernel=attn_kernel)
             out.extend(caps[: len(chunk)])
         return out
 

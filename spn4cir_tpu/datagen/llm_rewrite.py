@@ -249,7 +249,7 @@ PROMPTS_BOTH = [
 def make_jax_generate_fn(params, cfg, tokenizer, *, max_new_tokens: int = 25,
                          top_k: int = 10, seed: int = 0,
                          cache_dtype=None, mesh=None,
-                         prefill_chunk=None):
+                         prefill_chunk=None, attn_kernel=None):
     """TPU-native LM execution for the rewriter: the JAX LLaMA decoder
     (models/llama.py) with the reference's exact sampling semantics
     (zscir/llama_generate.py:55-63: do_sample=True, top_k=10, HF-default
@@ -284,7 +284,7 @@ def make_jax_generate_fn(params, cfg, tokenizer, *, max_new_tokens: int = 25,
                 max_new_tokens=max_new_tokens, do_sample=True,
                 temperature=1.0, top_p=1.0, top_k=top_k, rng=r,
                 cache_sharding=cache_sharding, quant_kernel=quant_kernel,
-                prefill_chunk=prefill_chunk,
+                prefill_chunk=prefill_chunk, attn_kernel=attn_kernel,
                 **({} if cache_dtype is None
                    else {"cache_dtype": cache_dtype})))
         # embedding lookup stays on device (dense or int8 QuantKernel) —
@@ -328,7 +328,8 @@ def make_jax_batch_generate_fn(params, cfg, tokenizer, *,
                                max_new_tokens: int = 25, top_k: int = 10,
                                seed: int = 0, batch_size: int = 8,
                                len_bucket: int = 32, cache_dtype=None,
-                               mesh=None, prefill_chunk=None):
+                               mesh=None, prefill_chunk=None,
+                               attn_kernel=None):
     """Batched TPU-native rewriting: many prompts per `llama_generate` call.
 
     The reference's HF pipeline rewrites one prompt per generate call
@@ -382,6 +383,7 @@ def make_jax_batch_generate_fn(params, cfg, tokenizer, *,
                     temperature=1.0, top_p=1.0, top_k=top_k, rng=r,
                     attention_mask=m, cache_sharding=cache_sharding,
                     quant_kernel=quant_kernel, prefill_chunk=prefill_chunk,
+                    attn_kernel=attn_kernel,
                     **({} if cache_dtype is None
                        else {"cache_dtype": cache_dtype})))
             embeds = _embed_rows(params["embed_tokens"],
@@ -425,7 +427,8 @@ def load_jax_rewriter(ckpt_path: str = "", tokenizer=None, *,
                       data: str = "fiq", mod_type: int = 0,
                       llm_type: int = 1, tiny: bool = False, seed: int = 0,
                       quantize_weights: bool = False, batch_size: int = 1,
-                      cache_dtype=None, mesh=None, prefill_chunk=None):
+                      cache_dtype=None, mesh=None, prefill_chunk=None,
+                      attn_kernel=None):
     """End-to-end TPU-native rewriter: JAX LLaMA-2 decoder + the byte-exact
     prompt contract. `ckpt_path` is an HF LlamaForCausalLM state dict
     (torch); empty => random init (smoke runs). `tokenizer` defaults to the
@@ -489,12 +492,13 @@ def load_jax_rewriter(ckpt_path: str = "", tokenizer=None, *,
         gen = make_jax_batch_generate_fn(
             params, cfg, tokenizer, max_new_tokens=max_new_tokens_for(data),
             seed=seed, batch_size=batch_size, cache_dtype=cache_dtype,
-            mesh=mesh, prefill_chunk=prefill_chunk)
+            mesh=mesh, prefill_chunk=prefill_chunk, attn_kernel=attn_kernel)
         return make_llm_batch_rewriter(gen, data, mod_type, llm_type)
     gen = make_jax_generate_fn(params, cfg, tokenizer,
                                max_new_tokens=max_new_tokens_for(data),
                                seed=seed, cache_dtype=cache_dtype, mesh=mesh,
-                               prefill_chunk=prefill_chunk)
+                               prefill_chunk=prefill_chunk,
+                               attn_kernel=attn_kernel)
     return make_llm_rewriter(gen, data, mod_type, llm_type)
 
 

@@ -35,6 +35,13 @@ import jax.numpy as jnp
 Dtype = Any
 NEG_INF = -1e9
 
+# Production default for the fused Pallas decode-attention kernel
+# (ops/decode_attn.py) when callers pass attn_kernel=None. Flipped per the
+# recorded hardware A/B (BENCHMARKS.md round 5); geometry the kernel does
+# not support (GQA, off-lane head dims — every tiny test config) silently
+# takes the einsum path either way, so tests stay bit-deterministic.
+DECODE_ATTN_DEFAULT = False
+
 
 @dataclasses.dataclass(frozen=True)
 class LlamaConfig:
@@ -767,9 +774,7 @@ def llama_generate(params: Dict[str, Any], cfg: LlamaConfig,
         quant_kernel = False
 
     if attn_kernel is None:
-        # Default OFF pending the hardware A/B (the quant_matmul precedent:
-        # ship the kernel gated, flip only on a recorded win).
-        attn_kernel = False
+        attn_kernel = DECODE_ATTN_DEFAULT
     if cache_sharding is not None:
         # tensor-parallel decode: GSPMD would all-gather the cache shards of
         # an opaque pallas_call (same reason quant_kernel is TP-off)

@@ -257,7 +257,7 @@ class LlavaCaptioner:
     def caption(self, params, images, user_message: str, *,
                 max_new_tokens: int = 64, temperature: float = 0.01,
                 top_p: float = 0.01, rng=None,
-                cache_dtype=None) -> List[str]:
+                cache_dtype=None, attn_kernel=None) -> List[str]:
         """images: (B, H, W, 3) preprocessed floats -> B caption strings.
 
         `cache_dtype` defaults to bfloat16 at production LM widths (the KV
@@ -273,7 +273,7 @@ class LlavaCaptioner:
         ids = self.prompt_ids(user_message)
         eos = self.tok.eos_token_id
         key = ("caption", images.shape, tuple(ids), max_new_tokens,
-               temperature, top_p, jnp.dtype(cache_dtype).name)
+               temperature, top_p, jnp.dtype(cache_dtype).name, attn_kernel)
         if key not in self._jit_cache:
             def run(params, images, rng):
                 img_feats = self.module.apply(
@@ -287,7 +287,8 @@ class LlavaCaptioner:
                     do_sample=True, temperature=temperature, top_p=top_p,
                     rng=rng, cache_dtype=cache_dtype,
                     cache_sharding=self._cache_sharding,
-                    quant_kernel=self._quant_kernel)
+                    quant_kernel=self._quant_kernel,
+                    attn_kernel=attn_kernel)
 
             self._jit_cache[key] = jax.jit(run)
         out = self._jit_cache[key](

@@ -56,33 +56,42 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _pick_head_block(num_heads: int, head_dim: int, length: int,
+                     itemsize: int) -> int:
+    """Largest legal head-block size, or 0 when none exists.
+
+    Legal means all of:
+    - divides num_heads (the grid's head dim is num_heads // hb FULL
+      blocks — a non-divisor would leave tail heads' output unwritten);
+    - satisfies the TPU block-shape rule for the (1, hb, hd) q/out blocks:
+      a block's second-to-last dim must be a multiple of 8 or equal the
+      full array dim (hb == num_heads);
+    - fits the VMEM budget at f32 width regardless of storage dtype: the
+      kernel astype(f32)'s each head slice inside VMEM and the head loop
+      is fully unrolled, so the live set tracks the f32 copies (an int8
+      block budgeted at its own itemsize would admit 4x the safe size).
+    """
+    del itemsize  # budget is always at f32 width, see above
+    for hb in range(num_heads, 0, -1):
+        if num_heads % hb:
+            continue
+        if hb != num_heads and hb % 8:
+            continue
+        if 2 * length * hb * head_dim * 4 <= VMEM_BUDGET:
+            return hb
+    return 0
+
+
 def supports_decode_attention(num_heads: int, kv_heads: int, head_dim: int,
                               length: int) -> bool:
     """Geometry gate: MHA only, lane-tiled head dim, lane-tiled cache length
     (llama_generate pads the cache to a 128 multiple when the kernel is
-    requested), and at least one head's K+V block within the VMEM budget."""
+    requested), and a legal head block within the VMEM budget."""
     if kv_heads != num_heads:
         return False
     if head_dim % LANES or length % LANES:
         return False
-    return 2 * length * head_dim * 4 <= VMEM_BUDGET  # worst dtype (f32)
-
-
-def _pick_head_block(num_heads: int, head_dim: int, length: int,
-                     itemsize: int) -> int:
-    # Budget at f32 width regardless of storage dtype: the kernel
-    # astype(f32)'s each head slice inside VMEM and the head loop is fully
-    # unrolled, so the live set tracks the f32 copies (an int8 cache block
-    # budgeted at its own itemsize would admit 4x the f32-safe size).
-    itemsize = max(itemsize, 4)
-    hb = num_heads
-    while hb > 1 and 2 * length * hb * head_dim * itemsize > VMEM_BUDGET:
-        hb //= 2
-    # the grid's head dim is num_heads // hb full blocks: hb must divide
-    # num_heads or the tail heads' output blocks are never written
-    while num_heads % hb:
-        hb -= 1
-    return hb
+    return _pick_head_block(num_heads, head_dim, length, 4) > 0
 
 
 def _kernel(li_ref, q_ref, k_ref, v_ref, bias_ref, *rest, hb, hd, quant):
@@ -92,7 +101,7 @@ def _kernel(li_ref, q_ref, k_ref, v_ref, bias_ref, *rest, hb, hd, quant):
     else:
         ks_ref = vs_ref = None
         (out_ref,) = rest
-    bias = bias_ref[:]  # (1, L) f32
+    bias = bias_ref[0]  # block (1, 1, L) -> (1, L) f32
     scale = hd ** -0.5
     rows = []
     for j in range(hb):
@@ -102,14 +111,14 @@ def _kernel(li_ref, q_ref, k_ref, v_ref, bias_ref, *rest, hb, hd, quant):
             qj, kj, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # (1, L)
         if ks_ref is not None:
-            logits = logits * ks_ref[0]
+            logits = logits * ks_ref[0, 0]  # block (1,1,1,L) -> (1, L)
         logits = logits + bias
         m = jnp.max(logits, axis=1, keepdims=True)
         e = jnp.exp(logits - m)
         w = e / jnp.sum(e, axis=1, keepdims=True)       # (1, L) f32
         vj = v_ref[0, 0, :, j * hd:(j + 1) * hd]
         if vs_ref is not None:
-            w = w * vs_ref[0]
+            w = w * vs_ref[0, 0]
             vj = vj.astype(jnp.float32)
         else:
             # the einsum path casts the weights to the cache dtype before
@@ -140,23 +149,31 @@ def decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
     if interpret is None:
         interpret = _interpret()
     hb = _pick_head_block(num_heads, hd, length, k_cache.dtype.itemsize)
+    if hb <= 0:
+        raise ValueError(
+            f"no legal head block for H={num_heads} hd={hd} L={length}; "
+            "gate callers with supports_decode_attention()")
     out_dtype = jnp.float32 if quant else v_cache.dtype
 
     grid = (batch, num_heads // hb)
     cache_spec = pl.BlockSpec((1, 1, length, hb * hd),
                               lambda b, h, li: (li[0], b, 0, h))
+    # TPU block-shape rule: a block's last two dims must be multiples of
+    # (8, 128) or EQUAL the full array dims. Feed bias/scales with a unit
+    # row dim — (B, 1, L) / (layers, B, 1, L) — so every per-row block is
+    # (.., 1, L) with both trailing dims equal to the array's.
     in_specs = [
         pl.BlockSpec((1, hb, hd), lambda b, h, li: (b, h, 0)),    # q
         cache_spec,                                               # k
         cache_spec,                                               # v
-        pl.BlockSpec((1, length), lambda b, h, li: (b, 0)),       # bias
+        pl.BlockSpec((1, 1, length), lambda b, h, li: (b, 0, 0)),  # bias
     ]
-    args = [q, k_cache, v_cache, bias]
+    args = [q, k_cache, v_cache, bias[:, None, :]]
     if quant:
-        scale_spec = pl.BlockSpec((1, 1, length),
-                                  lambda b, h, li: (li[0], b, 0))
+        scale_spec = pl.BlockSpec((1, 1, 1, length),
+                                  lambda b, h, li: (li[0], b, 0, 0))
         in_specs += [scale_spec, scale_spec]
-        args += [k_scale, v_scale]
+        args += [k_scale[:, :, None, :], v_scale[:, :, None, :]]
     fn = pl.pallas_call(
         functools.partial(_kernel, hb=hb, hd=hd, quant=quant),
         grid_spec=pltpu.PrefetchScalarGridSpec(

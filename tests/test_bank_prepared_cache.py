@@ -63,6 +63,60 @@ def test_maxq_roundtrip(rng, tmp_path, int8):
                                np.asarray(prep.dense()))
 
 
+def test_spec_skew_misses(rng, tmp_path):
+    """A --bank_dtype flip or a backbone bank-spec change must MISS the
+    sidecar (VERDICT r4 next-#6): the tag keys the filename, the spec
+    string keys the content."""
+    bank = _flat(rng)
+    prep = prepare_bank(quantize_bank(bank), block_m=32)
+    path = str(tmp_path / "bank.npz")
+    spec_int8 = "int8|target(16,)|float32"
+    save_prepared_target(path, "int8", prep, spec=spec_int8)
+    # same config -> hit
+    assert load_prepared_target(path, "int8", tuple(bank.shape),
+                                spec=spec_int8) is not None
+    # a dtype flip changes the tag -> different filename -> miss
+    assert load_prepared_target(path, "bfloat16", tuple(bank.shape),
+                                spec="bfloat16|target(16,)|float32") is None
+    # same tag, different producer spec (backbone swap onto the same
+    # --bank_path with the same target shape) -> content-keyed miss
+    assert load_prepared_target(path, "int8", tuple(bank.shape),
+                                spec="int8|target(16,)|bfloat16") is None
+    # pre-spec cache files (format v1) carry no spec key -> stale, a miss
+    import numpy as onp
+
+    f = prepared_cache_file(path, "int8")
+    data = dict(onp.load(f))
+    del data["spec"]
+    data["version"] = onp.asarray(1)
+    onp.savez(f, **data)
+    assert load_prepared_target(path, "int8", tuple(bank.shape),
+                                spec=spec_int8) is None
+
+
+def test_cli_prepared_spec_distinguishes_configs():
+    """cli/train.py:_prepared_spec separates dtypes and backbones."""
+    import argparse
+
+    from spn4cir_tpu.cli.train import _prepared_spec
+    from spn4cir_tpu.models.api import BankSpec
+
+    class _BB:
+        def __init__(self, spec):
+            self._spec = spec
+
+        def bank_spec(self):
+            return self._spec
+
+    a8 = argparse.Namespace(bank_dtype="int8")
+    abf = argparse.Namespace(bank_dtype="bfloat16")
+    clip_bb = _BB(BankSpec(refer_shape=(16,), target_shape=(16,)))
+    blip2_bb = _BB(BankSpec(refer_shape=(32, 768), target_shape=(32, 256)))
+    assert _prepared_spec(clip_bb, a8) != _prepared_spec(clip_bb, abf)
+    assert _prepared_spec(clip_bb, a8) != _prepared_spec(blip2_bb, a8)
+    assert _prepared_spec(clip_bb, a8) == _prepared_spec(clip_bb, a8)
+
+
 def test_stale_and_missing(rng, tmp_path):
     bank = _flat(rng)
     prep = prepare_bank(bank, block_m=32)

@@ -47,6 +47,14 @@ def main():
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--steps", type=int, default=3,
                    help="chained steps per timing rep")
+    p.add_argument("--device_preprocess", action="store_true",
+                   help="raw-staged arm: image entries are uint8 RawBatch "
+                        "canvases (2x dim) + extents; the fused "
+                        "resize/crop/normalize runs inside the train-step "
+                        "jit (stage1_loss_fn raw_kind). Measures the "
+                        "chip-side tax of --device_preprocess on the "
+                        "stage-1 fwd+bwd step (XLA emits no backward for "
+                        "the preprocess: its inputs are integers)")
     args = p.parse_args()
 
     from spn4cir_tpu.models.api import build_backbone
@@ -60,14 +68,36 @@ def main():
     state = create_stage1_state(backbone, params, 2e-6)
 
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
-    batch = {
-        "refer_images": jax.random.normal(
-            k1, (args.batch, args.dim, args.dim, 3), jnp.float32),
-        "target_images": jax.random.normal(
-            k2, (args.batch, args.dim, args.dim, 3), jnp.float32),
-        "text_ids": jax.random.randint(
-            k3, (args.batch, 77), 0, 49000).astype(jnp.int32),
-    }
+    raw_kind = None
+    if args.device_preprocess:
+        import numpy as np
+
+        from spn4cir_tpu.data.transforms import RawBatch
+
+        raw_kind = "targetpad"
+        canvas = 2 * args.dim
+        rng = np.random.RandomState(7)
+
+        def raw(key):
+            canv = jax.random.randint(
+                key, (args.batch, canvas, canvas, 3), 0, 256,
+                jnp.int32).astype(jnp.uint8)
+            ext = rng.randint(int(0.55 * canvas), canvas + 1,
+                              size=(args.batch, 2))
+            return RawBatch(canv, jnp.asarray(ext, jnp.int32))
+
+        batch = {"refer_images": raw(k1), "target_images": raw(k2),
+                 "text_ids": jax.random.randint(
+                     k3, (args.batch, 77), 0, 49000).astype(jnp.int32)}
+    else:
+        batch = {
+            "refer_images": jax.random.normal(
+                k1, (args.batch, args.dim, args.dim, 3), jnp.float32),
+            "target_images": jax.random.normal(
+                k2, (args.batch, args.dim, args.dim, 3), jnp.float32),
+            "text_ids": jax.random.randint(
+                k3, (args.batch, 77), 0, 49000).astype(jnp.int32),
+        }
 
     use_mesh = args.mesh_data > 1 or args.mesh_model > 1
     if use_mesh:
@@ -82,16 +112,19 @@ def main():
             template = state
             state = jax.device_put(state, tp_state_shardings(state, mesh))
             sharded = make_sharded_stage1_step(backbone, mesh,
-                                               state_template=template)
+                                               state_template=template,
+                                               raw_kind=raw_kind)
         else:
             state = replicate(state, mesh)
-            sharded = make_sharded_stage1_step(backbone, mesh)
+            sharded = make_sharded_stage1_step(backbone, mesh,
+                                               raw_kind=raw_kind)
 
         def run_step(st):
             return sharded(st, batch)
     else:
         def run_step(st):
-            return stage1_train_step(backbone, st, batch)
+            return stage1_train_step(backbone, st, batch,
+                                     raw_kind=raw_kind)
 
     s, loss = run_step(state)  # compile
     float(loss)
@@ -109,7 +142,8 @@ def main():
         "config": {"model": args.clip_model_name, "batch": args.batch,
                    "dim": args.dim, "grad_ckpt": args.grad_ckpt,
                    "dtype": "float32" if args.fp32 else "bfloat16",
-                   "mesh_data": args.mesh_data, "mesh_model": args.mesh_model},
+                   "mesh_data": args.mesh_data, "mesh_model": args.mesh_model,
+                   "device_preprocess": bool(args.device_preprocess)},
         "value": round(best, 4),
         "triplets_per_sec": round(args.batch / best, 1),
         "images_per_sec": round(2 * args.batch / best, 1),

@@ -114,7 +114,8 @@ def analytic_tower_flops(bb, backbone_name) -> float:
     return 0.0
 
 
-def bench_tower(name, backbone_name, bb_kw, b_small, b_large, results):
+def bench_tower(name, backbone_name, bb_kw, b_small, b_large, results,
+                device_preprocess=False):
     from spn4cir_tpu.models.api import build_backbone
 
     print(f"== {name} ==", flush=True)
@@ -141,7 +142,66 @@ def bench_tower(name, backbone_name, bb_kw, b_small, b_large, results):
                      "gflops_per_image": round(fpi / 1e9, 2),
                      "mfu": round(mfu, 4), "b_small": b_small,
                      "b_large": b_large}
+    if device_preprocess:
+        bench_tower_devpre(name, bb, params, b_small, b_large, ips, results)
     return bb, params
+
+
+def bench_tower_devpre(name, bb, params, b_small, b_large, plain_ips,
+                       results):
+    """The chip-side half of the --device_preprocess hardware A/B: fused
+    resize/crop/normalize + encode (`preprocess_batch_dynamic` inside the
+    encoder jit, the production raw-staged path) vs the plain encode arm
+    just measured. Inputs are device-created uint8 canvases at the
+    production canvas side (2x input dim, cli/common.py default) with a
+    seeded spread of per-image padded extents — same shape of work as
+    RawStageTransform output, no host/H2D term (tools/loader_bench.py and
+    tools/e2e_index_bench.py cover those)."""
+    import numpy as np
+
+    from spn4cir_tpu.ops.preprocess import preprocess_batch_dynamic
+
+    canvas = 2 * bb.input_dim
+    rng = np.random.RandomState(7)
+
+    def make_raw(batch):
+        canv = jax.jit(lambda k: jax.random.randint(
+            k, (batch, canvas, canvas, 3), 0, 256, jnp.int32)
+            .astype(jnp.uint8))(jax.random.PRNGKey(batch))
+        # padded extents spread over [0.55*canvas, canvas] per axis — spans
+        # upscale and downscale geometries like a real gallery
+        ext = rng.randint(int(0.55 * canvas), canvas + 1, size=(batch, 2))
+        return canv, jnp.asarray(ext, jnp.int32)
+
+    fused = jax.jit(lambda p, cv, ex: bb.gallery_features(
+        p, preprocess_batch_dynamic(cv, ex, bb.input_dim, "targetpad")))
+
+    def make_args(batch):
+        return make_raw(batch)
+
+    # inline time_encode for the two-argument input
+    cv_s, ex_s = make_args(b_small)
+    cv_l, ex_l = make_args(b_large)
+    force(fused(params, cv_s, ex_s))
+    force(fused(params, cv_l, ex_l))
+
+    def best(cv, ex, repeats=5):
+        out = []
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            force(fused(params, cv, ex))
+            out.append(time.monotonic() - t0)
+        return min(out)
+
+    t_s, t_l = best(cv_s, ex_s), best(cv_l, ex_l)
+    ips = (b_large - b_small) / max(t_l - t_s, 1e-9)
+    delta = ips / plain_ips - 1.0 if plain_ips else 0.0
+    print(f"  devpre {ips:,.0f} img/s  t({b_small})={t_s*1e3:.0f}ms "
+          f"t({b_large})={t_l*1e3:.0f}ms  vs plain {delta:+.1%}", flush=True)
+    results[f"{name}_device_preprocess"] = {
+        "images_per_sec": round(ips, 1), "canvas": canvas,
+        "vs_plain_encode": round(delta, 4),
+        "b_small": b_small, "b_large": b_large}
 
 
 def bench_stage2(name, backbone_name, bb_kw, batch, bank_rows, results,
@@ -267,6 +327,12 @@ def main():
                    help="bench the TEXT towers (encode_text captions/s) "
                         "instead of the image towers — the causal-packed "
                         "attention kernel's target path")
+    p.add_argument("--device_preprocess", action="store_true",
+                   help="also measure fused device preprocess+encode "
+                        "(uint8 canvas + per-image extents -> "
+                        "preprocess_batch_dynamic inside the encoder jit) "
+                        "against each tower's plain arm — the chip-side "
+                        "half of the --device_preprocess A/B")
     args = p.parse_args()
 
     if args.attn == "xla":
@@ -291,7 +357,8 @@ def main():
             if args.text:
                 bench_text(name, bn, kw, results)
             else:
-                bench_tower(name, bn, kw, bs, bl, results)
+                bench_tower(name, bn, kw, bs, bl, results,
+                            device_preprocess=args.device_preprocess)
         except Exception as exc:
             print(f"  FAILED: {type(exc).__name__}: {str(exc)[:200]}",
                   flush=True)

@@ -47,6 +47,17 @@ if __name__ == "__main__":
                    help="tensor-parallel the LLaVA model over this many "
                         "chips (parallel/tp.py Megatron shards; bf16 7B "
                         "fits from 2x16 GB chips)")
+    p.add_argument("--llm_cache", default="",
+                   choices=["", "f32", "bf16", "int8"],
+                   help="KV cache precision for the LLaVA LM ('' = bf16 at "
+                        "7B, f32 at tiny; int8 halves cache bandwidth + "
+                        "footprint with per-row scales)")
+    p.add_argument("--attn_kernel", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="fused Pallas decode attention "
+                        "(ops/decode_attn.py; decode steps only). 'auto' "
+                        "follows the measured production default "
+                        "(models/llama.py:DECODE_ATTN_DEFAULT)")
     p.add_argument("--blip_size", default="base")
     p.add_argument("--bert_vocab", default="", help="WordPiece vocab path "
                    "(or SPN4CIR_BERT_VOCAB)")
@@ -115,11 +126,18 @@ if __name__ == "__main__":
             mesh = make_model_mesh(args.mesh_model)
         # load/convert the model ONCE; fiq's per-dress-type prompts ride
         # batched_fn's prompt override (ref captioner_llava.py:173-190)
+        cache_dtype = None
+        if args.llm_cache:
+            import jax.numpy as jnp
+            cache_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+                           "int8": jnp.int8}[args.llm_cache]
         _, transform, batched_fn = make_llava_captioner(
             args.ckpt, tokenizer_path=args.tokenizer_path,
             llava_size=args.llava_size, category=args.category,
             word_num=args.word_num, max_new_tokens=args.max_new_tokens,
-            batch_size=args.batch_size, mesh=mesh)
+            batch_size=args.batch_size, mesh=mesh, cache_dtype=cache_dtype,
+            attn_kernel={"auto": None, "on": True,
+                         "off": False}[args.attn_kernel])
     elif remaining and args.mllm == "blip":
         _, transform, batched_fn = make_blip_captioner(
             args.ckpt, blip_size=args.blip_size,

@@ -89,6 +89,12 @@ if __name__ == "__main__":
                    help="prefill the prompt in fixed-size chunks (caps the "
                         "B x H x P^2 attention-logit working set so "
                         "--llm_batch 16+ fits; 0 = dense one-shot prefill)")
+    p.add_argument("--attn_kernel", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="fused Pallas decode attention for the jax LM "
+                        "(ops/decode_attn.py; decode steps only). 'auto' "
+                        "follows the measured production default "
+                        "(models/llama.py:DECODE_ATTN_DEFAULT)")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args()
     use_cc = args.dataset.startswith("cc")
@@ -162,7 +168,9 @@ if __name__ == "__main__":
                 tiny=(args.llm_backend == "jax-tiny"), seed=args.seed,
                 batch_size=args.llm_batch, mesh=mesh,
                 prefill_chunk=args.prefill_chunk or None,
-                cache_dtype=_llm_cache_dtype(args.llm_cache))
+                cache_dtype=_llm_cache_dtype(args.llm_cache),
+                attn_kernel={"auto": None, "on": True,
+                             "off": False}[args.attn_kernel])
     prompt_ids = [int(x) for x in args.p_list.split(",")]
     if use_cc:
         from spn4cir_tpu.datagen.generate import (generate_cc_triplets,
