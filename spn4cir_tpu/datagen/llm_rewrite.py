@@ -15,6 +15,26 @@ from __future__ import annotations
 
 from typing import Callable, Sequence
 
+# Per-bucket recommended decode batch for the 7B jax LMs: (padded prompt
+# length upper bound -> --llm_batch), from the round-5 hardware bucket sweep
+# (BENCHMARKS.md round 5; tools/rewriter_bench.py --prompt_len {256,448,640}).
+# Used by make_jax_batch_generate_fn when batch_size=0 ("auto"): prompts are
+# partitioned by token length at these bounds and each partition batches at
+# its own measured working point, so a CIRR/CC datagen run (mod_type=0
+# composed prompts — different length distribution than FIQ's few-shot
+# bucket) doesn't silently run at the FIQ point.
+DECODE_BUCKET_BATCH = ((256, 8), (448, 8), (10 ** 9, 8))
+
+
+def recommended_llm_batch(prompt_tokens: int) -> int:
+    """Measured per-bucket --llm_batch default for a prompt of this many
+    tokens (see DECODE_BUCKET_BATCH)."""
+    for bound, batch in DECODE_BUCKET_BATCH:
+        if prompt_tokens <= bound:
+            return batch
+    return DECODE_BUCKET_BATCH[-1][1]
+
+
 # --- zscir/prompt.py:1-16 — llm_type 2 plain rewrite templates -------------
 
 _REWRITE_TEMPLATE = (
@@ -343,6 +363,11 @@ def make_jax_batch_generate_fn(params, cfg, tokenizer, *,
     per (padded_len,) geometry, with short groups padded by repeating rows
     so the batch dimension stays static.
 
+    `batch_size=0` selects bucket-aware auto batching: prompts partition by
+    token length at the DECODE_BUCKET_BATCH bounds and each partition runs
+    at its bucket's measured --llm_batch working point (groups never pad
+    across a bucket boundary).
+
     Returns `generate_batch(prompts) -> continuations` (order-preserving).
     """
     import jax
@@ -357,17 +382,34 @@ def make_jax_batch_generate_fn(params, cfg, tokenizer, *,
     cache_sharding = _tp_cache_sharding(cfg, mesh)
     quant_kernel = False if mesh is not None else None
 
+    def _groups(order, enc):
+        if batch_size:
+            return [(order[lo:lo + batch_size], batch_size)
+                    for lo in range(0, len(order), batch_size)]
+        groups, i = [], 0
+        while i < len(order):
+            first_len = len(enc[order[i]])
+            bound = next(bd for bd, _ in DECODE_BUCKET_BATCH
+                         if first_len <= bd)
+            bb = recommended_llm_batch(first_len)
+            g = []
+            while (i < len(order) and len(g) < bb
+                   and len(enc[order[i]]) <= bound):
+                g.append(order[i])
+                i += 1
+            groups.append((g, bb))
+        return groups
+
     def generate_batch(prompts: Sequence[str]) -> list:
         enc = [tokenizer.encode(p) for p in prompts]
         order = sorted(range(len(enc)), key=lambda i: len(enc[i]))
         results = [""] * len(enc)
-        for lo in range(0, len(order), batch_size):
-            idxs = order[lo:lo + batch_size]
+        for idxs, group_batch in _groups(order, enc):
             longest = max(len(enc[i]) for i in idxs)
             plen = -(-longest // len_bucket) * len_bucket
             # a lone prompt runs as a true B=1 program instead of being
             # padded to the full batch (batch_size x the device work)
-            bs = batch_size if len(idxs) > 1 else 1
+            bs = group_batch if len(idxs) > 1 else 1
             # repeat rows to the static batch size (outputs discarded)
             rows = idxs + [idxs[-1]] * (bs - len(idxs))
             ids = np.full((bs, plen), eos, np.int32)
@@ -433,9 +475,9 @@ def load_jax_rewriter(ckpt_path: str = "", tokenizer=None, *,
     prompt contract. `ckpt_path` is an HF LlamaForCausalLM state dict
     (torch); empty => random init (smoke runs). `tokenizer` defaults to the
     byte-level stub when `tiny` (tests; real runs pass the HF LLaMA
-    tokenizer). `batch_size > 1` rewrites in left-padded device batches
+    tokenizer). `batch_size != 1` rewrites in left-padded device batches
     (`make_jax_batch_generate_fn`) instead of the reference's one-prompt-
-    per-call loop."""
+    per-call loop; 0 = bucket-aware auto batching (DECODE_BUCKET_BATCH)."""
     import jax
 
     from spn4cir_tpu.models.llama import LlamaConfig, LlamaLM
@@ -488,7 +530,7 @@ def load_jax_rewriter(ckpt_path: str = "", tokenizer=None, *,
         # keep f32 so the HF-exactness tests stay bit-deterministic.
         import jax.numpy as jnp
         cache_dtype = jnp.bfloat16
-    if batch_size > 1:
+    if batch_size != 1:  # 0 = bucket-aware auto, >1 = fixed device batches
         gen = make_jax_batch_generate_fn(
             params, cfg, tokenizer, max_new_tokens=max_new_tokens_for(data),
             seed=seed, batch_size=batch_size, cache_dtype=cache_dtype,

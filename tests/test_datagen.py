@@ -364,6 +364,51 @@ def test_batch_rewriter_matches_single_path():
     got = batched(prompts)
     assert got == want, (got, want)
 
+    # batch_size=0: bucket-aware auto batching (DECODE_BUCKET_BATCH) —
+    # still order-preserving and identical under deterministic sampling
+    auto = make_jax_batch_generate_fn(params, cfg, tok, max_new_tokens=6,
+                                      top_k=1, seed=0, batch_size=0,
+                                      len_bucket=8)
+    assert auto(prompts) == want
+
+
+def test_bucket_batch_grouping():
+    """Auto groups never pad across a DECODE_BUCKET_BATCH bound and respect
+    each bucket's batch size."""
+    from spn4cir_tpu.datagen import llm_rewrite as lr
+
+    table = ((4, 2), (16, 3), (10 ** 9, 4))
+    orig = lr.DECODE_BUCKET_BATCH
+    lr.DECODE_BUCKET_BATCH = table
+    try:
+        assert lr.recommended_llm_batch(3) == 2
+        assert lr.recommended_llm_batch(5) == 3
+        assert lr.recommended_llm_batch(99) == 4
+        import jax
+        import jax.numpy as jnp
+
+        from spn4cir_tpu.models.llama import LlamaConfig, LlamaLM
+        from spn4cir_tpu.tokenizer.bytelevel import ByteTokenizer
+
+        tok = ByteTokenizer()
+        cfg = LlamaConfig.tiny(vocab_size=max(tok.vocab_size, 128))
+        params = LlamaLM(cfg).init(
+            jax.random.PRNGKey(0),
+            input_ids=jnp.zeros((1, 4), jnp.int32))["params"]
+        single = lr.make_jax_generate_fn(params, cfg, tok, max_new_tokens=4,
+                                         top_k=1, seed=0)
+        auto = lr.make_jax_batch_generate_fn(
+            params, cfg, tok, max_new_tokens=4, top_k=1, seed=0,
+            batch_size=0, len_bucket=4)
+        # lengths straddle both bounds: 2-3 tokens (bucket 1), ~8 (bucket
+        # 2), ~20+ (bucket 3)
+        prompts = ["ab", "cd", "efg", "longer p", "8 tokens",
+                   "a very long prompt that lands in bucket three ok"]
+        want = [single(p) for p in prompts]
+        assert auto(prompts) == want
+    finally:
+        lr.DECODE_BUCKET_BATCH = orig
+
 
 def test_generate_triplets_uses_batch_rewriter(tmp_path):
     """generate_extended_triplets routes through .rewrite_batch when the
