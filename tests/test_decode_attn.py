@@ -141,6 +141,24 @@ def test_generate_kernel_token_equality(rng, ragged):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_generate_kernel_with_chunked_prefill(rng):
+    """The production rewriter config composes --attn_kernel with
+    --prefill_chunk and left-padded ragged batches; token streams must
+    still match the dense einsum path exactly."""
+    cfg = _lane_cfg()
+    params = _tiny_params(cfg)
+    B, P, new = 2, 12, 6
+    emb = jnp.asarray(rng.randn(B, P, cfg.hidden_size), jnp.float32) * 0.1
+    am = jnp.asarray([[0] * 3 + [1] * (P - 3), [1] * P], jnp.int32)
+    emb = emb * am[..., None]
+    kw = dict(eos_id=cfg.vocab_size - 1, pad_id=0, max_new_tokens=new,
+              attention_mask=am)
+    ref = llama_generate(params, cfg, emb, **kw)
+    out = llama_generate(params, cfg, emb, attn_kernel=True,
+                         prefill_chunk=4, **kw)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_generate_kernel_gate_falls_back(rng):
     """Off-lane head dims (the tiny HF-parity geometry) silently take the
     einsum path even with attn_kernel=True."""
