@@ -33,8 +33,12 @@ def main(argv: Optional[list] = None):
     p.add_argument("--word_num", type=int, default=10,
                    help="default-prompt word budget (llava only)")
     p.add_argument("--max_new_tokens", type=int, default=64)
-    p.add_argument("--batch_size", type=int, default=8,
-                   help="device batch (= micro-batch coalescing cap)")
+    p.add_argument("--batch_size", type=int, default=16,
+                   help="device batch (= micro-batch coalescing cap). 16 = "
+                        "the round-5 bf16-KV working point (BENCHMARKS.md: "
+                        "fused decode attention makes B=16 +23%% captions/s "
+                        "over B=8; requests still dispatch after "
+                        "--max_delay_ms, so light load keeps B small)")
     p.add_argument("--max_delay_ms", type=float, default=20.0,
                    help="max time a request waits for batch-mates")
     p.add_argument("--quantize_int8", action="store_true",

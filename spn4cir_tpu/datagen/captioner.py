@@ -127,7 +127,7 @@ def make_blip_captioner(params, *, blip_size: str = "base",
 def make_llava_captioner(params, *, tokenizer=None, tokenizer_path: str = "",
                          llava_size: str = "7b", category: str = "image",
                          word_num: int = 10, max_new_tokens: int = 64,
-                         batch_size: int = 8, dtype=None,
+                         batch_size: int = 0, dtype=None,
                          quantize_weights: bool = False, mesh=None,
                          cache_dtype=None, attn_kernel=None):
     """The reference's CANONICAL captioning path — LLaVA-v1
@@ -214,6 +214,16 @@ def make_llava_captioner(params, *, tokenizer=None, tokenizer_path: str = "",
         params = shard_llava_params(params, mesh)
     else:
         params = jax.device_put(params)
+
+    if batch_size == 0:
+        # auto: the measured 7B working point for the cache precision (the
+        # llava_v1 prompt + max_new pads into the <=448-token bucket) — 16
+        # @ float KV, 32 @ int8 KV per the round-5 A/B (BENCHMARKS.md).
+        # Tiny (test) geometry keeps batches small: the working point is a
+        # 7B HBM-bandwidth fact, not a property of the model class.
+        from spn4cir_tpu.datagen.llm_rewrite import recommended_llm_batch
+        batch_size = (recommended_llm_batch(448, cache_dtype)
+                      if llava_size != "tiny" else 2)
 
     default_prompt = caption_prompt(category, word_num)
 

@@ -16,23 +16,36 @@ from __future__ import annotations
 from typing import Callable, Sequence
 
 # Per-bucket recommended decode batch for the 7B jax LMs: (padded prompt
-# length upper bound -> --llm_batch), from the round-5 hardware bucket sweep
-# (BENCHMARKS.md round 5; tools/rewriter_bench.py --prompt_len {256,448,640}).
+# length upper bound, batch @ float KV cache, batch @ int8 KV cache), from
+# the round-5 hardware A/B at the 448-token FIQ bucket and the 311-token
+# captioner prompt (BENCHMARKS.md round 5; tools/hw_queue_r5c.sh sweeps the
+# 256/640 buckets). Two columns because the capacity constraint differs: a
+# bf16 cache at B=32 x 448-bucket is ~17 GB (past the 16 GB chip), so the
+# bigger working point is int8-cache-only.
 # Used by make_jax_batch_generate_fn when batch_size=0 ("auto"): prompts are
 # partitioned by token length at these bounds and each partition batches at
 # its own measured working point, so a CIRR/CC datagen run (mod_type=0
 # composed prompts — different length distribution than FIQ's few-shot
 # bucket) doesn't silently run at the FIQ point.
-DECODE_BUCKET_BATCH = ((256, 8), (448, 8), (10 ** 9, 8))
+DECODE_BUCKET_BATCH = ((256, 16, 32), (448, 16, 32), (10 ** 9, 8, 16))
 
 
-def recommended_llm_batch(prompt_tokens: int) -> int:
+def recommended_llm_batch(prompt_tokens: int, cache_dtype=None) -> int:
     """Measured per-bucket --llm_batch default for a prompt of this many
-    tokens (see DECODE_BUCKET_BATCH)."""
-    for bound, batch in DECODE_BUCKET_BATCH:
+    tokens (see DECODE_BUCKET_BATCH). `cache_dtype=None` means the 7B
+    production default (bf16); an f32 cache halves the float working point
+    (same HBM capacity/bandwidth math, double the bytes)."""
+    itemsize = 2
+    if cache_dtype is not None:
+        import numpy as _np
+
+        itemsize = _np.dtype(cache_dtype).itemsize
+    for bound, float_b, int8_b in DECODE_BUCKET_BATCH:
         if prompt_tokens <= bound:
-            return batch
-    return DECODE_BUCKET_BATCH[-1][1]
+            if itemsize == 1:
+                return int8_b
+            return max(1, float_b // 2) if itemsize >= 4 else float_b
+    return DECODE_BUCKET_BATCH[-1][1 if itemsize != 1 else 2]
 
 
 # --- zscir/prompt.py:1-16 — llm_type 2 plain rewrite templates -------------
@@ -389,9 +402,9 @@ def make_jax_batch_generate_fn(params, cfg, tokenizer, *,
         groups, i = [], 0
         while i < len(order):
             first_len = len(enc[order[i]])
-            bound = next(bd for bd, _ in DECODE_BUCKET_BATCH
+            bound = next(bd for bd, _, _ in DECODE_BUCKET_BATCH
                          if first_len <= bd)
-            bb = recommended_llm_batch(first_len)
+            bb = recommended_llm_batch(first_len, cache_dtype)
             g = []
             while (i < len(order) and len(g) < bb
                    and len(enc[order[i]]) <= bound):

@@ -36,11 +36,15 @@ Dtype = Any
 NEG_INF = -1e9
 
 # Production default for the fused Pallas decode-attention kernel
-# (ops/decode_attn.py) when callers pass attn_kernel=None. Flipped per the
-# recorded hardware A/B (BENCHMARKS.md round 5); geometry the kernel does
-# not support (GQA, off-lane head dims — every tiny test config) silently
-# takes the einsum path either way, so tests stay bit-deterministic.
-DECODE_ATTN_DEFAULT = False
+# (ops/decode_attn.py) when callers pass attn_kernel=None. ON per the
+# round-5 hardware A/B (BENCHMARKS.md round 5: {einsum,kernel} x {bf16,int8
+# KV} x B{8,16,32} on both 7B workloads — kernel wins every B>=16 cell by
+# 1.23-2.19x, wins rewriter B=8 by ~9%, and is within noise on captioner
+# B=8; it un-parks the B>8 cache-read-contention regime the round-4
+# decomposition identified). Geometry the kernel does not support (GQA,
+# off-lane head dims — every tiny test config) silently takes the einsum
+# path either way, so tests stay bit-deterministic.
+DECODE_ATTN_DEFAULT = True
 
 
 @dataclasses.dataclass(frozen=True)

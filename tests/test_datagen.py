@@ -377,13 +377,20 @@ def test_bucket_batch_grouping():
     each bucket's batch size."""
     from spn4cir_tpu.datagen import llm_rewrite as lr
 
-    table = ((4, 2), (16, 3), (10 ** 9, 4))
+    table = ((4, 2, 4), (16, 3, 6), (10 ** 9, 4, 8))
     orig = lr.DECODE_BUCKET_BATCH
     lr.DECODE_BUCKET_BATCH = table
     try:
+        import numpy as np
+
         assert lr.recommended_llm_batch(3) == 2
         assert lr.recommended_llm_batch(5) == 3
         assert lr.recommended_llm_batch(99) == 4
+        # int8 KV column; f32 halves the float working point
+        assert lr.recommended_llm_batch(5, np.int8) == 6
+        assert lr.recommended_llm_batch(99, np.int8) == 8
+        assert lr.recommended_llm_batch(5, np.float32) == 1
+        assert lr.recommended_llm_batch(99, np.float32) == 2
         import jax
         import jax.numpy as jnp
 

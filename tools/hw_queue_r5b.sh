@@ -21,8 +21,9 @@ run python tools/tower_bench.py --towers clip_vit_b32_224,clip_rn50x4_288 --devi
 
 # 2. stage-1 train step: host-preprocessed f32 vs raw-staged uint8 canvases
 #    (fwd+bwd; the preprocess consumes integer inputs so XLA emits no
-#    backward for it — this measures that claim)
-run python tools/stage1_bench.py --clip-model-name RN50x4 --batch 64 --dim 288 --grad_ckpt
-run python tools/stage1_bench.py --clip-model-name RN50x4 --batch 64 --dim 288 --grad_ckpt --device_preprocess
+#    backward for it — this measures that claim). B=32: round 3 measured
+#    B=64+remat past the shared dev chip's free HBM (BENCHMARKS.md:135).
+run python tools/stage1_bench.py --clip-model-name RN50x4 --batch 32 --dim 288 --grad_ckpt
+run python tools/stage1_bench.py --clip-model-name RN50x4 --batch 32 --dim 288 --grad_ckpt --device_preprocess
 
 echo "queue done -> $LOG"

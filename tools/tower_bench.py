@@ -143,26 +143,38 @@ def bench_tower(name, backbone_name, bb_kw, b_small, b_large, results,
                      "mfu": round(mfu, 4), "b_small": b_small,
                      "b_large": b_large}
     if device_preprocess:
-        bench_tower_devpre(name, bb, params, b_small, b_large, ips, results)
+        bench_tower_devpre(name, bb, params, b_small, b_large, encode,
+                           make_images, results)
     return bb, params
 
 
-def bench_tower_devpre(name, bb, params, b_small, b_large, plain_ips,
-                       results):
+def bench_tower_devpre(name, bb, params, b_small, b_large, plain_encode,
+                       make_images, results):
     """The chip-side half of the --device_preprocess hardware A/B: fused
     resize/crop/normalize + encode (`preprocess_batch_dynamic` inside the
-    encoder jit, the production raw-staged path) vs the plain encode arm
-    just measured. Inputs are device-created uint8 canvases at the
-    production canvas side (2x input dim, cli/common.py default) with a
-    seeded spread of per-image padded extents — same shape of work as
-    RawStageTransform output, no host/H2D term (tools/loader_bench.py and
-    tools/e2e_index_bench.py cover those)."""
+    encoder jit, the production raw-staged path) vs the plain encode.
+    Inputs are device-created uint8 canvases at the production canvas side
+    (2x input dim, cli/common.py default) with a seeded spread of per-image
+    padded extents — same shape of work as RawStageTransform output, no
+    host/H2D term (tools/loader_bench.py and tools/e2e_index_bench.py cover
+    those).
+
+    Runs at 1/4 the tower's plain bench batches: the fused arm holds the
+    uint8 canvases (4x the pixel count) plus the f32 separable-resize
+    intermediates (~3-5 MB/image at 224-288px towers), so the plain arm's
+    8k differencing batch blows HBM — and production raw staging feeds
+    loader-sized batches anyway. The plain arm is re-timed at the SAME
+    reduced batches so the reported delta is apples-to-apples."""
     import numpy as np
 
     from spn4cir_tpu.ops.preprocess import preprocess_batch_dynamic
 
+    b_small, b_large = max(1, b_small // 4), max(2, b_large // 4)
     canvas = 2 * bb.input_dim
     rng = np.random.RandomState(7)
+
+    plain_ips, _, _ = time_encode(plain_encode, params, make_images,
+                                  b_small, b_large)
 
     def make_raw(batch):
         canv = jax.jit(lambda k: jax.random.randint(
@@ -176,12 +188,9 @@ def bench_tower_devpre(name, bb, params, b_small, b_large, plain_ips,
     fused = jax.jit(lambda p, cv, ex: bb.gallery_features(
         p, preprocess_batch_dynamic(cv, ex, bb.input_dim, "targetpad")))
 
-    def make_args(batch):
-        return make_raw(batch)
-
     # inline time_encode for the two-argument input
-    cv_s, ex_s = make_args(b_small)
-    cv_l, ex_l = make_args(b_large)
+    cv_s, ex_s = make_raw(b_small)
+    cv_l, ex_l = make_raw(b_large)
     force(fused(params, cv_s, ex_s))
     force(fused(params, cv_l, ex_l))
 
@@ -197,9 +206,11 @@ def bench_tower_devpre(name, bb, params, b_small, b_large, plain_ips,
     ips = (b_large - b_small) / max(t_l - t_s, 1e-9)
     delta = ips / plain_ips - 1.0 if plain_ips else 0.0
     print(f"  devpre {ips:,.0f} img/s  t({b_small})={t_s*1e3:.0f}ms "
-          f"t({b_large})={t_l*1e3:.0f}ms  vs plain {delta:+.1%}", flush=True)
+          f"t({b_large})={t_l*1e3:.0f}ms  vs plain@same-B {plain_ips:,.0f} "
+          f"({delta:+.1%})", flush=True)
     results[f"{name}_device_preprocess"] = {
         "images_per_sec": round(ips, 1), "canvas": canvas,
+        "plain_images_per_sec_same_batch": round(plain_ips, 1),
         "vs_plain_encode": round(delta, 4),
         "b_small": b_small, "b_large": b_large}
 

@@ -63,7 +63,10 @@ if __name__ == "__main__":
                    "(or SPN4CIR_BERT_VOCAB)")
     p.add_argument("--num_beams", type=int, default=3)
     p.add_argument("--nucleus", action="store_true")
-    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--batch_size", type=int, default=0,
+                   help="0 (default) = auto: the measured working point for "
+                        "the chosen --mllm (llava: 16 @ bf16 KV / 32 @ int8 "
+                        "KV per the round-5 A/B, BENCHMARKS.md; blip: 32)")
     p.add_argument("--word_num", "--k", dest="word_num", type=int, default=10)
     p.add_argument("--category", default="image")
     p.add_argument("--cc_id", type=int, default=0,
@@ -131,6 +134,11 @@ if __name__ == "__main__":
             import jax.numpy as jnp
             cache_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
                            "int8": jnp.int8}[args.llm_cache]
+        if args.batch_size == 0:
+            # the llava_v1 caption prompt pads to the <=448 bucket
+            # (311 prompt + 64 new); pick its measured working point
+            from spn4cir_tpu.datagen.llm_rewrite import recommended_llm_batch
+            args.batch_size = recommended_llm_batch(448, cache_dtype)
         _, transform, batched_fn = make_llava_captioner(
             args.ckpt, tokenizer_path=args.tokenizer_path,
             llava_size=args.llava_size, category=args.category,
@@ -139,6 +147,8 @@ if __name__ == "__main__":
             attn_kernel={"auto": None, "on": True,
                          "off": False}[args.attn_kernel])
     elif remaining and args.mllm == "blip":
+        if args.batch_size == 0:
+            args.batch_size = 32
         _, transform, batched_fn = make_blip_captioner(
             args.ckpt, blip_size=args.blip_size,
             bert_vocab_path=args.bert_vocab or None,

@@ -72,10 +72,12 @@ if __name__ == "__main__":
                         "--llm_backend jax")
     p.add_argument("--llm_tokenizer", default="",
                    help="LLaMA tokenizer dir for --llm_backend jax")
-    p.add_argument("--llm_batch", type=int, default=1,
-                   help=">1 rewrites in left-padded device batches of this "
-                        "size (jax backends; decode at 7B is weight-bound, "
-                        "so B prompts cost ~one prompt's HBM traffic)")
+    p.add_argument("--llm_batch", type=int, default=0,
+                   help="0 (default) = bucket-aware auto batching at the "
+                        "measured per-bucket working points (DECODE_BUCKET_"
+                        "BATCH, BENCHMARKS.md round 5); >1 = fixed "
+                        "left-padded device batches; 1 = one prompt per "
+                        "generate (the reference's loop)")
     p.add_argument("--mesh_model", type=int, default=0,
                    help="tensor-parallel the jax LM over this many chips "
                         "(Megatron shards via parallel/tp.py; bf16 7B "
@@ -85,10 +87,11 @@ if __name__ == "__main__":
                    help="KV cache precision for the jax LM ('' = bf16 at "
                         "7B, f32 at tiny; int8 halves cache bandwidth + "
                         "footprint with per-row scales)")
-    p.add_argument("--prefill_chunk", type=int, default=0,
+    p.add_argument("--prefill_chunk", type=int, default=128,
                    help="prefill the prompt in fixed-size chunks (caps the "
                         "B x H x P^2 attention-logit working set so "
-                        "--llm_batch 16+ fits; 0 = dense one-shot prefill)")
+                        "--llm_batch 16+ fits; +4.5%% at B=8 on hardware; "
+                        "0 = dense one-shot prefill)")
     p.add_argument("--attn_kernel", default="auto",
                    choices=["auto", "on", "off"],
                    help="fused Pallas decode attention for the jax LM "
