@@ -10,14 +10,15 @@ LOG=${1:-/tmp/hw_queue_r5b.log}
 : > "$LOG"
 run() {
   echo "=== $* ===" | tee -a "$LOG"
-  timeout 2400 "$@" 2>&1 | tail -8 | tee -a "$LOG"
+  timeout 2400 "$@" 2>&1 | tail -40 | tee -a "$LOG"
 }
 
 timeout 300 python -c "import jax; d=jax.devices(); assert d[0].platform=='tpu', d" \
   || { echo "tunnel down" | tee -a "$LOG"; exit 1; }
 
 # 1. tower encode: plain vs fused preprocess+encode (per-tower delta)
-run python tools/tower_bench.py --towers clip_vit_b32_224,clip_rn50x4_288 --device_preprocess
+run python tools/tower_bench.py --towers clip_vit_b32_224,clip_rn50x4_288 \
+  --device_preprocess --json bench_logs/tower_devpre_r5.json
 
 # 2. stage-1 train step: host-preprocessed f32 vs raw-staged uint8 canvases
 #    (fwd+bwd; the preprocess consumes integer inputs so XLA emits no
