@@ -19,17 +19,17 @@ from typing import Callable, Sequence
 # length upper bound, batch @ float KV cache, batch @ int8 KV cache), from
 # the round-5 hardware sweep (BENCHMARKS.md round 5: tools/hw_queue_r5.sh
 # 448-bucket matrix + hw_queue_r5c.sh 256/640 buckets, kernel on).
-# Measured winners: 256-bucket bf16 B=32 (24.64 prompts/s; the short cache
-# removes the capacity bound), 448-bucket bf16 B=16 / int8 B=32 (a bf16
-# B=32 x 448 cache is ~17 GB, past the 16 GB chip), 640-bucket bf16 B=8 /
-# int8 B=32 (the bf16 B=16 arm stalled twice on the dev tunnel — B=8 is
-# the measured-safe float point for long buckets).
+# Measured winners: 256-bucket bf16 B=32 (24.64 prompts/s) / int8 B=32
+# (25.42; the short cache removes the capacity bound), 448-bucket bf16
+# B=16 / int8 B=32 (a bf16 B=32 x 448 cache is ~17 GB, past the 16 GB
+# chip), 640-bucket bf16 B=16 (11.20 vs B=8's 9.79; landed on the third
+# attempt after two dev-tunnel stalls — hw_queue_r5d.sh) / int8 B=32.
 # Used by make_jax_batch_generate_fn when batch_size=0 ("auto"): prompts are
 # partitioned by token length at these bounds and each partition batches at
 # its own measured working point, so a CIRR/CC datagen run (mod_type=0
 # composed prompts — different length distribution than FIQ's few-shot
 # bucket) doesn't silently run at the FIQ point.
-DECODE_BUCKET_BATCH = ((256, 32, 32), (448, 16, 32), (10 ** 9, 8, 32))
+DECODE_BUCKET_BATCH = ((256, 32, 32), (448, 16, 32), (10 ** 9, 16, 32))
 
 
 def recommended_llm_batch(prompt_tokens: int, cache_dtype=None) -> int:
