@@ -83,6 +83,27 @@ def test_supports_gate():
     assert not supports_decode_attention(4, 4, 128, 100)    # L off-lane
 
 
+def test_head_block_divisor_and_f32_budget():
+    """Regression for the round-4 advisor findings: the head block must
+    divide num_heads (a non-divisor grid would leave tail heads' output
+    blocks unwritten) and the VMEM budget is taken at f32 width regardless
+    of cache storage dtype (the kernel astype(f32)'s every head slice)."""
+    from spn4cir_tpu.ops.decode_attn import VMEM_BUDGET, _pick_head_block
+
+    # H=12: sub-blocks 6/4/3/2/1 violate the (multiple-of-8 or full-array)
+    # block-shape rule, so the only legal block is the full 12 — or nothing.
+    hb = _pick_head_block(12, 128, 512, 1)
+    assert hb in (0, 12)
+    for H in (8, 12, 16, 32):
+        for L in (256, 2048, 8192):
+            hb = _pick_head_block(H, 128, L, 1)
+            if hb:
+                assert H % hb == 0
+                assert hb == H or hb % 8 == 0
+                # int8 itemsize must NOT admit 4x the f32-safe block
+                assert 2 * L * hb * 128 * 4 <= VMEM_BUDGET
+
+
 def _lane_cfg(**kw):
     # smallest geometry the kernel gate accepts: hd = 128
     base = dict(vocab_size=96, hidden_size=256, num_layers=2, num_heads=2,
