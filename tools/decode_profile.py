@@ -175,9 +175,12 @@ def main():
     # ---- 3) attention-only proxy ---------------------------------------
     hd = cfg.head_dim
     H = cfg.num_heads
+    # int8 proxies at bf16 (random int8 + per-row scales would change the
+    # math under test; f32 would 4x the stream AND blow HBM at B=32 —
+    # 32 layers x 32 x 343 x 4096 x 4 B ~= 5.8 GB next to 6.7 GB weights)
     kv = jax.jit(lambda k: jax.random.normal(
         k, (cfg.num_layers, B, L, cfg.kv_heads * hd),
-        jnp.float32 if cache_dtype == jnp.int8 else cache_dtype) * 0.02)(
+        jnp.bfloat16 if cache_dtype == jnp.int8 else cache_dtype) * 0.02)(
             jax.random.PRNGKey(3))
 
     def attn_scan(kv_arg, q0):
@@ -228,13 +231,17 @@ def main():
                 q, _ = jax.lax.scan(step, q0, None, length=T)
                 return q
 
+            kv.delete()  # padded copy supersedes it; free ~3-6 GB HBM
             report("attention_only_kernel",
                    timeit(jax.jit(attn_scan_k), kv_pad, x0, bias),
                    extra={"padded_len": Lp})
+            kv_pad.delete()
         else:
             print(json.dumps({"metric": "decode_attention_only_kernel",
                               "skipped": "geometry unsupported"}),
                   flush=True)
+    else:
+        kv.delete()
 
     # ---- 4) cache-update-only proxy --------------------------------------
     def upd_scan(carry):
